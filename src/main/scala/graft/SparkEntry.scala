@@ -1,13 +1,191 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Column names of each query are aliased identically in the Spark plan
+  * and the DuckDB oracle; doubles in compared output are rounded on both
+  * sides (float sum order is engine/partitioning dependent).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.multiJoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project"  -> (Relational.filterProject _),
+    "q_agg_group"       -> (Relational.aggGroup _),
+    "q_join_broadcast"  -> (Relational.joinBroadcast _),
+    "q_multi_join_agg"  -> (Relational.multiJoinAgg _),
+    "q_topk_global"     -> (Relational.topkGlobal _),
+    "q_topk_per_group"  -> (Relational.topkPerGroup _),
+    "q_distinct_agg"    -> (Relational.distinctAgg _),
+    "q_anti_join"       -> (Relational.antiJoin _),
+    "q_semi_join"       -> (Relational.semiJoin _),
+    "q_conditional_agg" -> (Relational.conditionalAgg _),
+    "q_pivot_onehot"    -> (Relational.pivotOnehot _),
+    "q_window_running"  -> (Windows.runningSum _),
+    "q_window_moving"   -> (Windows.movingAvg _),
+    "q_streaks"         -> (Windows.streaks _),
+    "q_sessionize"      -> (Sessionize.sessions _),
+    "q_range_join"      -> (RangeJoin.nearbyCounts _),
+    "q_asof_lookback"   -> (Windows.asofLookback _),
+    "q_percentiles"     -> (Windows.percentiles _),
+    "q_zscore_normalize" -> (Windows.zscoreNormalize _),
+    "q_histogram"       -> (Windows.histogram _),
+    "q_rollup"          -> (Windows.rollupAgg _)
+  )
+
+  /** DuckDB-equivalent SQL per query (same column aliases, same rounding,
+    * same deterministic ORDER BY).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_multi_join_agg" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_topk_global" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer
+        |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT user_id,
+        |  round((sum(CASE WHEN value > 120 THEN 1 ELSE 0 END)
+        |       - sum(CASE WHEN value < 80 THEN 1 ELSE 0 END)) * 1.0 / count(*), 4) AS ratio,
+        |  round(sum(CASE WHEN value >= 80 AND value <= 120 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS mid_share,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_pivot_onehot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_moving" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 4) AS avg2,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg4
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_streaks" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS w,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), isl AS (
+        |  SELECT user_id, w,
+        |    rn - row_number() OVER (PARTITION BY user_id, w ORDER BY ts, event_id) AS grp
+        |  FROM seq
+        |), runs AS (
+        |  SELECT user_id, w, grp, count(*) AS len FROM isl GROUP BY user_id, w, grp
+        |)
+        |SELECT user_id,
+        |  max(CASE WHEN w = 1 THEN len ELSE 0 END) AS max_win_streak,
+        |  max(CASE WHEN w = 0 THEN len ELSE 0 END) AS max_loss_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN brk = 1 THEN 1 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.event_id, count(b.event_id) AS n_nearby
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id != a.event_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts) - 900000000
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 900000000
+        |WHERE a.event_type = 'error'
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "q_asof_lookback" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 4) AS avg_7d
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_zscore_normalize" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice - avg(l_extendedprice) OVER ())
+        |        / (2 * stddev_pop(l_extendedprice) OVER ()), 4) AS znorm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) AS INT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY rname, nname""".stripMargin
+  )
 }

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core operators. Each mirrors a query shape from the
+  * reference's ETL/analysis layer (file:line cited per method), expressed
+  * as a declarative Spark plan so Catalyst handles pushdown/pruning and
+  * the physical join strategy.
+  */
+object Relational {
+
+  /** Repair-style scan: filter + project, both pushed to the parquet
+    * reader. Reference: periodical_data_repair.py:31
+    * (get_incomplete_records scans for records needing work).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Grouped aggregation with map-side partial agg (TPC-H Q1 shape).
+    * Reference: utils.py:983-986 (per-stat averages over match history).
+    */
+  def aggGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Fact-to-dim broadcast join: the dim never forces a shuffle of the
+    * fact side. Reference: models.py:85 (HistoricalMatch → Region FK).
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_nationkey", "c_acctbal")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("n_name")
+
+  /** Multi-way join + aggregation (TPC-H Q5 shape): fact shuffles on its
+    * join keys once; all dims broadcast. Reference: cross-entity rollups
+    * across HistoricalMatch x Summoner x Region.
+    */
+  def multiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val orders   = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val customer = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nation   = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val region   = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Global top-k: planned as TakeOrderedAndProject (no full sort, no
+    * single-node collect). Reference: utils.py:966 (argmax over lanes).
+    */
+  def topkGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(10)
+
+  /** Top-k per group via ranking window (partition-parallel).
+    * Reference: utils.py:966-967 (primary/secondary lane per player).
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables
+      .customer(spark, dir)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .withColumn("rn", row_number().over(w).cast("long")) // bigint: oracle row_number() is 64-bit
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Exact distinct aggregation (HLL `approx_count_distinct` is the 100TB
+    * variant; exact kept to hash-match the oracle). Reference: unique
+    * summoner counting across regions.
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Left-anti join: entities missing their dependent rows.
+    * Reference: periodical_data_repair.py:46 (records missing timelines).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_name")
+      .join(Tables.orders(spark, dir).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  /** Left-semi join: entities having at least one qualifying dependent.
+    * Reference: get_stats_availability (utils.py:990) existence counting.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(spark, dir)
+      .select("p_partkey", "p_name")
+      .join(
+        Tables.lineitem(spark, dir).select("l_partkey", "l_quantity").filter(col("l_quantity") > 45),
+        col("p_partkey") === col("l_partkey"),
+        "left_semi"
+      )
+      .orderBy("p_partkey")
+
+  /** CASE-based conditional aggregation: win/loss ratio analysis.
+    * Reference: utils.py:719-725 (solo/skirmish/team ratio + aggro).
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        round(
+          (sum(when(col("value") > 120, 1).otherwise(0)) -
+            sum(when(col("value") < 80, 1).otherwise(0))).cast("double") / count(lit(1)),
+          4
+        ).as("ratio"),
+        round(
+          sum(when(col("value") >= 80 && col("value") <= 120, 1).otherwise(0)).cast("double") / count(lit(1)),
+          4
+        ).as("mid_share"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy("user_id")
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** One-hot / wide pivot with an explicit value list (no extra pass to
+    * discover values; at 100TB the domain must be declared, exactly like
+    * the reference enumerates its attribute mixes).
+    * Reference: proto_data_analysis.py:697 match_flatten_rules.
+    */
+  def pivotOnehot(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na
+      .fill(0, EventTypes)
+      .orderBy("user_id")
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window / time-series operators. All windows partition by a
+  * high-cardinality key (user_id) so the work parallelizes across
+  * executors; there is no global single-partition window anywhere.
+  */
+object Windows {
+
+  /** Running cumulative sum per entity ordered by event time.
+    * Reference: utils.py:499-514 (effective_gold_spent accumulates over
+    * the ITEM_* event stream in timestamp order).
+    */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .select("event_id", "user_id", "ts", "value")
+      .withColumn("running_value", round(sum("value").over(w), 4))
+      .select("event_id", "user_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Trailing moving average over the previous N rows.
+    * Reference: find_recurrent_delta_across_n_games.py:175-195 (delta2/3/4
+    * averages of the last 2/3/4 games).
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    def w(n: Int) =
+      Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")).rowsBetween(-(n - 1), Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .select("event_id", "user_id", "ts", "value")
+      .withColumn("avg2", round(avg("value").over(w(2)), 4))
+      .withColumn("avg3", round(avg("value").over(w(3)), 4))
+      .withColumn("avg4", round(avg("value").over(w(4)), 4))
+      .select("event_id", "user_id", "avg2", "avg3", "avg4")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Longest win/loss streak per entity, gaps-and-islands in one linear
+    * pass (two ranking windows + grouped count) instead of the
+    * reference's per-row Python state machine.
+    * Reference: utils.py:943-956 (consecutive_wins / consecutive_losses).
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val byTime  = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byState = Window.partitionBy("user_id", "w").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select("user_id", "ts", "event_id", "value")
+      .withColumn("w", when(col("value") >= 100, 1).otherwise(0))
+      .withColumn("grp", row_number().over(byTime) - row_number().over(byState))
+      .groupBy("user_id", "w", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("w") === 1, col("len")).otherwise(0)).as("max_win_streak"),
+        max(when(col("w") === 0, col("len")).otherwise(0)).as("max_loss_streak")
+      )
+      .orderBy("user_id")
+  }
+
+  /** Time-bounded lookback aggregate: for every event, the average over
+    * that user's events in the preceding 7 days (exclusive of now).
+    * RANGE frame over epoch-millis; at scale this stays a single shuffle
+    * on user_id. Reference: utils.py:851-857 (weekly lookback windows,
+    * end_time offset to exclude the current match).
+    */
+  def asofLookback(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-7L * 24 * 3600 * 1000, -1)
+    Tables
+      .events(spark, dir)
+      .select("event_id", "user_id", "ts", "value")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("avg_7d", round(avg("value").over(w), 4))
+      .select("event_id", "user_id", "avg_7d")
+      .orderBy("event_id")
+  }
+
+  /** Exact interpolated percentiles per group (oracle-matched); the 100TB
+    * path swaps in approx_percentile with identical call shape.
+    * Reference: stat distribution summaries over match history.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99")
+      )
+      .orderBy("event_type")
+
+  /** Global z-score normalization `(x - mean) / (2 * stddev_pop)`:
+    * a tiny aggregate broadcast back to the fact table (no single-
+    * partition global window). Reference: proto_data_analysis.py:50-74
+    * normalize_x.
+    */
+  def zscoreNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val stats = li.agg(
+      avg("l_extendedprice").as("mu"),
+      stddev_pop("l_extendedprice").as("sigma")
+    )
+    li.join(broadcast(stats))
+      .withColumn("znorm", round((col("l_extendedprice") - col("mu")) / (lit(2.0) * col("sigma")), 4))
+      .select("l_orderkey", "l_linenumber", "znorm")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Fixed-width histogram over a value column.
+    * Reference: monitor request-rate views (monitor/views/ratelimit.py).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(floor(col("value") / 50).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Hierarchical ROLLUP totals (partial-agg friendly).
+    * Reference: per-region and overall gathering totals in the monitor.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_nationkey", "c_acctbal")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).select("r_regionkey", "r_name")),
+            col("n_regionkey") === col("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("rname"),
+        coalesce(col("n_name"), lit("ALL")).as("nname"),
+        col("n_cust"),
+        col("sum_acctbal")
+      )
+      .orderBy("rname", "nname")
+}
