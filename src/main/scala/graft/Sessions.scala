@@ -2,13 +2,22 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Central SparkSession factory. Local defaults mirror what a cluster
-  * deployment would set per-job: AQE on (runtime coalesce + skew-join
-  * splitting), shuffle partitions sized to the local core count rather
-  * than the 200 default.
+/** Central SparkSession factory — the ONLY place session config lives.
+  * Verify, Bench, and the test suite all route through here so the
+  * benched/tested config is the designed config (AQE on, shuffle
+  * partitions sized to cores, UTC, nanos-as-long parquet reads).
+  *
+  * Local defaults mirror what a cluster deployment would set per-job:
+  * AQE on (runtime coalesce + skew-join splitting), shuffle partitions
+  * sized to the local core count rather than the 200 default.
   */
 object GraftSession {
-  def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
+  /** Core count: SPARK_GRAFT_CPUS env if set, else all cores capped at 32. */
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors.min(32))
+
+  def local(cores: Int = defaultCores): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")

@@ -47,7 +47,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
@@ -85,9 +85,9 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
     "q_semi_join" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
@@ -162,8 +162,8 @@ object SparkEntry {
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
     "q_asof_lookback" ->
       """SELECT event_id, user_id,
-        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-        |    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 4) AS avg_7d
+        |  floor(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING) * 10000 + 0.5) / 10000 AS avg_7d
         |FROM events ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
@@ -173,9 +173,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_zscore_normalize" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round((l_extendedprice - avg(l_extendedprice) OVER ())
-        |        / (2 * stddev_pop(l_extendedprice) OVER ()), 4) AS znorm
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |  floor((l_extendedprice - avg(l_extendedprice) OVER ())
+        |        / (2 * stddev_pop(l_extendedprice) OVER ()) * 10000 + 0.5) / 10000 AS znorm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, znorm""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 50) AS INT) AS bucket, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -21,7 +21,9 @@ object Relational {
       .lineitem(spark, dir)
       .filter(col("l_returnflag") === "R" && col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is not unique in this data — order by
+      // all projected columns (here and in the oracle) for hash stability.
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
 
   /** Grouped aggregation with map-side partial agg (TPC-H Q1 shape).
     * Reference: utils.py:983-986 (per-stat averages over match history).
@@ -63,9 +65,12 @@ object Relational {
     val customer = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val nation   = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
     val region   = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    // customer is fact-proportional (scales with SF) — broadcasting it
+    // OOMs at the 100 TB design point. It joins via shuffle (AQE will
+    // still broadcast it at small SF); only true dims get the hint.
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
@@ -107,15 +112,22 @@ object Relational {
       .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
-  /** Left-anti join: entities missing their dependent rows.
+  /** Left-anti join: entities missing their dependent rows — parts never
+    * shipped in bulk (no lineitem with l_quantity > 45). The predicate is
+    * chosen to yield a non-empty result at every SF so the operator is
+    * actually exercised (customer-without-orders is vacuously empty here).
     * Reference: periodical_data_repair.py:46 (records missing timelines).
     */
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables
-      .customer(spark, dir)
-      .select("c_custkey", "c_name")
-      .join(Tables.orders(spark, dir).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
-      .orderBy("c_custkey")
+      .part(spark, dir)
+      .select("p_partkey", "p_name")
+      .join(
+        Tables.lineitem(spark, dir).select("l_partkey", "l_quantity").filter(col("l_quantity") > 45),
+        col("p_partkey") === col("l_partkey"),
+        "left_anti"
+      )
+      .orderBy("p_partkey")
 
   /** Left-semi join: entities having at least one qualifying dependent.
     * Reference: get_stats_availability (utils.py:990) existence counting.

@@ -73,6 +73,10 @@ object Windows {
     * RANGE frame over epoch-millis; at scale this stays a single shuffle
     * on user_id. Reference: utils.py:851-857 (weekly lookback windows,
     * end_time offset to exclude the current match).
+    *
+    * Rounding uses Num.round4 (floor(x*1e4+0.5)/1e4) with the identical
+    * formula in the oracle SQL: plain round() diverges between engines at
+    * half-way doubles (Spark BigDecimal HALF_UP vs DuckDB float-scaled).
     */
   def asofLookback(spark: SparkSession, dir: String): DataFrame = {
     val w = Window
@@ -83,7 +87,7 @@ object Windows {
       .events(spark, dir)
       .select("event_id", "user_id", "ts", "value")
       .withColumn("ts_ms", unix_millis(col("ts")))
-      .withColumn("avg_7d", round(avg("value").over(w), 4))
+      .withColumn("avg_7d", graft.Num.round4(avg("value").over(w)))
       .select("event_id", "user_id", "avg_7d")
       .orderBy("event_id")
   }
@@ -115,9 +119,11 @@ object Windows {
       stddev_pop("l_extendedprice").as("sigma")
     )
     li.join(broadcast(stats))
-      .withColumn("znorm", round((col("l_extendedprice") - col("mu")) / (lit(2.0) * col("sigma")), 4))
+      .withColumn("znorm", graft.Num.round4((col("l_extendedprice") - col("mu")) / (lit(2.0) * col("sigma"))))
       .select("l_orderkey", "l_linenumber", "znorm")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this data; znorm added
+      // to the sort (here and in the oracle) for a total, hash-stable order.
+      .orderBy("l_orderkey", "l_linenumber", "znorm")
   }
 
   /** Fixed-width histogram over a value column.
@@ -142,13 +148,12 @@ object Windows {
             col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir).select("r_regionkey", "r_name")),
             col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
+      // rollup MUST get untagged functions.col refs: the String overload
+      // goes through Dataset.col, whose dataset-id-tagged references trip
+      // DetectAmbiguousSelfJoin once Expand duplicates the grouping attrs.
+      .select(col("r_name").as("rname"), col("n_name").as("nname"), col("c_acctbal"))
+      .rollup(col("rname"), col("nname"))
       .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
-      .select(
-        coalesce(col("r_name"), lit("ALL")).as("rname"),
-        coalesce(col("n_name"), lit("ALL")).as("nname"),
-        col("n_cust"),
-        col("sum_acctbal")
-      )
+      .na.fill("ALL", Seq("rname", "nname"))
       .orderBy("rname", "nname")
 }
