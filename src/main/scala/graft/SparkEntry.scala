@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.dedup.Dedup
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Column names of each query are aliased identically in the Spark plan
@@ -36,7 +37,12 @@ object SparkEntry {
     "q_percentiles"     -> (Windows.percentiles _),
     "q_zscore_normalize" -> (Windows.zscoreNormalize _),
     "q_histogram"       -> (Windows.histogram _),
-    "q_rollup"          -> (Windows.rollupAgg _)
+    "q_rollup"          -> (Windows.rollupAgg _),
+    "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
+    "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column aliases, same rounding,
@@ -186,6 +192,47 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
-        |ORDER BY rname, nname""".stripMargin
+        |ORDER BY rname, nname""".stripMargin,
+    // DuckDB has no equivalent of Spark's seeded xxhash64, so the
+    // MinHash/SimHash variants are rows-checked (plus ScalaTest parity
+    // with the exact operators); the exact dedup family is SQL-matched.
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
+        |  FROM tok t1
+        |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |)
+        |SELECT p.a, p.b, floor(p.inter * 1.0 / (sa.n + sb.n - p.inter) * 10000 + 0.5) / 10000 AS jac
+        |FROM pairs p
+        |JOIN sizes sa ON p.a = sa.doc_id
+        |JOIN sizes sb ON p.b = sb.doc_id
+        |WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000 + 0.5) / 10000 AS cos
+        |FROM n x JOIN n y ON x.vec_id < y.vec_id
+        |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
+        |ORDER BY a, b""".stripMargin
   )
 }

