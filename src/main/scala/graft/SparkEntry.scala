@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.dedup.Dedup
+import graft.similarity.{Knn, LshAnn}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Column names of each query are aliased identically in the Spark plan
@@ -42,7 +43,9 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
-    "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d))
+    "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
+    "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
+    "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column aliases, same rounding,
@@ -233,6 +236,27 @@ object SparkEntry {
         |  floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000 + 0.5) / 10000 AS cos
         |FROM n x JOIN n y ON x.vec_id < y.vec_id
         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+    // q_ann_lsh is rows-checked: its signatures use seeded JVM-side
+    // hyperplanes DuckDB can't replicate; its recall is asserted against
+    // q_knn_cosine in the ScalaTest suite instead.
+    "q_knn_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), s AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 20
+        |), r AS (
+        |  SELECT q_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS rn
+        |  FROM s
+        |)
+        |SELECT q_id, nbr_id, floor(cos * 10000 + 0.5) / 10000 AS cos, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   )
 }
