@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.dedup.Dedup
 import graft.similarity.{Knn, LshAnn}
+import graft.functions.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Column names of each query are aliased identically in the Spark plan
@@ -45,7 +46,11 @@ object SparkEntry {
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
     "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
-    "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d))
+    "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
+    "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
+    "q_text_quality"       -> ((s, d) => TextFunctions.textQuality(s, d)),
+    "q_lang_id"            -> ((s, d) => TextFunctions.langId(s, d)),
+    "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column aliases, same rounding,
@@ -257,6 +262,48 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT q_id, nbr_id, floor(cos * 10000 + 0.5) / 10000 AS cos, rn
-        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q_token_count" ->
+      raw"""SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM documents
+           |), b AS (
+           |  SELECT doc_id,
+           |    len(tk) AS n_tokens,
+           |    len(list_filter(tk, x -> x IN (${TextFunctions.stopListSql}))) AS stop_hits,
+           |    length(text) AS n_chars
+           |  FROM t
+           |)
+           |SELECT doc_id, n_tokens, stop_hits,
+           |  floor(stop_hits / n_tokens * 10000 + 0.5) / 10000 AS stop_ratio,
+           |  floor((n_chars - n_tokens + 1) / n_tokens * 10000 + 0.5) / 10000 AS avg_token_chars,
+           |  floor((0.4 * least(n_tokens / 50.0, 1.0)
+           |       + 0.4 * (1.0 - stop_hits / n_tokens)
+           |       + 0.2 * least((n_chars - n_tokens + 1) / n_tokens / 5.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+           |FROM b ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+           |), h AS (
+           |  SELECT doc_id,
+           |    len(list_filter(tk, x -> x IN (${TextFunctions.markerListSql("de")}))) AS h_de,
+           |    len(list_filter(tk, x -> x IN (${TextFunctions.markerListSql("en")}))) AS h_en,
+           |    len(list_filter(tk, x -> x IN (${TextFunctions.markerListSql("es")}))) AS h_es,
+           |    len(list_filter(tk, x -> x IN (${TextFunctions.markerListSql("fr")}))) AS h_fr,
+           |    len(list_filter(tk, x -> x IN (${TextFunctions.markerListSql("zh")}))) AS h_zh
+           |  FROM t
+           |)
+           |SELECT doc_id,
+           |  CASE
+           |    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+           |    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+           |    WHEN h_es >= h_de AND h_es >= h_en AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+           |    WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+           |    ELSE 'zh'
+           |  END AS pred_lang,
+           |  greatest(h_de, h_en, h_es, h_fr, h_zh) AS n_hits
+           |FROM h ORDER BY doc_id""".stripMargin
   )
 }

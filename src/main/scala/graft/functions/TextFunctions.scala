@@ -1,0 +1,117 @@
+package graft.functions
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table — pure column
+  * expressions end to end (zero UDFs: everything stays inside
+  * whole-stage codegen), matching the shapes an LLM-corpus pipeline
+  * runs at ingest: token counting, quality scoring, language ID,
+  * content fingerprinting.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; regex split so runs of whitespace count
+    * as one separator (BPE-style pre-tokenizers split the same way).
+    */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** #29 token count. Reference analog: champion/lane list flattening
+    * counts (utils.py:990 get_stats_availability counts predicates).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopword list for quality/language heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** #30 quality score: token count, stopword ratio, average token
+    * length, folded into a bounded [0,1] score. All arithmetic is the
+    * identical IEEE op sequence as the oracle SQL.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("stop_hits", expr(s"size(filter(tk, t -> t IN (${inList(Stopwords)})))"))
+      .withColumn("stop_ratio", Num.round4(col("stop_hits") / col("n_tokens")))
+      .withColumn("avg_token_chars", Num.round4((length(col("text")) - col("n_tokens") + 1) / col("n_tokens")))
+      .withColumn(
+        "quality",
+        Num.round4(
+          lit(0.4) * least(col("n_tokens") / lit(50.0), lit(1.0)) +
+            lit(0.4) * (lit(1.0) - col("stop_hits") / col("n_tokens")) +
+            lit(0.2) * least((length(col("text")) - col("n_tokens") + 1) / col("n_tokens") / lit(5.0), lit(1.0))
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("stop_hits").cast("long").as("stop_hits"),
+        col("stop_ratio"),
+        col("avg_token_chars"),
+        col("quality")
+      )
+      .orderBy("doc_id")
+
+  /** Language marker profiles: common function words per language.
+    * The classifier is a deterministic marker-hit argmax — exactly the
+    * n-gram/stopword-profile heuristic ("marker words") at its simplest,
+    * which is what's computable without a model artifact.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3", "you3")
+  )
+
+  /** #31 language ID: per-language marker-hit counts → argmax, ties
+    * broken by language code ascending (the chained CASE evaluates
+    * languages in sorted order with >=).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+    val withHits = LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      df.withColumn(s"h_$lang", expr(s"size(filter(tk, t -> t IN (${inList(markers)})))"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs
+      .foldLeft(when(lit(false), lit(""))) { (acc, l) =>
+        val isMax = langs.filter(_ != l).map(o => col(s"h_$l") >= col(s"h_$o")).reduce(_ && _)
+        acc.when(isMax, lit(l))
+      }
+    withHits
+      .withColumn("pred_lang", pred)
+      .withColumn("n_hits", greatest(langs.map(l => col(s"h_$l")): _*).cast("long"))
+      .select("doc_id", "pred_lang", "n_hits")
+      .orderBy("doc_id")
+  }
+
+  /** #32 document fingerprint via the custom codegen Expression
+    * (registered as SQL function graft_fingerprint by GraftSession).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), expr("graft_fingerprint(text)").as("fp"))
+      .orderBy("doc_id")
+
+  /** Oracle-side SQL fragments (kept next to the marker tables so the
+    * two engines can never drift).
+    */
+  def stopListSql: String = inList(Stopwords)
+  def markerListSql(lang: String): String =
+    inList(LangMarkers.toMap.apply(lang))
+}
