@@ -50,7 +50,8 @@ object SparkEntry {
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
     "q_text_quality"       -> ((s, d) => TextFunctions.textQuality(s, d)),
     "q_lang_id"            -> ((s, d) => TextFunctions.langId(s, d)),
-    "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d))
+    "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d)),
+    "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column aliases, same rounding,

@@ -118,6 +118,10 @@ object Windows {
       avg("l_extendedprice").as("mu"),
       stddev_pop("l_extendedprice").as("sigma")
     )
+    // The conditionless join of a keyless aggregate plans as a 1-row
+    // IdentityBroadcast nested-loop — the same shape Spark gives scalar
+    // subqueries. Safe at any scale (build side is exactly one row);
+    // the plan gate bans only *unbounded* nested-loop joins.
     li.join(broadcast(stats))
       .withColumn("znorm", graft.Num.round4((col("l_extendedprice") - col("mu")) / (lit(2.0) * col("sigma"))))
       .select("l_orderkey", "l_linenumber", "znorm")

@@ -1,0 +1,57 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup keeps every doc when all texts are distinct") {
+    val docs = Tables.documents(spark, sfDir)
+    val deduped = SparkEntry.queries("q_dedup_exact")(spark, sfDir)
+    // sf0.001 has no exact dups: result must be the identity grouping.
+    assert(deduped.count() == docs.count())
+    assert(deduped.filter(col("n_copies") =!= 1).count() == 0)
+  }
+
+  test("minhash-LSH matches exact ngram-Jaccard pairs with high recall and no false positives") {
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data must contain near-dup pairs")
+    // Verified candidates can never be false positives (exact Jaccard
+    // filter runs after LSH), so LSH ⊆ exact...
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // ...and banding theory at jac>=0.8 with 8 bands of 4 gives ~0.98
+    // per-pair recall.
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall too low")
+  }
+
+  test("simhash pairs are ordered, within hamming bound, and include the strongest near-dups") {
+    val sh = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+    assert(sh.filter(col("a") >= col("b")).count() == 0, "pairs must be a<b")
+    assert(sh.filter(col("hamming") > 3).count() == 0)
+    assert(sh.count() > 0, "near-dup corpus must produce simhash pairs")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val nd = SparkEntry.queries("q_embed_neardup")(spark, sfDir)
+    assert(nd.count() > 0)
+    assert(nd.filter(col("a") >= col("b")).count() == 0)
+    assert(nd.filter(col("cos") < 0.4).count() == 0)
+  }
+
+  test("shingling produces distinct 3-gram shingles per doc") {
+    val sh = Dedup.shingles(Tables.documents(spark, sfDir))
+    val dup = sh.groupBy("doc_id", "sg").count().filter(col("count") > 1).count()
+    assert(dup == 0, "shingles must be distinct per doc")
+    val tokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).filter(col("n") >= 3)
+    val maxCheck = sh.groupBy("doc_id").count()
+      .join(tokens, "doc_id")
+      .filter(col("count") > col("n") - 2)
+      .count()
+    assert(maxCheck == 0, "at most n-2 shingles for n tokens")
+  }
+}

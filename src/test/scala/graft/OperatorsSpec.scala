@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Relational / window operator semantics on sf0.001, cross-checked
+  * in-engine (the DuckDB oracle gate covers engine-vs-engine; these
+  * cover operator-vs-definition).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("q_agg_group totals reconcile with ungrouped totals") {
+    val grouped = SparkEntry.queries("q_agg_group")(spark, sfDir)
+    val total = grouped.agg(sum("count_order")).head.getLong(0)
+    val raw = Tables.lineitem(spark, sfDir).count()
+    assert(total == raw, "grouped counts must partition the table")
+  }
+
+  test("q_anti_join and q_semi_join partition the part table") {
+    val anti = SparkEntry.queries("q_anti_join")(spark, sfDir)
+    val semi = SparkEntry.queries("q_semi_join")(spark, sfDir)
+    val parts = Tables.part(spark, sfDir).count()
+    assert(anti.count() + semi.count() == parts, "anti ∪ semi must cover part exactly")
+    assert(anti.count() > 0, "anti join must be non-vacuous")
+    assert(
+      anti.select("p_partkey").intersect(semi.select("p_partkey")).count() == 0,
+      "anti and semi must be disjoint"
+    )
+  }
+
+  test("q_topk_per_group returns at most 3 rows per segment, ranked") {
+    val df = SparkEntry.queries("q_topk_per_group")(spark, sfDir)
+    val bad = df.groupBy("c_mktsegment").count().filter(col("count") > 3).count()
+    assert(bad == 0)
+    val perSeg = df.groupBy("c_mktsegment").agg(collect_list("rn").as("rns")).collect()
+    perSeg.foreach(r =>
+      assert(r.getSeq[Long](1).sorted == (1L to r.getSeq[Long](1).size), "ranks must be 1..k")
+    )
+  }
+
+  test("q_streaks: max streaks bounded by event count, positive") {
+    val df = SparkEntry.queries("q_streaks")(spark, sfDir)
+    val events = Tables.events(spark, sfDir).groupBy("user_id").count()
+    val joined = df.join(events, "user_id")
+    assert(joined.filter(col("max_win_streak") + col("max_loss_streak") > col("count")).count() == 0)
+    assert(df.filter(col("max_win_streak") < 0 || col("max_loss_streak") < 0).count() == 0)
+  }
+
+  test("q_sessionize: session event counts sum to total events per user") {
+    val sessions = SparkEntry.queries("q_sessionize")(spark, sfDir)
+    val perUser = sessions.groupBy("user_id").agg(sum("n_events").as("n"))
+    val events = Tables.events(spark, sfDir).groupBy("user_id").count()
+    val mismatch = perUser
+      .join(events, "user_id")
+      .filter(col("n") =!= col("count"))
+      .count()
+    assert(mismatch == 0, "sessionization must not drop or duplicate events")
+  }
+
+  test("q_range_join: every error event appears exactly once") {
+    val rj = SparkEntry.queries("q_range_join")(spark, sfDir)
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(rj.count() == errors)
+    assert(rj.select("event_id").distinct().count() == errors)
+  }
+
+  test("q_zscore_normalize: znorm has ~zero mean") {
+    val df = SparkEntry.queries("q_zscore_normalize")(spark, sfDir)
+    val mean = df.agg(avg("znorm")).head.getDouble(0)
+    assert(math.abs(mean) < 1e-3, s"mean znorm should be ~0, got $mean")
+  }
+
+  test("q_rollup: grand total row equals table count") {
+    val df = SparkEntry.queries("q_rollup")(spark, sfDir)
+    val grand = df.filter(col("rname") === "ALL" && col("nname") === "ALL").head.getLong(2)
+    assert(grand == Tables.customer(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+/** Plan-shape gates: the properties that decide whether a plan survives
+  * a 1000-executor cluster, asserted on the actual executed plans.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no CartesianProduct or unbounded BroadcastNestedLoopJoin in any query plan") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (plan.contains("BroadcastNestedLoopJoin")) {
+        // Only the scalar-subquery shape is allowed: a keyless aggregate
+        // (guaranteed single row) broadcast to the stream side — the plan
+        // Spark itself produces for scalar subqueries. Anything else
+        // (two unbounded sides) is a 100 TB killer.
+        assert(
+          plan.contains("IdentityBroadcastMode") && plan.contains("HashAggregate(keys=[]"),
+          s"$name plans an unbounded BroadcastNestedLoopJoin"
+        )
+      }
+    }
+  }
+
+  test("q_filter_project pushes filter and prunes columns at the parquet scan") {
+    val plan = executedPlan("q_filter_project")
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(plan.contains("l_returnflag"), "filter column not pushed")
+    // Pruned read schema: none of the untouched wide columns.
+    assert(!plan.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("q_join_broadcast broadcasts the dim side") {
+    assert(executedPlan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_multi_join_agg broadcasts only true dims, not fact-scale customer") {
+    val optimized = SparkEntry
+      .queries("q_multi_join_agg")(spark, sfDir)
+      .queryExecution
+      .optimizedPlan
+      .toString
+    // Exactly two explicit hints (nation, region); customer joins without
+    // one (AQE may still broadcast it at tiny SF — a runtime decision,
+    // not a plan-forced OOM at 100 TB).
+    val analyzed = SparkEntry
+      .queries("q_multi_join_agg")(spark, sfDir)
+      .queryExecution
+      .analyzed
+      .toString
+    val hints = "UnresolvedHint|ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints == 2, s"expected exactly 2 broadcast hints (nation, region), got $hints:\n$analyzed")
+    assert(optimized.nonEmpty)
+  }
+
+  test("q_topk_global plans TakeOrderedAndProject (no global sort of the full table)") {
+    assert(executedPlan("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("window queries partition by high-cardinality keys (no single-partition global window)") {
+    for (name <- Seq("q_window_running", "q_window_moving", "q_asof_lookback")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("windowspecdefinition(user_id"),
+        s"$name window does not partition by user_id")
+    }
+  }
+
+  test("whole-stage codegen covers the agg pipeline of q_agg_group") {
+    // AQE shows codegen spans only in the final plan — execute THIS df
+    // (a write would clone the plan and leave df's own unexecuted).
+    val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
+    df.collect()
+    // Codegen'd operators carry the "*(stageId)" prefix in the final plan.
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("*(1)"), s"no whole-stage-codegen span in:\n$finalPlan")
+  }
+}

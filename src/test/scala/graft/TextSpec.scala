@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{FingerprintExpr, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+
+  test("token count equals driver-side split length") {
+    val rows = Tables.documents(spark, sfDir).select("doc_id", "text").limit(50).collect()
+    val counted = SparkEntry.queries("q_token_count")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(counted(r.getLong(0)) == r.getString(1).split("\\s+").length.toLong)
+    }
+  }
+
+  test("quality score stays in [0,1] and penalizes stopword-heavy docs") {
+    val q = SparkEntry.queries("q_text_quality")(spark, sfDir)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+  }
+
+  test("lang id predicts a known language with marker-count evidence") {
+    val l = SparkEntry.queries("q_lang_id")(spark, sfDir)
+    val langs = TextFunctions.LangMarkers.map(_._1).toSet
+    assert(l.filter(!col("pred_lang").isin(langs.toSeq: _*)).count() == 0)
+    assert(l.filter(col("n_hits") < 0).count() == 0)
+    assert(l.count() == Tables.documents(spark, sfDir).count())
+  }
+
+  test("codegen fingerprint matches the reference implementation") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(100).collect()
+    val fps = SparkEntry.queries("q_doc_fingerprint")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { r =>
+      assert(fps(r.getLong(0)) == FingerprintExpr.reference(r.getString(1)),
+        s"codegen/reference mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("fingerprint expression survives both codegen and interpreted paths") {
+    import spark.implicits._
+    val df = Seq("", "a", "graft", "é中文").toDF("s")
+      .select(expr("graft_fingerprint(s)").as("fp"))
+    val expected = Seq("", "a", "graft", "é中文").map(FingerprintExpr.reference)
+    assert(df.collect().map(_.getLong(0)).toSeq == expected)
+  }
+}
