@@ -40,6 +40,10 @@ object SparkEntry {
     "q_zscore_normalize" -> (Windows.zscoreNormalize _),
     "q_histogram"       -> (Windows.histogram _),
     "q_rollup"          -> (Windows.rollupAgg _),
+    "q_role_assign"     -> (RoleAssign.roles _),
+    "q_range_attr_merge" -> (Fights.attrMerge _),
+    "q_fight_outcomes"  -> (Fights.outcomes _),
+    "q_lookback_multiwindow" -> (Windows.multiWindowLookback _),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -202,6 +206,93 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY rname, nname""".stripMargin,
+    "q_role_assign" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem
+        |), s1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_extendedprice, l_quantity, l_discount) AS rn
+        |  FROM li
+        |), s2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice ASC, l_linenumber, l_partkey, l_extendedprice, l_quantity, l_discount) AS rn2
+        |  FROM s1 WHERE rn > 1
+        |), s3 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_discount DESC, l_linenumber, l_partkey, l_extendedprice, l_quantity, l_discount) AS rn3
+        |  FROM s2 WHERE rn2 > 1
+        |)
+        |SELECT l_orderkey, l_linenumber, l_partkey, role FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, 'bulk' AS role FROM s1 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, 'budget' FROM s2 WHERE rn2 = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, 'discount' FROM s3 WHERE rn3 = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, 'other' FROM s3 WHERE rn3 > 1
+        |) ORDER BY l_orderkey, l_linenumber, l_partkey, role""".stripMargin,
+    "q_range_attr_merge" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS a_ts, value FROM events WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_ts, value FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT a.event_id, count(*) AS n_clicks,
+        |    floor(max(c.value) * 10000 + 0.5) / 10000 AS max_click,
+        |    floor(sum(c.value) * 10000 + 0.5) / 10000 AS sum_click
+        |  FROM a JOIN c ON a.user_id = c.user_id
+        |    AND c.c_ts >= a.a_ts - 900000000 AND c.c_ts <= a.a_ts + 900000000
+        |  GROUP BY a.event_id
+        |)
+        |SELECT a.event_id, a.user_id, coalesce(m.n_clicks, 0) AS n_clicks, m.max_click, m.sum_click
+        |FROM a LEFT JOIN m ON a.event_id = m.event_id
+        |ORDER BY a.event_id""".stripMargin,
+    "q_fight_outcomes" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS a_ts, value FROM events WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT a.event_id, count(*) AS n_clicks
+        |  FROM a JOIN c ON a.user_id = c.user_id
+        |    AND c.c_ts >= a.a_ts - 900000000 AND c.c_ts <= a.a_ts + 900000000
+        |  GROUP BY a.event_id
+        |), f AS (
+        |  SELECT a.user_id,
+        |    CASE WHEN coalesce(m.n_clicks, 0) = 0 THEN 'solo'
+        |         WHEN coalesce(m.n_clicks, 0) <= 3 THEN 'skirmish'
+        |         ELSE 'team' END AS kind,
+        |    CASE WHEN a.value >= 100 THEN 1 ELSE 0 END AS win
+        |  FROM a LEFT JOIN m ON a.event_id = m.event_id
+        |)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN kind = 'solo' THEN 1 ELSE 0 END) AS BIGINT) AS solo_n,
+        |  CAST(sum(CASE WHEN kind = 'solo' THEN win ELSE 0 END) AS BIGINT) AS solo_wins,
+        |  CAST(sum(CASE WHEN kind = 'skirmish' THEN 1 ELSE 0 END) AS BIGINT) AS skirmish_n,
+        |  CAST(sum(CASE WHEN kind = 'skirmish' THEN win ELSE 0 END) AS BIGINT) AS skirmish_wins,
+        |  CAST(sum(CASE WHEN kind = 'team' THEN 1 ELSE 0 END) AS BIGINT) AS team_n,
+        |  CAST(sum(CASE WHEN kind = 'team' THEN win ELSE 0 END) AS BIGINT) AS team_wins
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_lookback_multiwindow" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  floor(CAST(sum(v100) OVER w7 AS DOUBLE) / (count(*) OVER w7 * 100.0) * 10000 + 0.5) / 10000 AS avg_7d,
+        |  floor(CAST(sum(v100) OVER w14 AS DOUBLE) / (count(*) OVER w14 * 100.0) * 10000 + 0.5) / 10000 AS avg_14d,
+        |  floor(CAST(sum(v100) OVER w21 AS DOUBLE) / (count(*) OVER w21 * 100.0) * 10000 + 0.5) / 10000 AS avg_21d,
+        |  count(*) OVER w7 AS n_7d,
+        |  floor(CAST(sum(v100) OVER wt AS DOUBLE) / (count(*) OVER wt * 100.0) * 10000 + 0.5) / 10000 AS avg_7d_type
+        |FROM e
+        |WINDOW
+        |  w7 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING),
+        |  w14 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 1209600000 PRECEDING AND 1 PRECEDING),
+        |  w21 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 1814400000 PRECEDING AND 1 PRECEDING),
+        |  wt AS (PARTITION BY user_id, event_type ORDER BY ts_ms RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     // DuckDB has no equivalent of Spark's seeded xxhash64, so the
     // MinHash/SimHash variants are rows-checked (plus ScalaTest parity
     // with the exact operators); the exact dedup family is SQL-matched.

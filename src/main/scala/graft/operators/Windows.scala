@@ -92,6 +92,44 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Multi-horizon trailing lookback: for every event, that user's
+    * average and count over THREE trailing windows (7/14/21 days,
+    * exclusive of now) plus a same-type 7-day split — the reference
+    * computes ~70 such stats over three weekly windows and per-lane
+    * splits in one pass per player. All four frames share the same
+    * partition key, so Spark evaluates them with ONE shuffle on user_id
+    * (plus one on (user_id, event_type) for the split).
+    * Reference: get_stats_history (utils.py:736-860).
+    */
+  def multiWindowLookback(spark: SparkSession, dir: String): DataFrame = {
+    def trailing(days: Int) = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-days.toLong * 24 * 3600 * 1000, -1)
+    val byType = Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-7L * 24 * 3600 * 1000, -1)
+    // Averages via EXACT integer window sums: values carry 2 decimals, so
+    // sum(value*100 as long) is association-order-independent — float
+    // window sums disagree with DuckDB's segment-tree accumulation in the
+    // last ulp once frames grow past its leaf size.
+    def exactAvg(w: org.apache.spark.sql.expressions.WindowSpec) =
+      graft.Num.round4(sum("v100").over(w).cast("double") / (count(lit(1)).over(w) * lit(100.0)))
+    Tables
+      .events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("v100", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("avg_7d", exactAvg(trailing(7)))
+      .withColumn("avg_14d", exactAvg(trailing(14)))
+      .withColumn("avg_21d", exactAvg(trailing(21)))
+      .withColumn("n_7d", count(lit(1)).over(trailing(7)))
+      .withColumn("avg_7d_type", exactAvg(byType))
+      .select("event_id", "user_id", "avg_7d", "avg_14d", "avg_21d", "n_7d", "avg_7d_type")
+      .orderBy("event_id")
+  }
+
   /** Exact interpolated percentiles per group (oracle-matched); the 100TB
     * path swaps in approx_percentile with identical call shape.
     * Reference: stat distribution summaries over match history.

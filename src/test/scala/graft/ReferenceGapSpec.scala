@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the reference-shaped operators: role elimination, fight
+  * attribute merge, multi-window lookback.
+  */
+class ReferenceGapSpec extends SparkSpec {
+
+  test("role assignment covers every lineitem exactly once with priority elimination") {
+    val roles = SparkEntry.queries("q_role_assign")(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    assert(roles.count() == li.count(), "every lineitem gets exactly one role")
+    // Each order has exactly one bulk pick; budget/discount exist only
+    // when the order has enough remaining items.
+    val perOrder = roles.groupBy("l_orderkey")
+      .agg(
+        sum(when(col("role") === "bulk", 1).otherwise(0)).as("n_bulk"),
+        sum(when(col("role") === "budget", 1).otherwise(0)).as("n_budget"),
+        count(lit(1)).as("n")
+      )
+    assert(perOrder.filter(col("n_bulk") =!= 1).count() == 0, "exactly one bulk per order")
+    assert(perOrder.filter(col("n") >= 2 && col("n_budget") =!= 1).count() == 0,
+      "exactly one budget when the order has >= 2 items")
+    // Elimination: the bulk pick is the per-order max quantity. The output
+    // carries only id columns and (orderkey, linenumber, partkey) is not
+    // guaranteed unique, so compare the max over matching rows.
+    val maxQ = li.groupBy("l_orderkey").agg(max("l_quantity").as("max_q"))
+    val bulkRows = SparkEntry.queries("q_role_assign")(spark, sfDir)
+      .filter(col("role") === "bulk")
+      .join(li, Seq("l_orderkey", "l_linenumber", "l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(max("l_quantity").as("picked_q"))
+      .join(maxQ, "l_orderkey")
+    assert(bulkRows.filter(col("picked_q") =!= col("max_q")).count() == 0,
+      "bulk pick must be the argmax of quantity")
+  }
+
+  test("fight attr merge: zero-involvement anchors survive with null merges") {
+    val m = SparkEntry.queries("q_range_attr_merge")(spark, sfDir)
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(m.count() == errors, "left join keeps all anchors")
+    assert(m.filter(col("n_clicks") === 0 && col("max_click").isNotNull).count() == 0,
+      "no merge attributes without involvement")
+    assert(m.filter(col("n_clicks") > 0 && col("max_click").isNull).count() == 0,
+      "involved anchors must carry merged attributes")
+  }
+
+  test("fight outcomes partition all error events by kind") {
+    val o = SparkEntry.queries("q_fight_outcomes")(spark, sfDir)
+    val total = o.agg(sum(col("solo_n") + col("skirmish_n") + col("team_n"))).head.getLong(0)
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(total == errors)
+    assert(o.filter(col("solo_wins") > col("solo_n")).count() == 0)
+  }
+
+  test("multi-window lookback: longer windows never see fewer events") {
+    val m = SparkEntry.queries("q_lookback_multiwindow")(spark, sfDir)
+    // avg_7d null implies no 7d history; then avg_14d may still exist.
+    // Check the count monotonicity indirectly: whenever avg_7d exists,
+    // avg_14d and avg_21d must exist too (supersets).
+    assert(m.filter(col("avg_7d").isNotNull && col("avg_14d").isNull).count() == 0)
+    assert(m.filter(col("avg_14d").isNotNull && col("avg_21d").isNull).count() == 0)
+    assert(m.filter(col("n_7d") < 0).count() == 0)
+  }
+}
