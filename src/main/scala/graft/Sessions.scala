@@ -22,7 +22,10 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .withExtensions(graft.functions.FingerprintExpr.register)
+      .withExtensions { ext =>
+        graft.functions.FingerprintExpr.register(ext)
+        graft.functions.DotProductExpr.register(ext)
+      }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -184,14 +184,14 @@ object Dedup {
     val v = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .withColumn("norm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("norm", sqrt(expr("graft_dot(e, e)")))
       .withColumn("blk", pmod(col("vec_id"), lit(EmbedBlocks)).cast("int"))
     val left = v
       .toDF("a", "ea", "na", "ba")
       .withColumn("bj", explode(array((0 until EmbedBlocks).map(lit): _*)))
     val pairs = left
       .join(v.toDF("b", "eb", "nb", "bb"), col("bb") === col("bj") && col("a") < col("b"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(ea, eb)"))
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
     pairs
       .filter(col("cos") >= threshold)

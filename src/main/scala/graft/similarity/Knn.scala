@@ -33,7 +33,7 @@ object Knn {
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .withColumn("norm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("norm", sqrt(expr("graft_dot(e, e)")))
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -45,7 +45,7 @@ object Knn {
       .withColumn("blk", explode(array((0 until CorpusBlocks).map(lit): _*)))
     val scored = queries
       .join(v.toDF("nbr_id", "ce", "cn", "blk2"), col("blk2") === col("blk") && col("nbr_id") =!= col("q_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qe, ce)"))
       .withColumn("cos", col("dot") / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored

@@ -69,7 +69,7 @@ object LshAnn {
     val scored = candidates
       .join(v.select(col("vec_id").as("q_id2"), col("e").as("qe"), col("norm").as("qn")), col("q_id") === col("q_id2"))
       .join(v.select(col("vec_id").as("n_id2"), col("e").as("ce"), col("norm").as("cn")), col("nbr_id") === col("n_id2"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qe, ce)"))
       .withColumn("cos", col("dot") / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored
