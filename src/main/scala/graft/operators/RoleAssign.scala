@@ -25,28 +25,39 @@ object RoleAssign {
   private val tiebreak = Seq(col("l_linenumber").asc, col("l_partkey").asc,
     col("l_extendedprice").asc, col("l_quantity").asc, col("l_discount").asc)
 
+  /** Single-pass formulation: "argmax among the remainder" = rank with
+    * already-eliminated rows sorted LAST (ordering by the elimination
+    * flag first), so the three stages are three window sorts over the
+    * SAME hash partitioning — one shuffle, one scan, no union of
+    * recomputed branches (a 4-branch union re-reads the fact table four
+    * times at 100 TB).
+    */
   def roles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables
+    val wq = Window.partitionBy("l_orderkey").orderBy(col("l_quantity").desc +: tiebreak: _*)
+    def wAfter(flag: org.apache.spark.sql.Column, ordering: org.apache.spark.sql.Column) =
+      Window.partitionBy("l_orderkey").orderBy(flag.asc +: ordering +: tiebreak: _*)
+
+    Tables
       .lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-
-    def pick(df: DataFrame, ordering: org.apache.spark.sql.Column, role: String): (DataFrame, DataFrame) = {
-      val w = Window.partitionBy("l_orderkey").orderBy(ordering +: tiebreak: _*)
-      val ranked = df.withColumn("rn", row_number().over(w))
-      val picked = ranked.filter(col("rn") === 1).drop("rn").withColumn("role", lit(role))
-      val rest = ranked.filter(col("rn") > 1).drop("rn")
-      (picked, rest)
-    }
-
-    val (bulk, rest1)     = pick(li, col("l_quantity").desc, "bulk")
-    val (budget, rest2)   = pick(rest1, col("l_extendedprice").asc, "budget")
-    val (discount, rest3) = pick(rest2, col("l_discount").desc, "discount")
-    val other             = rest3.withColumn("role", lit("other"))
-
-    bulk
-      .unionByName(budget)
-      .unionByName(discount)
-      .unionByName(other)
+      .withColumn("is_bulk", row_number().over(wq) === 1)
+      .withColumn(
+        "is_budget",
+        !col("is_bulk") &&
+          row_number().over(wAfter(col("is_bulk"), col("l_extendedprice").asc)) === 1
+      )
+      .withColumn(
+        "is_discount",
+        !col("is_bulk") && !col("is_budget") &&
+          row_number().over(wAfter(col("is_bulk") || col("is_budget"), col("l_discount").desc)) === 1
+      )
+      .withColumn(
+        "role",
+        when(col("is_bulk"), "bulk")
+          .when(col("is_budget"), "budget")
+          .when(col("is_discount"), "discount")
+          .otherwise("other")
+      )
       .select("l_orderkey", "l_linenumber", "l_partkey", "role")
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "role")
   }
