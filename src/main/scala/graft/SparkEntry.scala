@@ -44,6 +44,7 @@ object SparkEntry {
     "q_range_attr_merge" -> (Fights.attrMerge _),
     "q_fight_outcomes"  -> (Fights.outcomes _),
     "q_lookback_multiwindow" -> (Windows.multiWindowLookback _),
+    "q_split_assign"    -> (Splits.splitAssign _),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -206,6 +207,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY rname, nname""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  ((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS bucket,
+        |  CASE WHEN ((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_role_assign" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_discount

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/valid/test assignment.
+  *
+  * Reference: match_modeling.py / proto_data_analysis.py shuffle rows and
+  * slice 80/10/10 before training. A random shuffle is neither
+  * reproducible nor joinable at scale; the lake-native equivalent is a
+  * pure hash of the stable id — same row, same split, on every run and
+  * every engine, no state to persist.
+  *
+  * The hash is explicit integer arithmetic (multiplicative mix + mod)
+  * rather than a builtin hash so the DuckDB oracle can evaluate the
+  * identical function; the pre-mod keeps every intermediate well inside
+  * int64 in both engines.
+  */
+object Splits {
+
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("bucket",
+        (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+}

@@ -54,6 +54,16 @@ class ReferenceGapSpec extends SparkSpec {
     assert(o.filter(col("solo_wins") > col("solo_n")).count() == 0)
   }
 
+  test("split assignment is deterministic, total, and roughly 80/10/10") {
+    val s = SparkEntry.queries("q_split_assign")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(s.count() == docs)
+    val frac = s.filter(col("split") === "train").count().toDouble / docs
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac out of band")
+    val again = SparkEntry.queries("q_split_assign")(spark, sfDir)
+    assert(s.exceptAll(again).count() == 0, "split must be deterministic")
+  }
+
   test("multi-window lookback: longer windows never see fewer events") {
     val m = SparkEntry.queries("q_lookback_multiwindow")(spark, sfDir)
     // avg_7d null implies no 7d history; then avg_14d may still exist.
