@@ -45,6 +45,8 @@ object SparkEntry {
     "q_fight_outcomes"  -> (Fights.outcomes _),
     "q_lookback_multiwindow" -> (Windows.multiWindowLookback _),
     "q_split_assign"    -> (Splits.splitAssign _),
+    "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
+    "q_percentiles_approx"  -> (Windows.percentilesApprox _),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),

@@ -112,6 +112,23 @@ object Relational {
       .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** The 100 TB variant of distinctAgg: HyperLogLog++ sketch instead of
+    * the exact distinct (whose de-dup shuffle carries every distinct key).
+    * Sketches merge associatively, so partial aggregation stays map-side
+    * and the shuffle carries fixed-size registers — the only distinct
+    * count that survives a thousand executors. Error bound asserted
+    * against the exact operator in the spec.
+    */
+  def distinctAggApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("n_cust"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy("o_orderpriority")
+
   /** Left-anti join: entities missing their dependent rows — parts never
     * shipped in bulk (no lineitem with l_quantity > 45). The predicate is
     * chosen to yield a non-empty result at every SF so the operator is

@@ -145,6 +145,25 @@ object Windows {
       )
       .orderBy("event_type")
 
+  /** The 100 TB variant of percentiles: a mergeable approx sketch
+    * (accuracy/size bounded) instead of the exact percentile, which
+    * buffers every value per group. Error asserted vs exact in the spec.
+    */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ps")
+      )
+      .select(
+        col("event_type"),
+        round(col("ps")(0), 4).as("p50"),
+        round(col("ps")(1), 4).as("p90"),
+        round(col("ps")(2), 4).as("p99")
+      )
+      .orderBy("event_type")
+
   /** Global z-score normalization `(x - mean) / (2 * stddev_pop)`:
     * a tiny aggregate broadcast back to the fact table (no single-
     * partition global window). Reference: proto_data_analysis.py:50-74

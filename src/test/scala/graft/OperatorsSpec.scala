@@ -63,6 +63,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rj.select("event_id").distinct().count() == errors)
   }
 
+  test("approx distinct tracks exact within the configured rsd") {
+    val exact = SparkEntry.queries("q_distinct_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_distinct_agg_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("approx percentiles track exact within tolerance") {
+    val exact = SparkEntry.queries("q_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("q_percentiles_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, p50) =>
+      assert(math.abs(approx(k) - p50) / math.max(p50, 1e-9) < 0.05,
+        s"$k p50: approx ${approx(k)} vs exact $p50")
+    }
+  }
+
   test("q_zscore_normalize: znorm has ~zero mean") {
     val df = SparkEntry.queries("q_zscore_normalize")(spark, sfDir)
     val mean = df.agg(avg("znorm")).head.getDouble(0)
