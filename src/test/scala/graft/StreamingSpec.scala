@@ -64,6 +64,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionizer reproduces the batch sessionization exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val events = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[SessionEvent]
+      .collect()
+      .toSeq
+    val maxTs = events.map(_.ts.getTime).max
+    val input = MemoryStream[SessionEvent]
+    val query = EventSessionizer.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_equiv").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      // Sentinel far past every timeout (watermark delay + gap) flushes
+      // all real sessions; two triggers so the advanced watermark from
+      // the first is applied to timeouts in the second.
+      val sentinelTs = new Timestamp(maxTs + 4L * 3600 * 1000)
+      input.addData(SessionEvent(-1L, sentinelTs, -1L, 0.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(-1L, new Timestamp(sentinelTs.getTime + 1000), -2L, 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("sessions_equiv")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("q_sessionize")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streaming/batch mismatch: only-streamed=${streamed.diff(batch).take(5)} only-batch=${batch.diff(streamed).take(5)}")
+    } finally query.stop()
+  }
+
   test("RateMonitor counts sliding-window rates per event type") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
