@@ -55,23 +55,27 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
       .orderBy("n_name")
 
-  /** Multi-way join + aggregation (TPC-H Q5 shape): fact shuffles on its
-    * join keys once; all dims broadcast. Reference: cross-entity rollups
+  /** Multi-way join + aggregation (full TPC-H Q5 shape, including the
+    * supplier co-nation predicate). Reference: cross-entity rollups
     * across HistoricalMatch x Summoner x Region.
     */
   def multiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
-    val lineitem = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val lineitem = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val orders   = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val customer = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supplier = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val nation   = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
     val region   = Tables.region(spark, dir).select("r_regionkey", "r_name")
-    // customer is fact-proportional (scales with SF) — broadcasting it
-    // OOMs at the 100 TB design point. It joins via shuffle (AQE will
-    // still broadcast it at small SF); only true dims get the hint.
+    // customer and supplier are fact-proportional (scale with SF) —
+    // broadcasting them OOMs at the 100 TB design point. They join via
+    // shuffle (AQE still broadcasts at small SF); only true dims
+    // (nation, region) get the hint.
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(supplier,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
