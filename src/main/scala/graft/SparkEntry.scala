@@ -58,6 +58,8 @@ object SparkEntry {
     "q_text_quality"       -> ((s, d) => TextFunctions.textQuality(s, d)),
     "q_lang_id"            -> ((s, d) => TextFunctions.langId(s, d)),
     "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d)),
+    "q_doc_chunk"          -> ((s, d) => TextFunctions.docChunk(s, d)),
+    "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d))
   )
 
@@ -304,6 +306,20 @@ object SparkEntry {
         |  w21 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 1814400000 PRECEDING AND 1 PRECEDING),
         |  wt AS (PARTITION BY user_id, event_type ORDER BY ts_ms RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id""".stripMargin,
+    "q_doc_chunk" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+           |), s AS (
+           |  SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS start FROM t
+           |)
+           |SELECT doc_id, start // 24 AS chunk_idx,
+           |  len(tk[start + 1 : start + 32]) AS n_chunk_tokens,
+           |  array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_vocab_topk" ->
+      raw"""SELECT token, count(*) AS n FROM (
+           |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+           |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     // DuckDB has no equivalent of Spark's seeded xxhash64, so the
     // MinHash/SimHash variants are rows-checked (plus ScalaTest parity
     // with the exact operators); the exact dedup family is SQL-matched.

@@ -108,6 +108,46 @@ object TextFunctions {
       .select(col("doc_id"), expr("graft_fingerprint(text)").as("fp"))
       .orderBy("doc_id")
 
+  /** Chunk geometry: 32-token windows, stride 24 (8-token overlap) —
+    * the standard pre-training prep shape.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Document chunking: explode each doc into overlapping token windows.
+    * Pure column expressions (sequence → explode → slice → concat_ws);
+    * output scales corpus-linearly and chunk boundaries are a pure
+    * function of the token index, so re-chunking is reproducible across
+    * runs/engines — required when chunks become training-set rows.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(ChunkStride))))
+      .withColumn("chunk_idx", (col("start") / ChunkStride).cast("long"))
+      .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(ChunkTokens)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text")
+      )
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Corpus vocabulary: global token counts, top 50. Explode + groupBy —
+    * map-side partial aggregation absorbs the token-frequency skew before
+    * the shuffle, and TakeOrdered handles the limit (no global sort).
+    */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
   /** Oracle-side SQL fragments (kept next to the marker tables so the
     * two engines can never drift).
     */

@@ -38,6 +38,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token with the configured overlap") {
+    val chunks = SparkEntry.queries("q_doc_chunk")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Per doc: ceil(n / stride) chunks; all but possibly the last have
+    // ChunkTokens tokens; token coverage = no gaps (stride < window).
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_chunk_tokens").as("sum_tokens"),
+        max("n_chunk_tokens").as("max_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    perDoc.foreach { case (id, nChunks, sumTokens, maxTokens) =>
+      val n = docs(id)
+      val expected = (n + TextFunctions.ChunkStride - 1) / TextFunctions.ChunkStride
+      assert(nChunks == expected, s"doc $id: $nChunks chunks for $n tokens")
+      assert(maxTokens <= TextFunctions.ChunkTokens)
+      assert(sumTokens >= n, s"doc $id: chunks must cover all tokens (overlap makes sum >= n)")
+    }
+  }
+
   test("fingerprint expression survives both codegen and interpreted paths") {
     import spark.implicits._
     val df = Seq("", "a", "graft", "é中文").toDF("s")
