@@ -46,6 +46,7 @@ object SparkEntry {
     "q_lookback_multiwindow" -> (Windows.multiWindowLookback _),
     "q_split_assign"    -> (Splits.splitAssign _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
+    "q_json_props"      -> (Relational.jsonProps _),
     "q_percentiles_approx"  -> (Windows.percentilesApprox _),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -212,6 +213,19 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY rname, nname""".stripMargin,
+    "q_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_high,
+        |  floor(CAST(sum(CASE WHEN k >= 50 THEN v100 ELSE 0 END) AS DOUBLE)
+        |        / (sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) * 100.0) * 10000 + 0.5) / 10000 AS avg_value_k_high
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id,
         |  ((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS bucket,

@@ -185,6 +185,31 @@ object Relational {
       )
       .orderBy("user_id")
 
+  /** Semi-structured extraction + aggregation: the reference's central
+    * data model stores match results/timelines as JSON blob columns
+    * (models.py HistoricalMatch.match_result_json) and every analysis
+    * parses them row by row in Python; here the JSON path extraction is
+    * a codegen'd expression feeding a normal aggregate, and the averages
+    * use exact scaled-integer sums (2-decimal values) so the oracle hash
+    * is order-independent. Monitor's substring-bucketed counts
+    * (gathering.py:32-61 gathered_data_summary) are the n_k_high shape.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("v100", floor(col("value") * 100 + 0.5).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_k_high"),
+        graft.Num.round4(
+          sum(when(col("k") >= 50, col("v100")).otherwise(0L)).cast("double") /
+            (sum(when(col("k") >= 50, 1L).otherwise(0L)) * lit(100.0))
+        ).as("avg_value_k_high")
+      )
+      .orderBy("event_type")
+
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** One-hot / wide pivot with an explicit value list (no extra pass to
