@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Bucketing, Skew}
+import graft.sources.ParquetSink
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Proofs of the scale mechanisms at the plan level: salted aggregation
+  * equivalence, bucketed shuffle-free joins, partition pruning.
+  */
+class ScaleShapeSpec extends SparkSpec {
+
+  test("salted aggregation equals the direct aggregation") {
+    val events = Tables.events(spark, sfDir).select("event_type", "value")
+    val direct = events.groupBy(col("event_type").as("k"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    val salted = Skew.saltedSumCount(events, col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed join runs without a shuffle on either side") {
+    // Tiny test tables would auto-broadcast and bypass the bucket layout;
+    // force the big-table planning path the mechanism exists for.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sfDir).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      for (t <- Seq("li_bucketed", "ord_bucketed")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey")
+      Bucketing.writeBucketed(ord, "ord_bucketed", "l_orderkey")
+      val joined = Bucketing.bucketedJoin(spark, "li_bucketed", "ord_bucketed", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a bucketed join, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // And it still returns the right rows.
+      assert(joined.count() == li.join(ord, "l_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val path = Files.createTempDirectory("graft_prune").toString + "/events"
+    ParquetSink.writePartitioned(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
+      path, Seq("event_type"))
+    val scan = spark.read.parquet(path).filter(col("event_type") === "error")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("event_type"),
+      s"partition filter not pushed:\n$plan")
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(scan.count() == errors)
+  }
+}

@@ -100,6 +100,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val query = graft.streaming.StreamDedup.dedupe(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1L, ts(100), 10, 1.0), SessionEvent(1L, ts(100), 10, 1.0))
+      query.processAllAvailable()
+      // Same id re-delivered in a later batch, still inside the horizon.
+      input.addData(SessionEvent(1L, ts(101), 10, 1.0), SessionEvent(1L, ts(102), 11, 2.0))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(10L, 11L),
+        s"expected each id once, got ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("RateMonitor counts sliding-window rates per event type") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
