@@ -47,6 +47,8 @@ object SparkEntry {
     "q_split_assign"    -> (Splits.splitAssign _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
     "q_json_props"      -> (Relational.jsonProps _),
+    "q_event_transitions" -> (Windows.eventTransitions _),
+    "q_latest_snapshot" -> (Windows.latestSnapshot _),
     "q_percentiles_approx"  -> (Windows.percentilesApprox _),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -226,6 +228,25 @@ object SparkEntry {
         |  floor(CAST(sum(CASE WHEN k >= 50 THEN v100 ELSE 0 END) AS DOUBLE)
         |        / (sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) * 100.0) * 10000 + 0.5) / 10000 AS avg_value_k_high
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type
+        |)
+        |SELECT prev_type, event_type, n,
+        |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) * 10000 + 0.5) / 10000 AS share
+        |FROM pairs ORDER BY prev_type, event_type""".stripMargin,
+    "q_latest_snapshot" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id,
         |  ((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS bucket,

@@ -92,6 +92,46 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Event-type transition counts: for each user-ordered event pair,
+    * count (previous type → type) occurrences and the per-source
+    * transition share — the sequence statistics a timeline model trains
+    * on. One lag window per user + one grouped count; share computed
+    * from exact integer counts.
+    * Reference: the timeline event sequences consumed by
+    * parse_fights_one_game / match_modeling feature prep.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables
+      .events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_type", lag("event_type", 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy("prev_type")
+    pairs
+      .withColumn("share", graft.Num.round4(col("n").cast("double") / sum("n").over(totals)))
+      .select("prev_type", "event_type", "n", "share")
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Latest snapshot per key: the SCD "current view" — each user's most
+    * recent event. One ranking window partitioned by the key.
+    * Reference: update_summoner_tier_history (utils.py:405) keeps a tier
+    * timeline; every read wants the current tier.
+    */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   /** Multi-horizon trailing lookback: for every event, that user's
     * average and count over THREE trailing windows (7/14/21 days,
     * exclusive of now) plus a same-type 7-day split — the reference
