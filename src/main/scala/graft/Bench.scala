@@ -3,7 +3,10 @@ package graft
   * (a `.count()` lets Catalyst drop final sorts and prune projected
   * expressions — much of the work would never execute), runs one untimed
   * warmup pass so JVM/codegen warmup isn't charged to the first query in
-  * map order, and reports failures as -1 rather than a fake timing.
+  * map order, takes the per-query MINIMUM of two timed passes (the
+  * machine shares a host; min-of-k is the standard defense against
+  * transient contention), and reports failures as -1 rather than a fake
+  * timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,11 +19,17 @@ object Bench {
       }
     // Warmup: full untimed pass (JIT + codegen caches + parquet footers).
     SparkEntry.queries.foreach { case (name, fn) => runOne(name, fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = runOne(name, fn)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = SparkEntry.queries.keys.map { name =>
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
