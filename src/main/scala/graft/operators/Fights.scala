@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
 object Fights {
   val WindowMicros: Long = 15L * 60 * 1000 * 1000
 
-  /** Per anchor (error event): merged attributes of that user's 'click'
-    * events within ±15 min — involvement count, peak and total value.
+  /** Anchor ('error') events joined to that user's 'click' events within
+    * ±W via the bucketed equi-join — the shared front half of both
+    * operators below. Columns: a_id, a_user, a_value, c_ts, c_value.
     */
-  def attrMerge(spark: SparkSession, dir: String): DataFrame = {
+  private def anchorClickPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val anchors = Tables
       .events(spark, dir)
       .filter(col("event_type") === "error")
@@ -39,9 +40,18 @@ object Fights {
       .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
       .drop("b0")
 
-    val merged = anchors
+    val pairs = anchors
       .join(nearby, col("a_user") === col("c_user") && anchors("bucket") === nearby("bucket"))
       .filter(col("c_ts") >= col("a_ts") - WindowMicros && col("c_ts") <= col("a_ts") + WindowMicros)
+    (anchors, pairs)
+  }
+
+  /** Per anchor (error event): merged attributes of that user's 'click'
+    * events within ±15 min — involvement count, peak and total value.
+    */
+  def attrMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (anchors, pairs) = anchorClickPairs(spark, dir)
+    val merged = pairs
       .groupBy(col("a_id"))
       .agg(
         count(lit(1)).as("n_clicks"),
@@ -68,26 +78,8 @@ object Fights {
     * reference's aggressiveness/judgment ratios.
     */
   def outcomes(spark: SparkSession, dir: String): DataFrame = {
-    val anchors = Tables
-      .events(spark, dir)
-      .filter(col("event_type") === "error")
-      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
-        unix_micros(col("ts")).as("a_ts"), col("value").as("a_value"))
-      .withColumn("bucket", floor(col("a_ts") / WindowMicros).cast("long"))
-
-    val nearby = Tables
-      .events(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts"))
-      .withColumn("b0", floor(col("c_ts") / WindowMicros).cast("long"))
-      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
-      .drop("b0")
-
-    val counts = anchors
-      .join(nearby, col("a_user") === col("c_user") && anchors("bucket") === nearby("bucket"))
-      .filter(col("c_ts") >= col("a_ts") - WindowMicros && col("c_ts") <= col("a_ts") + WindowMicros)
-      .groupBy(col("a_id"))
-      .agg(count(lit(1)).as("n_clicks"))
+    val (anchors, pairs) = anchorClickPairs(spark, dir)
+    val counts = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_clicks"))
 
     val fights = anchors
       .select(col("a_id"), col("a_user"), col("a_value"))

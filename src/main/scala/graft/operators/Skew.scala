@@ -29,8 +29,14 @@ object Skew {
       valueCol: Column,
       saltBuckets: Int = 16
   ): DataFrame = {
+    // The salt must be DETERMINISTIC per row: partition-id or
+    // monotonic-id salts change when a failed map task recomputes, and
+    // rows then shuffle to different reducers than the ones that already
+    // merged the original output (the repartition-by-rand correctness
+    // trap). Hashing row content keeps retries stable; identical rows
+    // sharing a bucket only narrows the spread, never the correctness.
     val salted = df
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .withColumn("__salt", pmod(xxhash64(key, valueCol), lit(saltBuckets.toLong)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("pc"), sum(valueCol).as("ps"))
     salted

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: rewrite a naive time-range theta join into the
   * bucketed equi-join RangeJoin builds by hand.
@@ -24,8 +24,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * hash/sort-merge join with bounded 3x fanout that AQE can skew-split.
   *
   * Conservative trigger: inner join, both range conjuncts present with
-  * the same positive integer W on a LongType column pair. Already-
-  * rewritten joins are skipped via the marker column name.
+  * the same positive integer W on a LongType column pair, and NO
+  * existing attribute-to-attribute equi conjunct — a join that already
+  * has an equi key (including the hand-bucketed RangeJoin/Fights
+  * operators, whose refine filter gets pushed back into the join
+  * condition by PushPredicateThroughJoin) plans as a shuffled join
+  * without help, and re-bucketing it would only add a redundant 3x
+  * explode. Already-rewritten joins are also skipped via the marker
+  * column name.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -33,7 +39,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && !alreadyBucketed(cond) =>
+        if j.resolved && !alreadyBucketed(cond) && !hasEquiConjunct(cond, left, right) =>
       val conjuncts = splitConjuncts(cond)
       detectRange(conjuncts, left, right) match {
         case Some((lTs, rTs, w)) =>
@@ -59,13 +65,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** An attr=attr conjunct across the two sides already makes the join
+    * equi-plannable — leave it alone.
+    */
+  private def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+    splitConjuncts(cond).exists {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+          (left.outputSet.contains(b) && right.outputSet.contains(a))
+      case _ => false
+    }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
     case other => Seq(other)
   }
 
+  /** Exact integer floor division: (ts - pmod(ts, w)) div w. A
+    * float-based floor(ts/w) is lossy for longs above 2^53 (nanosecond
+    * epochs) and could mis-bucket near-boundary values, silently
+    * dropping in-window pairs.
+    */
   private def floorDiv(ts: Expression, w: Long): Expression =
-    Cast(Floor(Divide(Cast(ts, DoubleType), Literal(w.toDouble))), LongType)
+    IntegralDivide(Subtract(ts, Pmod(ts, Literal(w))), Literal(w))
 
   /** Find `rTs >= lTs - w` and `rTs <= lTs + w` (either argument order)
     * over LongType attributes with the same literal w.

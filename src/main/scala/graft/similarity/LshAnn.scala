@@ -37,11 +37,16 @@ object LshAnn {
     Array.fill(NumBits, Dim)(rnd.nextGaussian())
   }
 
-  /** signature bit i = (v · plane_i) > 0, packed into an int. */
+  /** signature bit i = (v · plane_i) > 0, packed into an int. Uses the
+    * graft_dot codegen Expression against a constant plane array —
+    * Double.toString/parse round-trips exactly, and the interpreted
+    * aggregate(zip_with(...)) fold it replaces allocates per row × per
+    * plane (the measured 20x tax documented on DotProductExpr).
+    */
   private[similarity] def signature(vecCol: String): Column = {
     val bits = hyperplanes.zipWithIndex.map { case (plane, i) =>
-      val planeLit = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(col(vecCol), planeLit, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+      val planeSql = plane.mkString("array(", "D, ", "D)")
+      val dot = expr(s"graft_dot($vecCol, $planeSql)")
       when(dot > 0d, shiftleft(lit(1), i)).otherwise(lit(0))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
