@@ -52,6 +52,7 @@ object SparkEntry {
     "q_percentiles_approx"  -> (Windows.percentilesApprox _),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
@@ -65,6 +66,30 @@ object SparkEntry {
     "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d))
   )
+
+  private val NgramJaccardSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
+      |  FROM tok t1
+      |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+      |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+      |), pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |)
+      |SELECT p.a, p.b, floor(p.inter * 1.0 / (sa.n + sb.n - p.inter) * 10000 + 0.5) / 10000 AS jac
+      |FROM pairs p
+      |JOIN sizes sa ON p.a = sa.doc_id
+      |JOIN sizes sb ON p.b = sb.doc_id
+      |WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8
+      |ORDER BY a, b""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column aliases, same rounding,
     * same deterministic ORDER BY).
@@ -361,29 +386,9 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-    "q_dedup_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |         generate_subscripts(string_split(text, ' '), 1) AS i
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
-        |  FROM tok t1
-        |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
-        |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
-        |), pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |)
-        |SELECT p.a, p.b, floor(p.inter * 1.0 / (sa.n + sb.n - p.inter) * 10000 + 0.5) / 10000 AS jac
-        |FROM pairs p
-        |JOIN sizes sa ON p.a = sa.doc_id
-        |JOIN sizes sb ON p.b = sb.doc_id
-        |WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8
-        |ORDER BY a, b""".stripMargin,
+    "q_dedup_ngram_jaccard" -> NgramJaccardSql,
+    // prefix-filtered variant is LOSSLESS — identical oracle.
+    "q_dedup_jaccard_prefix" -> NgramJaccardSql,
     "q_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

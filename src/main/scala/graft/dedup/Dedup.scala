@@ -75,6 +75,53 @@ object Dedup {
       .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
       .orderBy("a", "b")
 
+  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin-style): identical
+    * output to ngramJaccard, but candidate pairs are generated from a
+    * PREFIX inverted index instead of the full one. With shingles
+    * globally ordered by document frequency (rarest first), any pair
+    * with jac >= τ must share a shingle inside both docs' first
+    * (n - ceil(τ·n) + 1) shingles — so only ~(1-τ) of each posting list
+    * feeds pair generation, cutting the quadratic hot-shingle term by
+    * ~(1-τ)², while the exact verify keeps the result lossless. The
+    * published candidate-pruning technique for set-similarity joins at
+    * corpus scale.
+    */
+  def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("df").asc, col("sg").asc)
+    val prefix = sh
+      .join(df, "sg")
+      .join(sizes, "doc_id")
+      .withColumn("rank", row_number().over(wRank))
+      // prefix length n - ceil(τ n) + 1 (overlap >= ceil(τ n) required
+      // against ANY partner when jac >= τ, since |B| >= |A∩B|)
+      .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "sg")
+    val candidates = prefix
+      .toDF("a", "sg")
+      .join(prefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    // Exact verify on candidates only (same machinery as minhashLsh).
+    val inter = candidates
+      .join(sh.toDF("a2", "sga"), col("a") === col("a2"))
+      .select(col("a"), col("b"), col("sga"))
+      .join(sh.toDF("b2", "sgb"), col("b") === col("b2") && col("sga") === col("sgb"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a3", "na"), col("a") === col("a3"))
+      .join(sizes.toDF("b3", "nb"), col("b") === col("b3"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
+      .orderBy("a", "b")
+  }
+
   /** MinHash signature width and LSH banding: 32 hashes, 8 bands of 4.
     * P(candidate | jac=0.8) = 1-(1-0.8^4)^8 ≈ 0.98; false-positive
     * candidates are removed by the exact-verify stage.

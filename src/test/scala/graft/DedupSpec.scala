@@ -28,6 +28,14 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall too low")
   }
 
+  test("prefix-filtered jaccard is lossless vs the full inverted index") {
+    val full = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = SparkEntry.queries("q_dedup_jaccard_prefix")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full, s"prefix filter must be lossless: missing=${full.diff(pref).take(5)} extra=${pref.diff(full).take(5)}")
+  }
+
   test("simhash pairs are ordered, within hamming bound, and include the strongest near-dups") {
     val sh = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
     assert(sh.filter(col("a") >= col("b")).count() == 0, "pairs must be a<b")
