@@ -3,6 +3,7 @@ package graft.dedup
 import graft.{Num, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication operators for the LLM-data-pipeline surface.
   *
@@ -47,14 +48,23 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** Exact pairwise Jaccard over a shingle inverted index: explode
-    * shingles, equi-join docs sharing a shingle (candidate pairs form
-    * ONLY inside buckets of the posting list), count intersections,
-    * derive |A∪B| from per-doc sizes. Hot shingles are the skew risk at
-    * scale — AQE skew-join splitting handles moderate skew; a df-cutoff
-    * on the posting list is the standard extreme-scale mitigation.
+  /** Materialize an index once per query: the df/prefix/signature/verify
+    * subtrees otherwise EACH re-scan the tokenize+explode of the full
+    * corpus (3-5 passes at 100 TB — the dominant cost of a dedup run).
+    * MEMORY_AND_DISK spills oversized partitions instead of OOMing; a
+    * cluster deployment at the full scale would stage-write to scratch
+    * parquet instead of relying on executor storage. Spark's
+    * ContextCleaner unpersists once the query plan is unreferenced.
     */
-  private[dedup] def jaccardPairs(sh: DataFrame): DataFrame = {
+  private def staged(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact pairwise Jaccard over the FULL shingle inverted index. Kept
+    * only as the spec-parity reference for the prefix filter: the
+    * candidate join is Σ df² over shingle document-frequencies — one
+    * viral shingle melts a reducer even with AQE skew-splitting, so the
+    * declared queries all route through prefixIndex instead.
+    */
+  private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh
       .toDF("a", "sg")
@@ -68,45 +78,53 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
-  /** Near-dup pairs with 3-gram Jaccard >= 0.8. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+  /** Naive full-index variant of ngramJaccard — NOT a declared query;
+    * the DedupSpec losslessness test runs it against jaccardPrefix.
+    */
+  private[graft] def ngramJaccardNaive(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingles(Tables.documents(spark, dir)))
       .filter(col("jac") >= 0.8)
       .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
       .orderBy("a", "b")
 
-  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin-style): identical
-    * output to ngramJaccard, but candidate pairs are generated from a
-    * PREFIX inverted index instead of the full one. With shingles
-    * globally ordered by document frequency (rarest first), any pair
-    * with jac >= τ must share a shingle inside both docs' first
+  /** Near-dup pairs with 3-gram Jaccard >= 0.8. Candidate generation
+    * delegates to the prefix-filtered index (LOSSLESS — identical rows
+    * to the full inverted index, same DuckDB oracle): the full-index
+    * self-join's Σ df² hot-shingle term is the one shape here that does
+    * not survive corpus scale.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPrefix(spark, dir)
+
+  /** Df-ordered prefix index (AllPairs/PPJoin candidate pruning): with
+    * shingles globally ordered by document frequency (rarest first), any
+    * pair with jac >= τ must share a shingle inside both docs' first
     * (n - ceil(τ·n) + 1) shingles — so only ~(1-τ) of each posting list
     * feeds pair generation, cutting the quadratic hot-shingle term by
-    * ~(1-τ)², while the exact verify keeps the result lossless. The
-    * published candidate-pruning technique for set-similarity joins at
-    * corpus scale.
+    * ~(1-τ)². Exposed for the spec asserting the pruning actually bounds
+    * what feeds the pair join.
     */
-  def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
+  private[graft] def prefixIndex(sh: DataFrame, threshold: Double): DataFrame = {
     val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("df").asc, col("sg").asc)
-    val prefix = sh
-      .join(df, "sg")
+    sh.join(df, "sg")
       .join(sizes, "doc_id")
       .withColumn("rank", row_number().over(wRank))
       // prefix length n - ceil(τ n) + 1 (overlap >= ceil(τ n) required
       // against ANY partner when jac >= τ, since |B| >= |A∩B|)
       .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
       .select("doc_id", "sg")
-    val candidates = prefix
-      .toDF("a", "sg")
-      .join(prefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-    // Exact verify on candidates only (same machinery as minhashLsh).
+  }
+
+  /** Exact Jaccard verify restricted to candidate pairs ONLY: intersect
+    * shingle sets via two equi-joins against the (staged) index — the
+    * quadratic term is confined to pairs that already collided.
+    */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sh.toDF("a2", "sga"), col("a") === col("a2"))
       .select(col("a"), col("b"), col("sga"))
@@ -120,6 +138,23 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
       .orderBy("a", "b")
+  }
+
+  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin-style): identical
+    * output to the full inverted index, but candidates come from the
+    * df-ordered prefix and the exact verify keeps the result lossless.
+    * The shingle index and the prefix are staged once — the verify and
+    * size subtrees reuse them instead of re-scanning the corpus.
+    */
+  def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = staged(shingles(Tables.documents(spark, dir)))
+    val prefix = staged(prefixIndex(sh, threshold))
+    val candidates = prefix
+      .toDF("a", "sg")
+      .join(prefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** MinHash signature width and LSH banding: 32 hashes, 8 bands of 4.
@@ -188,16 +223,32 @@ object Dedup {
     votes.select(col("doc_id"), fp.as("fp"))
   }
 
+  /** SimHash block layout. Pigeonhole: any pair at hamming <= maxHamming
+    * shares at least one intact block as long as blocks > maxHamming, so
+    * SimHashBlocks = 4 covers the default maxHamming = 3. Block WIDTH is
+    * the scale dial: candidates per block ~ n^2 / 2^SimHashBlockBits
+    * (expected, under uniform fingerprints), so 16-bit blocks give 65 536
+    * buckets per block — adequate to ~10^7-10^8 docs. For a larger corpus
+    * RAISE the width and split the hamming budget across passes
+    * (Manku et al., WWW'07 table design): e.g. 64-bit fp, hamming <= 3
+    * → 4 blocks is forced, so grow the FINGERPRINT (128-bit, 8 x 16) to
+    * widen blocks instead; block count must stay > maxHamming.
+    */
+  val SimHashBlocks = 4
+  val SimHashBlockBits = 16
+
   /** SimHash near-dup: pairs within hamming distance <= 3 of the 64-bit
-    * fingerprint. Banded exact-match join (4 blocks of 16 bits): any pair
-    * at hamming <= 3 shares at least one intact block, so candidates come
-    * from an equi-join on (block index, block value) — the classic
-    * rotate/band trick, no all-pairs scan.
+    * fingerprint. Banded exact-match join (SimHashBlocks blocks of
+    * SimHashBlockBits): any pair at hamming <= 3 shares at least one
+    * intact block, so candidates come from an equi-join on (block index,
+    * block value) — the classic rotate/band trick, no all-pairs scan.
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(SimHashBlocks > maxHamming, "need more blocks than the hamming budget")
     val fps = simhashFingerprints(Tables.documents(spark, dir))
-    val blockCols = (0 until 4).map { j =>
-      struct(lit(j).as("band"), shiftright(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    val blockMask = (1L << SimHashBlockBits) - 1
+    val blockCols = (0 until SimHashBlocks).map { j =>
+      struct(lit(j).as("band"), shiftright(col("fp"), j * SimHashBlockBits).bitwiseAND(lit(blockMask)).as("key"))
     }
     val bands = fps
       .select(col("doc_id"), explode(array(blockCols: _*)).as("bk"))

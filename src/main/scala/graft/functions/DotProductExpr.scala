@@ -33,7 +33,13 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Strict on dimension mismatch (like DuckDB list_dot_product): a
+    // silent min-length truncation would turn an upstream dimension bug
+    // into plausible-but-wrong cosines the oracle can't catch.
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
     var acc = 0d
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -46,7 +52,11 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);

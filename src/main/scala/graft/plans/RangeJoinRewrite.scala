@@ -65,16 +65,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** An attr=attr conjunct across the two sides already makes the join
-    * equi-plannable — leave it alone.
+  /** Any equality conjunct whose two sides reference only-left and
+    * only-right already makes the join equi-plannable (this is exactly
+    * ExtractEquiJoinKeys' criterion — expression keys like
+    * f(l.k) === f(r.k) count, not just bare attributes) — leave it
+    * alone; re-bucketing would only add a redundant 3x explode.
     */
-  private def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+  private def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def crossSides(a: Expression, b: Expression): Boolean = {
+      def onlyLeft(e: Expression) = e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+      def onlyRight(e: Expression) = e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+      (onlyLeft(a) && onlyRight(b)) || (onlyLeft(b) && onlyRight(a))
+    }
     splitConjuncts(cond).exists {
-      case EqualTo(a: Attribute, b: Attribute) =>
-        (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
-          (left.outputSet.contains(b) && right.outputSet.contains(a))
+      case EqualTo(a, b) => crossSides(a, b)
+      case EqualNullSafe(a, b) => crossSides(a, b)
       case _ => false
     }
+  }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)

@@ -56,12 +56,13 @@ object ParquetSink {
         val existingKeys = spark.read.parquet(path).select(keys.map(col): _*).distinct()
         incoming.join(existingKeys, keys, "left_anti")
       }
-    // Materialize the count BEFORE appending: the lazy plan would
-    // otherwise re-read the sink it is writing to.
-    val appended = fresh.cache()
+    // Materialize BEFORE appending: the lazy plan would otherwise
+    // re-read the sink it is writing to. localCheckpoint (eager) cuts
+    // the lineage entirely — unlike cache(), a lost cached partition
+    // cannot trigger recompute that re-lists the sink mid-append.
+    val appended = fresh.localCheckpoint(true)
     val n = appended.count()
     if (n > 0) appended.write.mode(SaveMode.Append).parquet(path)
-    appended.unpersist()
     n
   }
 

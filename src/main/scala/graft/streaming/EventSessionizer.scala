@@ -56,7 +56,17 @@ object EventSessionizer {
             out += SessionOut(userId, s.sessionId, s.n, s.startMs, s.lastMs)
             cur = Some(SessState(s.sessionId + 1, ms, ms, 1))
           case Some(s) =>
-            cur = Some(s.copy(lastMs = math.max(s.lastMs, ms), n = s.n + 1))
+            // Late-but-in-watermark events can arrive out of order across
+            // micro-batches; widen the interval on BOTH ends so every
+            // counted event falls inside [start_ms, end_ms]. Known O(1)-
+            // state trade-off vs batch Sessionize: a cross-batch late
+            // event lands in the CURRENT session even if batch replay
+            // would have opened the session earlier (re-splitting would
+            // need the full event buffer).
+            cur = Some(s.copy(
+              startMs = math.min(s.startMs, ms),
+              lastMs = math.max(s.lastMs, ms),
+              n = s.n + 1))
           case None =>
             cur = Some(SessState(0, ms, ms, 1))
         }

@@ -29,11 +29,25 @@ class DedupSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard is lossless vs the full inverted index") {
-    val full = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+    // q_dedup_ngram_jaccard now delegates to the prefix filter, so the
+    // losslessness witness is the retained naive full-index variant.
+    val full = Dedup.ngramJaccardNaive(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val pref = SparkEntry.queries("q_dedup_jaccard_prefix")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pref == full, s"prefix filter must be lossless: missing=${full.diff(pref).take(5)} extra=${pref.diff(full).take(5)}")
+  }
+
+  test("prefix index bounds what feeds the pair join") {
+    val sh = Dedup.shingles(Tables.documents(spark, sfDir))
+    val fullRows = sh.count()
+    val nDocs = sh.select("doc_id").distinct().count()
+    val prefixRows = Dedup.prefixIndex(sh, 0.8).count()
+    // τ=0.8 keeps n - ceil(0.8n) + 1 <= 0.2n + 1 shingles per doc: the
+    // pair join must see at most ~a fifth of the inverted index, which
+    // is what cuts the Σ df² hot-shingle term by (1-τ)².
+    assert(prefixRows <= (fullRows * 0.2).toLong + nDocs,
+      s"prefix index too large: $prefixRows of $fullRows rows over $nDocs docs")
   }
 
   test("simhash pairs are ordered, within hamming bound, and include the strongest near-dups") {
