@@ -64,7 +64,9 @@ object SparkEntry {
     "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d)),
     "q_doc_chunk"          -> ((s, d) => TextFunctions.docChunk(s, d)),
     "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
-    "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d))
+    "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d)),
+    "q_scd_history"         -> ((s, d) => graft.sources.ScdHistory.scdHistory(s, d)),
+    "q_stats_history_composite" -> (StatsHistory.statsComposite _)
   )
 
   private val NgramJaccardSql =
@@ -422,6 +424,57 @@ object SparkEntry {
         |)
         |SELECT q_id, nbr_id, floor(cos * 10000 + 0.5) / 10000 AS cos, rn
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q_scd_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_type, ts_ms, event_id FROM e
+        |  WHERE prev_type IS NULL OR prev_type != event_type
+        |)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type,
+        |  ts_ms AS valid_from_ms,
+        |  coalesce(lead(ts_ms) OVER w, 253402300799999) AS valid_to_ms
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "q_stats_history_composite" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+        |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS w
+        |  FROM events
+        |), u AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS BIGINT) AS rn,
+        |    max(ts_ms) OVER (PARTITION BY user_id) AS max_ts
+        |  FROM e
+        |), s AS (
+        |  SELECT *, max(CASE WHEN rn = 1 THEN w END) OVER (PARTITION BY user_id) AS last_w FROM u
+        |), t AS (
+        |  SELECT *,
+        |    min(CASE WHEN w != last_w THEN rn END) OVER (PARTITION BY user_id) AS brk,
+        |    count(*) OVER (PARTITION BY user_id) AS n_user
+        |  FROM s
+        |), lane AS (
+        |  SELECT user_id, event_type,
+        |    count(*) AS n_events,
+        |    floor(CAST(sum(v100) AS DOUBLE) / (count(*) * 100.0) * 10000 + 0.5) / 10000 AS avg_value,
+        |    CASE WHEN sum(CASE WHEN ts_ms > max_ts - 604800000 THEN 1 ELSE 0 END) > 0
+        |      THEN floor(CAST(sum(CASE WHEN ts_ms > max_ts - 604800000 THEN v100 ELSE 0 END) AS DOUBLE)
+        |           / (sum(CASE WHEN ts_ms > max_ts - 604800000 THEN 1 ELSE 0 END) * 100.0) * 10000 + 0.5) / 10000
+        |      END AS avg_value_7d,
+        |    max(coalesce(brk, n_user + 1) - 1) AS cur_streak_len,
+        |    max(last_w) AS cur_streak_win
+        |  FROM t GROUP BY user_id, event_type
+        |)
+        |SELECT user_id, event_type, n_events, avg_value, avg_value_7d,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, event_type) AS BIGINT) AS lane_rank,
+        |  cur_streak_len, cur_streak_win
+        |FROM lane ORDER BY user_id, lane_rank""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,

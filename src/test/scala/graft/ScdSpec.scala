@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.ScdHistory
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends SparkSpec {
+
+  test("scd history intervals partition each user's timeline") {
+    val h = SparkEntry.queries("q_scd_history")(spark, sfDir)
+    assert(h.count() > 0)
+    assert(h.filter(col("valid_from_ms") >= col("valid_to_ms")).count() == 0, "empty/inverted interval")
+    // exactly one open (live) version per user
+    val open = h.filter(col("valid_to_ms") === ScdHistory.OpenEnd).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).count() == 0, "each user needs exactly one live version")
+    // version n closes exactly where n+1 opens, and no run of equal values
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val gaps = h
+      .withColumn("next_from", lead("valid_from_ms", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_from").isNotNull)
+    assert(gaps.filter(col("valid_to_ms") =!= col("next_from")).count() == 0, "interval gap/overlap")
+    assert(gaps.filter(col("event_type") === col("next_type")).count() == 0, "uncollapsed equal-value run")
+  }
+
+  private def eventSlices() = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val cut = ev.agg(expr("percentile(ts_ms, 0.5)")).collect()(0).getDouble(0).toLong
+    (ev, ev.filter(col("ts_ms") <= cut), ev.filter(col("ts_ms") > cut))
+  }
+
+  test("applyUpdates of a second batch equals a single full rebuild") {
+    val (all, b1, b2) = eventSlices()
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      ScdHistory.fromEvents(df, Seq("user_id"), "event_type", "ts_ms", Seq("event_type"))
+    val full = hist(all).collect().map(_.toSeq).toSet
+    val incremental = ScdHistory
+      .applyUpdates(hist(b1), b2, Seq("user_id"), "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(incremental == full, "incremental merge diverged from full rebuild")
+  }
+
+  test("applyUpdates is idempotent: re-applying the same batch is a no-op") {
+    val (_, b1, b2) = eventSlices()
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      ScdHistory.fromEvents(df, Seq("user_id"), "event_type", "ts_ms", Seq("event_type"))
+    val once = ScdHistory.applyUpdates(hist(b1), b2, Seq("user_id"), "event_type")
+    val twice = ScdHistory.applyUpdates(once, b2, Seq("user_id"), "event_type")
+    assert(twice.collect().map(_.toSeq).toSet == once.collect().map(_.toSeq).toSet)
+  }
+}
