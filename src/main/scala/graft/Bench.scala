@@ -17,6 +17,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED $name: $e"); false
       }
+      finally {
+        // Queries that stage an index (dedup/ANN persists) release it at
+        // query end; holding blocks across measurements would both leak
+        // storage memory into later queries' budgets and let a re-run
+        // silently reuse a prior pass's cache.
+        spark.catalog.clearCache()
+      }
     // Warmup: full untimed pass (JIT + codegen caches + parquet footers).
     SparkEntry.queries.foreach { case (name, fn) => runOne(name, fn) }
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
@@ -35,7 +42,41 @@ object Bench {
     // A failed query poisons the headline total (-1): summing only the
     // survivors would let a round "speed up" by breaking a slow query.
     val total = if (results.values.exists(_ < 0)) -1.0 else results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val baseline = baselineRatios(sfDir, results)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$baseline,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Ratios vs the pinned baselines in bench_baseline.json (r3 Spark
+    * snapshot = regression floor; DuckDB oracle wall-times = the
+    * single-node reference-engine comparison). Computed over the SHARED
+    * query set only, so adding queries can't game the ratio; emitted as
+    * extra JSON fields, "" when the file or sf doesn't match.
+    */
+  private def baselineRatios(sfDir: String, results: Map[String, Double]): String = {
+    val txt = scala.util.Try(scala.io.Source.fromFile("bench_baseline.json").mkString).getOrElse("")
+    val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).exists(m => sfDir.endsWith(m.group(1)))
+    if (!sfOk) return ""
+    def section(name: String): Map[String, Double] =
+      ("\"" + name + "\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(txt).map(_.group(1)).map { body =>
+        "\"([a-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(body)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    def ratio(base: Map[String, Double]): Option[(Double, Double, Int)] = {
+      val shared = results.keySet.intersect(base.keySet).filter(k => results(k) > 0 && base(k) > 0)
+      if (shared.isEmpty) None
+      else {
+        val cur = shared.toSeq.map(results).sum
+        val b = shared.toSeq.map(base).sum
+        Some((cur / b, cur, shared.size))
+      }
+    }
+    val r3 = ratio(section("r3")).map { case (r, cur, n) =>
+      s""","vs_r3":{"ratio":${math.rint(r * 1000) / 1000},"shared_total":${math.rint(cur * 1000) / 1000},"n_shared":$n}"""
+    }.getOrElse("")
+    val duck = ratio(section("duckdb")).map { case (r, cur, n) =>
+      s""","vs_duckdb":{"ratio":${math.rint(r * 1000) / 1000},"shared_total":${math.rint(cur * 1000) / 1000},"n_shared":$n}"""
+    }.getOrElse("")
+    r3 + duck
   }
 }

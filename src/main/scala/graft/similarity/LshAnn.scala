@@ -68,12 +68,11 @@ object LshAnn {
   private def bandKey(sig: Column, j: Int): Column =
     shiftright(sig, j * BandBits).bitwiseAND(lit(BandMask))
 
-  /** Corpus-side band index: exactly ONE (band, key) row per band per
-    * vector — the linear-in-n structure. Exposed for the bucket-bound
-    * spec (band-key cardinality must scale with the corpus).
+  /** Corpus-side band index over a (vec_id, e, norm, sig) frame:
+    * exactly ONE (band, key) row per band per vector — the linear-in-n
+    * structure.
     */
-  private[graft] def corpusBands(spark: SparkSession, dir: String): DataFrame = {
-    val v = Knn.vectors(spark, dir).withColumn("sig", signature("e"))
+  private def bandsOf(v: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { j =>
       struct(lit(j).as("band"), bandKey(col("sig"), j).as("key"))
     }
@@ -81,12 +80,23 @@ object LshAnn {
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Standalone corpus band index, exposed for the bucket-bound spec
+    * (band-key cardinality must scale with the corpus).
+    */
+  private[graft] def corpusBands(spark: SparkSession, dir: String): DataFrame =
+    bandsOf(Knn.vectors(spark, dir).withColumn("sig", signature("e")))
+
   /** Top-k approximate neighbors for each query vector (same query set
     * as Knn.bruteTopK so recall is directly measurable).
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val v = Knn.vectors(spark, dir).withColumn("sig", signature("e"))
-    val bands = corpusBands(spark, dir)
+    // Staged once: the banding, the query probes, and both sides of the
+    // candidate-scoring join otherwise EACH re-scan the corpus and
+    // re-evaluate the 64-hyperplane signature projection.
+    val v = Knn.vectors(spark, dir)
+      .withColumn("sig", signature("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(v)
     // Query side: multi-probe — exact band key plus every 1-bit flip.
     val probeCols = for {
       j <- 0 until NumBands

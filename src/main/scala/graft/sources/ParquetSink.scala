@@ -72,6 +72,55 @@ object ParquetSink {
   def incompleteRecords(df: DataFrame, requiredCols: Seq[String]): DataFrame =
     df.filter(requiredCols.map(c => col(c).isNull).reduce(_ || _))
 
+  /** Repair patch-back: fill NULL `patchCols` of existing sink rows from
+    * a repair batch keyed by `keys` — the lake analog of the reference's
+    * in-place UPDATE (periodical_data_repair.py:60-180 re-fetches and
+    * patches rows whose result/timeline came back empty).
+    *
+    * A lake can't update in place, so this is a read-modify-write
+    * bounded to the PARTITIONS that actually contain repairable rows:
+    * untouched partitions are never read beyond the (pushed-down)
+    * incompleteness probe and never rewritten — at 100 TB the rewrite
+    * cost scales with the repaired slice, not the table. Non-null sink
+    * values always win over the repair batch (coalesce), so re-running
+    * the same batch is a no-op and a stale repair can't clobber data.
+    *
+    * The affected-partition list is collected to the driver; partition
+    * columns are low-cardinality by design (date/region — see the
+    * object doc), so this is a bounded small list, not data.
+    *
+    * @return number of previously-NULL cells' rows actually patched
+    */
+  def patchIncomplete(
+      spark: SparkSession,
+      path: String,
+      repair: DataFrame,
+      keys: Seq[String],
+      patchCols: Seq[String],
+      partitionCol: String
+  ): Long = {
+    val existing = spark.read.parquet(path)
+    val needy = incompleteRecords(existing, patchCols)
+      .join(repair.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    val parts = needy.select(partitionCol).distinct().collect().map(_.get(0))
+    if (parts.isEmpty) return 0L
+    val slice = existing.filter(col(partitionCol).isin(parts: _*))
+    val patchSide = repair
+      .select((keys.map(col) ++ patchCols.map(c => col(c).as(s"__patch_$c"))): _*)
+    // Materialize the patched slice BEFORE overwriting the partitions it
+    // was read from (same barrier rationale as upsertByAntiJoin).
+    val joined = slice.join(patchSide, keys, "left").localCheckpoint(true)
+    val nPatched = joined
+      .filter(patchCols.map(c => col(c).isNull && col(s"__patch_$c").isNotNull).reduce(_ || _))
+      .count()
+    val patched = joined.select(existing.columns.toSeq.map {
+      case c if patchCols.contains(c) => coalesce(col(c), col(s"__patch_$c")).as(c)
+      case c => col(c)
+    }: _*)
+    writePartitioned(patched, path, Seq(partitionCol), overwritePartitions = true)
+    nPatched
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

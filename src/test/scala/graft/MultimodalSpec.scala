@@ -14,14 +14,41 @@ class MultimodalSpec extends SparkSpec {
     assert(media.filter(col("meta.kind").isin("image", "audio", "video")).count() == media.count())
   }
 
-  test("feature extraction is deterministic and total") {
-    val docs = Tables.documents(spark, sfDir).count()
+  test("header parsers decode synthesized PNG/JPEG/WAV bytes exactly") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" + "00000280" + "000001E0" + "0802000000")
+    assert(BinaryPipeline.pngDims(png).contains((640, 480)))
+    // JPEG with an APP0 segment before SOF0, 320x200 (height first in SOF)
+    val jpeg = hexBytes("FFD8" + "FFE00004AABB" + "FFC0001108" + "00C8" + "0140" + "03011100021101031101")
+    assert(BinaryPipeline.jpegDims(jpeg).contains((320, 200)))
+    // WAV 44100 Hz stereo
+    val wav = hexBytes("524946462400000057415645666D742010000000" + "0100" + "0200" + "44AC0000" + "88580100" + "04001000" + "6461746100000000")
+    assert(BinaryPipeline.wavInfo(wav).contains((44100, 2)))
+    // garbage falls back to raw, never throws
+    assert(BinaryPipeline.decodeBatch(Seq((1L, "video", Array[Byte](1, 2, 3)))).head.format == "raw")
+  }
+
+  test("pipeline decodes real dimensions/rates from the synthesized headers") {
     val feats = BinaryPipeline.pipeline(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
     assert(feats.count() == docs, "every asset must decode")
+    // every image decodes to the dimensions its header encodes
+    val badImg = feats.filter(col("kind") === "image").filter(
+      !col("format").isin("png", "jpeg") ||
+        col("width") =!= (lit(16) + pmod(col("media_id"), lit(1024))) ||
+        col("height") =!= (lit(16) + pmod(col("media_id"), lit(768))))
+    assert(badImg.count() == 0, "image header decode mismatch")
+    val badAud = feats.filter(col("kind") === "audio").filter(
+      col("format") =!= "wav" ||
+        col("sample_rate") =!= (lit(8000) + pmod(col("media_id"), lit(8)) * 4000) ||
+        col("channels") =!= (lit(1) + pmod(col("media_id"), lit(2))))
+    assert(badAud.count() == 0, "wav header decode mismatch")
+    assert(feats.filter(col("kind") === "video").filter(col("format") =!= "raw").count() == 0)
+    assert(feats.filter(col("n_bytes") <= 0).count() == 0)
     val again = BinaryPipeline.pipeline(spark, sfDir)
     assert(feats.exceptAll(again).count() == 0, "decode must be deterministic")
-    assert(feats.filter(col("width") < 16 || col("height") < 1).count() == 0)
-    assert(feats.filter(col("n_bytes") <= 0).count() == 0)
   }
 
   test("decode runs in bounded batches") {

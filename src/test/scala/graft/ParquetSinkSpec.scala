@@ -43,6 +43,50 @@ class ParquetSinkSpec extends SparkSpec {
       "untouched partitions must survive dynamic overwrite")
   }
 
+  test("patch-back fills only NULL cells, bounds the rewrite, and re-runs as a no-op") {
+    import spark.implicits._
+    val path = tmp() + "/matches"
+    // region-partitioned sink with NULL result/timeline holes
+    Seq(
+      (1L, "euw", Some(10.0), Some("t1")),
+      (2L, "euw", None, Some("t2")),
+      (3L, "euw", Some(30.0), None),
+      (4L, "na", None, None),
+      (5L, "na", Some(50.0), Some("t5")),
+      (6L, "kr", Some(60.0), Some("t6")) // complete partition: must not be rewritten
+    ).toDF("match_id", "region", "result", "timeline")
+      .write.partitionBy("region").parquet(path)
+    val krFilesBefore = new java.io.File(path + "/region=kr").listFiles().map(_.getName).toSet
+    val repair = Seq(
+      (2L, Some(20.0), Some("t2r")),
+      (3L, Some(99.0), Some("t3r")), // result non-null in sink: must NOT be clobbered
+      (4L, Some(40.0), None)         // partial repair: timeline stays null
+    ).toDF("match_id", "result", "timeline")
+    val n = ParquetSink.patchIncomplete(spark, path, repair, Seq("match_id"), Seq("result", "timeline"), "region")
+    assert(n == 3, s"rows 2,3,4 get at least one cell patched, got $n")
+    val after = spark.read.parquet(path).orderBy("match_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(after == Seq(
+      (1L, Some(10.0), Some("t1")),
+      (2L, Some(20.0), Some("t2")),  // existing timeline wins over repair
+      (3L, Some(30.0), Some("t3r")), // existing result wins, null timeline patched
+      (4L, Some(40.0), None),
+      (5L, Some(50.0), Some("t5")),
+      (6L, Some(60.0), Some("t6"))), s"unexpected table state: $after")
+    // patched rows left the incomplete scan; only row 4's timeline remains
+    val stillIncomplete = ParquetSink.incompleteRecords(spark.read.parquet(path), Seq("result", "timeline"))
+    assert(stillIncomplete.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // untouched partition was not rewritten
+    assert(new java.io.File(path + "/region=kr").listFiles().map(_.getName).toSet == krFilesBefore,
+      "complete partitions must not be rewritten")
+    // idempotent: same batch again patches nothing and leaves state identical
+    val again = ParquetSink.patchIncomplete(spark, path, repair, Seq("match_id"), Seq("result", "timeline"), "region")
+    assert(again == 0, "re-running the same repair batch must be a no-op")
+    val after2 = spark.read.parquet(path).orderBy("match_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(after2 == after)
+  }
+
   test("incomplete-records scan pushes the null filter down") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
