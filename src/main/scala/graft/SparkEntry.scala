@@ -58,6 +58,7 @@ object SparkEntry {
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
     "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
+    "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
     "q_text_quality"       -> ((s, d) => TextFunctions.textQuality(s, d)),
     "q_lang_id"            -> ((s, d) => TextFunctions.langId(s, d)),

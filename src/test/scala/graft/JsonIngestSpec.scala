@@ -1,0 +1,38 @@
+package graft
+
+import graft.sources.JsonIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class JsonIngestSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType), StructField("tag", StringType)))
+
+  test("valid rows flatten, corrupt rows quarantine with raw payload intact, nothing is lost") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, """{"k": 7, "tag": "ok"}"""),
+      (2L, """{"k": 8}"""),            // missing field -> valid, tag null
+      (3L, """not json at all"""),     // corrupt -> quarantine
+      (4L, """{"k": "}"""),            // truncated -> quarantine
+      (5L, null.asInstanceOf[String])  // null payload: neither valid nor quarantine
+    ).toDF("id", "payload")
+    val (valid, quarantine) = JsonIngest.parseWithQuarantine(raw, "payload", schema)
+    assert(valid.columns.toSeq == Seq("id", "k", "tag"))
+    val v = valid.orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(v == Seq((1L, Some(7), Some("ok")), (2L, Some(8), None)))
+    val q = quarantine.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(q == Seq((3L, "not json at all"), (4L, """{"k": "}""")), "quarantine must keep the raw payload")
+    assert(valid.count() + quarantine.count() + raw.filter(col("payload").isNull).count() == raw.count())
+  }
+
+  test("real events.props corpus parses clean against its declared schema") {
+    val events = Tables.events(spark, sfDir).select("event_id", "props")
+    val (valid, quarantine) = JsonIngest.parseWithQuarantine(
+      events, "props", StructType(Seq(StructField("k", IntegerType))))
+    assert(quarantine.count() == 0, "testdata props are all valid JSON")
+    assert(valid.count() == events.count())
+    assert(valid.filter(col("k").isNull).count() == 0)
+  }
+}

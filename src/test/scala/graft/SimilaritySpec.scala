@@ -41,6 +41,21 @@ class SimilaritySpec extends SparkSpec {
     perBand.foreach(r => assert(r.getLong(1) >= 32, s"band ${r.get(0)} has only ${r.getLong(1)} distinct keys"))
   }
 
+  test("IVF ANN recall vs brute force clears the floor and cells stay balanced") {
+    val brute = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.35, s"IVF recall collapsed: $recall")
+    // Cell balance: probing nprobe of k cells only pays off if no cell
+    // hoards the corpus; bound the largest cell.
+    val cells = graft.similarity.IvfAnn.assignments(spark, sfDir).groupBy("cell").count()
+    val n = cells.agg(sum("count")).collect()(0).getLong(0)
+    val maxCell = cells.agg(max("count")).collect()(0).getLong(0)
+    assert(maxCell <= n / 5, s"hot IVF cell: $maxCell of $n vectors")
+  }
+
   test("ANN produces ranked top-k per query from bucketed candidates only") {
     val ann = SparkEntry.queries("q_ann_lsh")(spark, sfDir)
     assert(ann.groupBy("q_id").count().filter(col("count") > 5).count() == 0)
