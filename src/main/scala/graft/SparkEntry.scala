@@ -56,6 +56,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
+    "q_embed_neardup_lsh"  -> ((s, d) => LshAnn.neardupPairs(s, d)),
     "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),

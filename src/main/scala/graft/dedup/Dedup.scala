@@ -101,8 +101,9 @@ object Dedup {
     * pair with jac >= τ must share a shingle inside both docs' first
     * (n - ceil(τ·n) + 1) shingles — so only ~(1-τ) of each posting list
     * feeds pair generation, cutting the quadratic hot-shingle term by
-    * ~(1-τ)². Exposed for the spec asserting the pruning actually bounds
-    * what feeds the pair join.
+    * ~(1-τ)². The theorem needs only SOME consistent total order, so the
+    * tiebreak works on hashed shingles too. Exposed for the spec
+    * asserting the pruning actually bounds what feeds the pair join.
     */
   private[graft] def prefixIndex(sh: DataFrame, threshold: Double): DataFrame = {
     val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
@@ -145,9 +146,18 @@ object Dedup {
     * df-ordered prefix and the exact verify keeps the result lossless.
     * The shingle index and the prefix are staged once — the verify and
     * size subtrees reuse them instead of re-scanning the corpus.
+    *
+    * Every stage joins/shuffles on xxhash64 of the shingle, never the
+    * ~30-byte shingle string (Spark's MinHashLSH does the same): ~4x
+    * less shuffle volume on the hot path. Set-size and intersection
+    * counts are preserved unless two DISTINCT shingles of the same doc
+    * pair collide in 64 bits (P ~ m²/2⁶⁴ per doc — ~1e-10 at 10⁴
+    * shingles/doc; the scale-appropriate trade).
     */
   def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = staged(shingles(Tables.documents(spark, dir)))
+    val sh = staged(
+      shingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sg")))
     val prefix = staged(prefixIndex(sh, threshold))
     val candidates = prefix
       .toDF("a", "sg")
@@ -171,10 +181,14 @@ object Dedup {
     * is confined to docs that actually collide in a band.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
-    val hashed = sh.select(col("doc_id"), xxhash64(col("sg")).as("h"))
-    val minAggs = (0 until MinHashK).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // Same hashed-shingle staging as jaccardPrefix: the signature agg and
+    // the verify subtrees reuse ONE materialized long-keyed index instead
+    // of re-scanning the corpus and shuffling shingle strings.
+    val sh = staged(
+      shingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sg")))
+    val minAggs = (0 until MinHashK).map(i => min(xxhash64(col("sg"), lit(i))).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bandCols: Seq[Column] = (0 until NumBands).map { j =>
       val rowCols = (j * BandRows until (j + 1) * BandRows).map(i => col(s"m$i"))
       struct(lit(j).as("band"), xxhash64(rowCols :+ (lit(j): Column): _*).as("key"))
@@ -187,22 +201,7 @@ object Dedup {
       .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    // Exact verify restricted to candidates: intersect shingle sets of
-    // candidate pairs via two equi-joins, never all pairs.
-    val inter = candidates
-      .join(sh.toDF("a2", "sga"), col("a") === col("a2"))
-      .select(col("a"), col("b"), col("sga"))
-      .join(sh.toDF("b2", "sgb"), col("b") === col("b2") && col("sga") === col("sgb"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(sizes.toDF("a3", "na"), col("a") === col("a3"))
-      .join(sizes.toDF("b3", "nb"), col("b") === col("b3"))
-      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
-      .orderBy("a", "b")
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** 64-bit SimHash fingerprints: token-frequency-weighted bit vote.

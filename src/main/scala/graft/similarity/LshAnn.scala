@@ -86,6 +86,44 @@ object LshAnn {
   private[graft] def corpusBands(spark: SparkSession, dir: String): DataFrame =
     bandsOf(Knn.vectors(spark, dir).withColumn("sig", signature("e")))
 
+  /** Corpus-wide near-dup PAIRS (the scale path for embedding dedup,
+    * vs Dedup.embedNeardup's exact-all-pairs oracle): candidates form in
+    * a band self-join, with 1-bit multi-probe applied to ONE side only —
+    * bounded ×(BandBits+1) fanout on that side, never a squared probe
+    * space — then exact cosine verifies every candidate, so false
+    * positives are impossible and the miss rate is the banding theory's
+    * (measured against the exact oracle in the spec).
+    */
+  def neardupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val v = Knn.vectors(spark, dir)
+      .withColumn("sig", signature("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(v)
+    val probeCols = for {
+      j <- 0 until NumBands
+      probe <- {
+        val key = bandKey(col("sig"), j)
+        key +: (0 until BandBits).map(b => key.bitwiseXOR(lit(1L << b)))
+      }
+    } yield struct(lit(j).as("band"), probe.as("key"))
+    val probed = v
+      .select(col("vec_id"), explode(array(probeCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = probed
+      .toDF("a", "band", "key")
+      .join(bands.toDF("b", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    candidates
+      .join(v.select(col("vec_id").as("a2"), col("e").as("ea"), col("norm").as("na")), col("a") === col("a2"))
+      .join(v.select(col("vec_id").as("b2"), col("e").as("eb"), col("norm").as("nb")), col("b") === col("b2"))
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), Num.round4(col("cos")).as("cos"))
+      .orderBy("a", "b")
+  }
+
   /** Top-k approximate neighbors for each query vector (same query set
     * as Knn.bruteTopK so recall is directly measurable).
     */

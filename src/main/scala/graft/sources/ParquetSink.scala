@@ -51,7 +51,7 @@ object ParquetSink {
       keys: Seq[String]
   ): Long = {
     val fresh =
-      if (!exists(spark, path)) incoming
+      if (!pathExists(spark, path)) incoming
       else {
         val existingKeys = spark.read.parquet(path).select(keys.map(col): _*).distinct()
         incoming.join(existingKeys, keys, "left_anti")
@@ -121,7 +121,7 @@ object ParquetSink {
     nPatched
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p)

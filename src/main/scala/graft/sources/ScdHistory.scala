@@ -71,6 +71,13 @@ object ScdHistory {
     * change filter). Deterministic: version numbering depends only on
     * the event set.
     *
+    * Out-of-order caveat (inherent to any incremental SCD merge that
+    * doesn't retain raw events): an update older than an existing
+    * change point merges by total order, but a same-value RUN already
+    * collapsed in `existing` cannot be re-split by a late event landing
+    * inside it. Deliver batches in (approximate) event-time order, or
+    * keep the raw change log and rebuild affected keys from it.
+    *
     * @param existing (keyCols..., version, valueCol, valid_from_ms, valid_to_ms)
     * @param updates  (keyCols..., valueCol, ts_ms)
     */

@@ -64,6 +64,21 @@ class DedupSpec extends SparkSpec {
     assert(nd.filter(col("cos") < 0.4).count() == 0)
   }
 
+  test("LSH embed near-dup is a verified subset of the exact pairs with usable recall") {
+    val exact = SparkEntry.queries("q_embed_neardup")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_embed_neardup_lsh")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), s"exact verify forbids false positives: ${lsh.diff(exact).take(5)}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    // This corpus's qualifying pairs sit barely above τ=0.4 (cosine
+    // 0.4-0.5), the worst case for hyperplane banding — theory predicts
+    // ~0.7 with 1-bit multi-probe; real near-dup corpora (cos 0.9+)
+    // approach 1.0. Floor is the regression guard.
+    assert(recall >= 0.4, s"LSH near-dup recall collapsed: $recall")
+  }
+
   test("shingling produces distinct 3-gram shingles per doc") {
     val sh = Dedup.shingles(Tables.documents(spark, sfDir))
     val dup = sh.groupBy("doc_id", "sg").count().filter(col("count") > 1).count()

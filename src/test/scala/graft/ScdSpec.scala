@@ -42,6 +42,31 @@ class ScdSpec extends SparkSpec {
     assert(incremental == full, "incremental merge diverged from full rebuild")
   }
 
+  test("streaming SCD maintenance equals the batch rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (all, b1, b2) = eventSlices()
+    val path = java.nio.file.Files.createTempDirectory("graft_scd").toString + "/dim"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.ScdStream.maintain(
+      input.toDF.toDF("user_id", "event_type", "ts_ms"), path, Seq("user_id"), "event_type")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_type", "ts_ms").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    try {
+      input.addData(rows(b1).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rows(b2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    val full = ScdHistory
+      .fromEvents(all, Seq("user_id"), "event_type", "ts_ms", Seq("event_type"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == full, "streamed history diverged from the batch rebuild")
+  }
+
   test("applyUpdates is idempotent: re-applying the same batch is a no-op") {
     val (_, b1, b2) = eventSlices()
     def hist(df: org.apache.spark.sql.DataFrame) =
