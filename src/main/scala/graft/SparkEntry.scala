@@ -61,6 +61,7 @@ object SparkEntry {
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
+    "q_token_count_bpe"    -> ((s, d) => TextFunctions.tokenCountBpe(s, d)),
     "q_text_quality"       -> ((s, d) => TextFunctions.textQuality(s, d)),
     "q_lang_id"            -> ((s, d) => TextFunctions.langId(s, d)),
     "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d)),
@@ -479,6 +480,11 @@ object SparkEntry {
         |FROM lane ORDER BY user_id, lane_rank""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count_bpe" ->
+      raw"""SELECT doc_id,
+           |  len(string_split_regex(text, '\s+')) AS n_tokens_ws,
+           |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_tokens_bpe
            |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       raw"""WITH t AS (

@@ -26,6 +26,27 @@ object TextFunctions {
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenizer pattern (GPT-2-family shape, simplified to
+    * constructs Java regex and RE2 treat identically — disjoint
+    * first-char alternatives, no lookarounds): letter runs, digit runs,
+    * and punctuation runs, each absorbing one leading space. Token
+    * COUNTS under this pre-tokenizer are the standard corpus budget
+    * estimate before an actual BPE merge table is applied.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** #29b BPE-ish token count (pre-tokenizer granularity) alongside the
+    * whitespace count — both pure codegen'd expressions.
+    */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens_ws"),
+        size(expr(s"regexp_extract_all(text, '$BpePattern', 0)")).cast("long").as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
   /** Stopword list for quality/language heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

@@ -70,6 +70,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("composite and SCD queries scan the fact table exactly once") {
+    // The design claim (SURVEY §2 rows 41/42): all event-grain work in
+    // these queries shares one scan + one user_id shuffle — the plan
+    // must not re-read the parquet per window/aggregate subtree.
+    for (name <- Seq("q_stats_history_composite", "q_scd_history")) {
+      val plan = executedPlan(name)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 1, s"$name scans the fact table $scans times")
+    }
+    assert(executedPlan("q_stats_history_composite").contains("windowspecdefinition(user_id"))
+  }
+
   test("whole-stage codegen covers the agg pipeline of q_agg_group") {
     // AQE shows codegen spans only in the final plan — execute THIS df
     // (a write would clone the plan and leave df's own unexecuted).

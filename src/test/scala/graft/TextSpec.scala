@@ -14,6 +14,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("BPE pre-tokenizer count matches a driver-side regex and never undercounts whitespace tokens") {
+    val rows = Tables.documents(spark, sfDir).select("doc_id", "text").limit(50).collect()
+    val counted = SparkEntry.queries("q_token_count_bpe")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val p = java.util.regex.Pattern.compile(TextFunctions.BpePattern)
+    rows.foreach { r =>
+      val m = p.matcher(r.getString(1))
+      var n = 0L
+      while (m.find()) n += 1
+      assert(counted(r.getLong(0))._2 == n, s"doc ${r.getLong(0)} bpe count mismatch")
+      // a whitespace token splits into >= 1 pre-tokens
+      assert(counted(r.getLong(0))._2 >= counted(r.getLong(0))._1)
+    }
+  }
+
   test("quality score stays in [0,1] and penalizes stopword-heavy docs") {
     val q = SparkEntry.queries("q_text_quality")(spark, sfDir)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
