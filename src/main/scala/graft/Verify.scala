@@ -18,6 +18,8 @@ object Verify {
         failures += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] FAILED $name: $e")
       }
+      // Release per-query staged indexes (same hygiene as Bench).
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

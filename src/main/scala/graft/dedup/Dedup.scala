@@ -124,7 +124,7 @@ object Dedup {
     * shingle sets via two equi-joins against the (staged) index — the
     * quadratic term is confined to pairs that already collided.
     */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sh.toDF("a2", "sga"), col("a") === col("a2"))

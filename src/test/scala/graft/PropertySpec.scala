@@ -1,0 +1,102 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sources.ScdHistory
+import org.apache.spark.sql.functions._
+
+/** Randomized-input invariants (seeded, deterministic): the algebraic
+  * properties the oracle can't exercise beyond the fixed testdata.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260812)
+
+  /** Corpus engineered for hot shingles and near-dups: documents are
+    * token sequences drawn from a SMALL vocab, half of them mutated
+    * copies of earlier docs (deletions/substitutions).
+    */
+  private def randomCorpus(nDocs: Int): Seq[(Long, String)] = {
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    def freshDoc() = Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+    val docs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    (0 until nDocs).foreach { i =>
+      if (i > 0 && rnd.nextBoolean()) {
+        val base = docs(rnd.nextInt(docs.size))
+        docs += base.flatMap { t =>
+          val r = rnd.nextDouble()
+          if (r < 0.05) Nil // deletion
+          else if (r < 0.10) Seq(vocab(rnd.nextInt(vocab.size))) // substitution
+          else Seq(t)
+        }
+      } else docs += freshDoc()
+    }
+    docs.zipWithIndex.map { case (d, i) => (i.toLong, d.mkString(" ")) }.toSeq
+  }
+
+  test("prefix filter is lossless on adversarial random corpora (hot shingles, mutated dups)") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val docs = randomCorpus(60).toDF("doc_id", "text")
+      val naive = Dedup.jaccardPairs(Dedup.shingles(docs))
+        .filter(col("jac") >= 0.8)
+        .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sh = Dedup.shingles(docs).select(col("doc_id"), xxhash64(col("sg")).as("sg"))
+      val prefix = Dedup.prefixIndex(sh, 0.8)
+      val candidates = prefix.toDF("a", "sg")
+        .join(prefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
+        .select("a", "b").distinct()
+      val pruned = Dedup.verifyJaccard(candidates, sh, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned == naive,
+        s"trial $trial: missing=${naive.diff(pruned).take(5)} extra=${pruned.diff(naive).take(5)}")
+    }
+  }
+
+  test("SCD intervals partition the timeline for random event streams with ties") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      // Few keys, few values, coarse timestamps: maximizes ties and
+      // same-value runs.
+      val events = Seq.fill(300)((
+        rnd.nextInt(6).toLong,
+        s"v${rnd.nextInt(4)}",
+        (rnd.nextInt(40) * 1000).toLong,
+        rnd.nextLong()
+      )).toDF("k", "v", "ts_ms", "tie")
+        .dropDuplicates("k", "ts_ms") // one change per (key, instant)
+      val hist = ScdHistory.fromEvents(events, Seq("k"), "v", "ts_ms", Seq("tie"))
+      assert(hist.filter(col("valid_from_ms") >= col("valid_to_ms")).count() == 0)
+      val open = hist.filter(col("valid_to_ms") === ScdHistory.OpenEnd).groupBy("k").count()
+      assert(open.filter(col("count") =!= 1).count() == 0, s"trial $trial: open-version violation")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("version")
+      val seq = hist
+        .withColumn("next_from", lead("valid_from_ms", 1).over(w))
+        .withColumn("next_v", lead("v", 1).over(w))
+        .filter(col("next_from").isNotNull)
+      assert(seq.filter(col("valid_to_ms") =!= col("next_from")).count() == 0, "gap/overlap")
+      assert(seq.filter(col("v") === col("next_v")).count() == 0, "uncollapsed run")
+      // versions are a dense 1..k permutation
+      val vr = hist.groupBy("k").agg(count(lit(1)).as("n"), max("version").as("mx"))
+      assert(vr.filter(col("mx") =!= col("n")).count() == 0)
+    }
+  }
+
+  test("graft_dot equals a driver-side dot and rejects dimension mismatches") {
+    import spark.implicits._
+    val vecs = Seq.fill(50)((Array.fill(16)(rnd.nextDouble() * 2 - 1), Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("x", "y").withColumn("dot", expr("graft_dot(x, y)"))
+    val rows = df.collect()
+    vecs.zip(rows).foreach { case ((x, y), r) =>
+      val expected = x.zip(y).map { case (a, b) => a * b }.foldLeft(0d)(_ + _)
+      assert(r.getAs[Double]("dot") == expected, "must match ascending-index fold exactly")
+    }
+    val bad = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("x", "y")
+    val e = intercept[Exception] {
+      bad.select(expr("graft_dot(x, y)")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("length mismatch")), s"unexpected error: $e")
+  }
+}
