@@ -123,7 +123,8 @@ object BinaryPipeline {
     else None
 
   /** JPEG: walk marker segments from SOI until a SOF (C0-CF minus the
-    * non-frame C4/C8/CC); height at +5, width at +7 (2B BE).
+    * non-frame C4/C8/CC); height at +5, width at +7 (2B BE). 0xFF fill
+    * bytes before a marker are legal padding and advance by one.
     */
   private[graft] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -132,19 +133,30 @@ object BinaryPipeline {
       val m = b(i + 1) & 0xff
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
         return Some((be(b, i + 7, 2), be(b, i + 5, 2)))
+      else if (m == 0xff) i += 1 // fill byte
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone markers
       else i += 2 + be(b, i + 2, 2)
     }
     None
   }
 
-  /** WAV: RIFF....WAVEfmt ; channels LE @22, sample rate LE @24. */
-  private[graft] def wavInfo(b: Array[Byte]): Option[(Int, Int)] =
-    if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
-        b(12) == 'f' && b(13) == 'm' && b(14) == 't')
-      Some((le(b, 24, 4), le(b, 22, 2)))
-    else None
+  /** WAV: RIFF/WAVE container; WALK the chunk list to the "fmt " chunk
+    * (other chunks — LIST, JUNK — may precede it), then channels LE at
+    * +2 and sample rate LE at +4 of the chunk body. Chunks pad to even.
+    */
+  private[graft] def wavInfo(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 20 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le(b, i + 4, 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
+        return if (i + 16 <= b.length) Some((le(b, i + 12, 4), le(b, i + 10, 2))) else None
+      if (size < 0) return None
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
 
   /** Batched decode: real header parse per container, deterministic
     * content checksum either way. Signature and batching are the

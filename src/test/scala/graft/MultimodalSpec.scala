@@ -26,6 +26,13 @@ class MultimodalSpec extends SparkSpec {
     // WAV 44100 Hz stereo
     val wav = hexBytes("524946462400000057415645666D742010000000" + "0100" + "0200" + "44AC0000" + "88580100" + "04001000" + "6461746100000000")
     assert(BinaryPipeline.wavInfo(wav).contains((44100, 2)))
+    // real-world container quirks: JPEG fill bytes before the marker,
+    // WAV with a JUNK chunk before fmt
+    val jpegPadded = hexBytes("FFD8" + "FFFF" + "FFC0001108" + "00C8" + "0140" + "03011100021101031101")
+    assert(BinaryPipeline.jpegDims(jpegPadded).contains((320, 200)))
+    val wavJunk = hexBytes("524946462400000057415645" + "4A554E4B" + "04000000" + "AABBCCDD" +
+      "666D742010000000" + "0100" + "0200" + "44AC0000" + "88580100" + "04001000")
+    assert(BinaryPipeline.wavInfo(wavJunk).contains((44100, 2)))
     // garbage falls back to raw, never throws
     assert(BinaryPipeline.decodeBatch(Seq((1L, "video", Array[Byte](1, 2, 3)))).head.format == "raw")
   }
