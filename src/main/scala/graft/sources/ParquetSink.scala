@@ -121,6 +121,30 @@ object ParquetSink {
     nPatched
   }
 
+  /** Small-file compaction: rewrite a parquet dir into
+    * ceil(bytes / targetBytes) files. Ingest upserts append a file per
+    * batch; left alone, a year of hourly batches is ~10^4 files per
+    * partition and scan planning starts to dominate queries — the
+    * standard lake-maintenance rewrite. Uses coalesce (narrow, no
+    * shuffle) since compaction only ever reduces file count; the
+    * localCheckpoint is the same read-before-overwrite barrier as the
+    * other maintenance ops. Run per partition directory for partitioned
+    * sinks (keeps the rewrite bounded to one partition at a time).
+    *
+    * @return resulting file count
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    if (df.inputFiles.length <= nFiles) return df.inputFiles.length
+    val staged = df.coalesce(nFiles).localCheckpoint(true)
+    staged.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path).inputFiles.length
+  }
+
   private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

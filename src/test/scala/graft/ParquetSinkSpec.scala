@@ -87,6 +87,19 @@ class ParquetSinkSpec extends SparkSpec {
     assert(after2 == after)
   }
 
+  test("compaction reduces file count, preserves content, and re-runs as a no-op") {
+    val path = tmp() + "/frag"
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    events.repartition(32).write.parquet(path)
+    val before = spark.read.parquet(path)
+    assert(before.inputFiles.length == 32)
+    val content = before.collect().map(_.toSeq).toSet
+    val n = ParquetSink.compact(spark, path)
+    assert(n < 32, s"compaction must reduce file count, got $n")
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == content, "content must survive")
+    assert(ParquetSink.compact(spark, path) == n, "already-compacted sink is a no-op")
+  }
+
   test("incomplete-records scan pushes the null filter down") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
