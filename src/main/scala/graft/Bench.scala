@@ -54,6 +54,9 @@ object Bench {
     * extra JSON fields, "" when the file or sf doesn't match.
     */
   private def baselineRatios(sfDir: String, results: Map[String, Double]): String = {
+    // Same poisoning rule as the headline total: a failed query must not
+    // shrink the shared set and flatter the ratio.
+    if (results.values.exists(_ < 0)) return ""
     val txt = scala.util.Try(scala.io.Source.fromFile("bench_baseline.json").mkString).getOrElse("")
     val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).exists(m => sfDir.endsWith(m.group(1)))
     if (!sfOk) return ""

@@ -147,12 +147,14 @@ object BinaryPipeline {
   private[graft] def wavInfo(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 20 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var i = 12
+    // Long cursor: a fuzzed 4-byte chunk size near 2^31 must step past
+    // the buffer end, not wrap an Int into a negative array index.
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le(b, i + 4, 4)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
-        return if (i + 16 <= b.length) Some((le(b, i + 12, 4), le(b, i + 10, 2))) else None
-      if (size < 0) return None
+      val at = i.toInt
+      val size = le(b, at + 4, 4).toLong & 0xffffffffL
+      if (b(at) == 'f' && b(at + 1) == 'm' && b(at + 2) == 't' && b(at + 3) == ' ')
+        return if (i + 16 <= b.length) Some((le(b, at + 12, 4), le(b, at + 10, 2))) else None
       i += 8 + size + (size & 1)
     }
     None

@@ -45,10 +45,10 @@ object IvfAnn {
     lit(norm2) - lit(2d) * expr(s"graft_dot($uCol, $cSql)")
   }
 
-  /** Top-k approximate neighbors for the same query set as
-    * Knn.bruteTopK (recall directly measurable).
+  /** The ONE index build both the query path and the balance spec use:
+    * normalized+staged vectors and the fitted coarse quantizer.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  private def index(spark: SparkSession, dir: String): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     // Unit vectors for the quantizer; originals kept for exact scoring.
     val v = Knn.vectors(spark, dir)
       .withColumn("u", expr("transform(e, x -> x / norm)"))
@@ -59,6 +59,14 @@ object IvfAnn {
       .setK(NumCells).setSeed(42).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(train)
+    (v, model)
+  }
+
+  /** Top-k approximate neighbors for the same query set as
+    * Knn.bruteTopK (recall directly measurable).
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (v, model) = index(spark, dir)
     val assigned = model
       .transform(v)
       .select(col("vec_id"), col("e"), col("norm"), col("cell"))
@@ -86,16 +94,11 @@ object IvfAnn {
       .orderBy("q_id", "rn")
   }
 
-  /** Corpus cell assignment alone, exposed for the cell-balance spec. */
+  /** Corpus cell assignment alone, exposed for the cell-balance spec —
+    * same build as ivfTopK by construction.
+    */
   private[graft] def assignments(spark: SparkSession, dir: String): DataFrame = {
-    val v = Knn.vectors(spark, dir)
-      .withColumn("u", expr("transform(e, x -> x / norm)"))
-      .withColumn("fv", array_to_vector(col("u")))
-    val train = v.orderBy(xxhash64(col("vec_id"))).limit(TrainCap).coalesce(1)
-    val model = new KMeans()
-      .setK(NumCells).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(train)
+    val (v, model) = index(spark, dir)
     model.transform(v).select(col("vec_id"), col("cell"))
   }
 }

@@ -86,6 +86,22 @@ object LshAnn {
   private[graft] def corpusBands(spark: SparkSession, dir: String): DataFrame =
     bandsOf(Knn.vectors(spark, dir).withColumn("sig", signature("e")))
 
+  /** 1-bit multi-probe band keys of a signed frame: each band's exact
+    * key plus every single-bit flip — the ONE probing scheme both the
+    * query path and the pair path use (BandBits+1 keys per band).
+    */
+  private def probesOf(v: DataFrame, idCol: String): DataFrame = {
+    val probeCols = for {
+      j <- 0 until NumBands
+      probe <- {
+        val key = bandKey(col("sig"), j)
+        key +: (0 until BandBits).map(b => key.bitwiseXOR(lit(1L << b)))
+      }
+    } yield struct(lit(j).as("band"), probe.as("key"))
+    v.select(col("vec_id").as(idCol), explode(array(probeCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** Corpus-wide near-dup PAIRS (the scale path for embedding dedup,
     * vs Dedup.embedNeardup's exact-all-pairs oracle): candidates form in
     * a band self-join, with 1-bit multi-probe applied to ONE side only —
@@ -99,18 +115,7 @@ object LshAnn {
       .withColumn("sig", signature("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsOf(v)
-    val probeCols = for {
-      j <- 0 until NumBands
-      probe <- {
-        val key = bandKey(col("sig"), j)
-        key +: (0 until BandBits).map(b => key.bitwiseXOR(lit(1L << b)))
-      }
-    } yield struct(lit(j).as("band"), probe.as("key"))
-    val probed = v
-      .select(col("vec_id"), explode(array(probeCols: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = probed
-      .toDF("a", "band", "key")
+    val candidates = probesOf(v, "a")
       .join(bands.toDF("b", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
       .select("a", "b")
@@ -136,17 +141,7 @@ object LshAnn {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsOf(v)
     // Query side: multi-probe — exact band key plus every 1-bit flip.
-    val probeCols = for {
-      j <- 0 until NumBands
-      probe <- {
-        val key = bandKey(col("sig"), j)
-        key +: (0 until BandBits).map(b => key.bitwiseXOR(lit(1L << b)))
-      }
-    } yield struct(lit(j).as("band"), probe.as("key"))
-    val queryBands = v
-      .filter(col("vec_id") < Knn.NumQueries)
-      .select(col("vec_id").as("q_id"), explode(array(probeCols: _*)).as("bk"))
-      .select(col("q_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val queryBands = probesOf(v.filter(col("vec_id") < Knn.NumQueries), "q_id")
     val candidates = queryBands
       .join(bands.toDF("nbr_id", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("nbr_id") =!= col("q_id"))
       .select("q_id", "nbr_id")

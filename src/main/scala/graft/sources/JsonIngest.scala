@@ -33,10 +33,13 @@ object JsonIngest {
       "__parsed",
       from_json(col(jsonCol), schema.add(corruptCol, "string"),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
-    val isCorrupt = col(s"__parsed.$corruptCol").isNotNull
+    // NULL payloads are quarantined too: an upstream fetch that wrote an
+    // empty body is exactly what the repair loop needs to see — dropping
+    // the row would lose the record with no repair trail.
+    val isCorrupt = col(s"__parsed.$corruptCol").isNotNull || col(jsonCol).isNull
     val passthrough = raw.columns.filterNot(_ == jsonCol).map(col).toSeq
     val valid = parsed
-      .filter(col(jsonCol).isNotNull && !isCorrupt)
+      .filter(!isCorrupt)
       .select(passthrough ++ schema.fieldNames.map(f => col(s"__parsed.$f")): _*)
     val quarantine = parsed
       .filter(isCorrupt)

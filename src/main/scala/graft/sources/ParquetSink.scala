@@ -105,8 +105,15 @@ object ParquetSink {
     val parts = needy.select(partitionCol).distinct().collect().map(_.get(0))
     if (parts.isEmpty) return 0L
     val slice = existing.filter(col(partitionCol).isin(parts: _*))
+    // ONE patch row per key: a repair batch with duplicate keys (two
+    // re-fetch attempts) must not fan out sink rows through the join —
+    // that would permanently duplicate data in the sink. Per column,
+    // the max non-null value wins (deterministic merge of attempts).
     val patchSide = repair
-      .select((keys.map(col) ++ patchCols.map(c => col(c).as(s"__patch_$c"))): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(col(patchCols.head)).as(s"__patch_${patchCols.head}"),
+        patchCols.tail.map(c => max(col(c)).as(s"__patch_$c")): _*)
     // Materialize the patched slice BEFORE overwriting the partitions it
     // was read from (same barrier rationale as upsertByAntiJoin).
     val joined = slice.join(patchSide, keys, "left").localCheckpoint(true)
@@ -126,10 +133,11 @@ object ParquetSink {
     * batch; left alone, a year of hourly batches is ~10^4 files per
     * partition and scan planning starts to dominate queries — the
     * standard lake-maintenance rewrite. Uses coalesce (narrow, no
-    * shuffle) since compaction only ever reduces file count; the
-    * localCheckpoint is the same read-before-overwrite barrier as the
-    * other maintenance ops. Run per partition directory for partitioned
-    * sinks (keeps the rewrite bounded to one partition at a time).
+    * shuffle) since compaction only ever reduces file count, and the
+    * staged-swap commit (never delete-before-write) so the source data
+    * stays durable until the replacement is fully written. Run per
+    * partition directory for partitioned sinks (keeps the rewrite
+    * bounded to one partition at a time).
     *
     * @return resulting file count
     */
@@ -138,11 +146,46 @@ object ParquetSink {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(resolveCurrent(spark, path))
     if (df.inputFiles.length <= nFiles) return df.inputFiles.length
-    val staged = df.coalesce(nFiles).localCheckpoint(true)
-    staged.write.mode(SaveMode.Overwrite).parquet(path)
+    swapIn(spark, path, df.coalesce(nFiles))
     spark.read.parquet(path).inputFiles.length
+  }
+
+  /** Staged-swap table replacement: write the full replacement to a
+    * staging dir FIRST (the current table untouched and readable), then
+    * swap via metadata renames. At no instant is the only durable copy
+    * of the data gone — a crash leaves at least one complete directory
+    * among {path, staged, old}, and `resolveCurrent` picks it up. This
+    * is the rewrite primitive for whole-table maintenance (compaction,
+    * SCD merge); partition-bounded rewrites use dynamic partition
+    * overwrite instead (its commit protocol stages per-partition).
+    */
+  private[graft] def swapIn(spark: SparkSession, path: String, replacement: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val (staged, old) = (path + "__staged", path + "__old")
+    replacement.write.mode(SaveMode.Overwrite).parquet(staged)
+    fs.delete(hp(old), true)
+    if (fs.exists(hp(path))) fs.rename(hp(path), hp(old))
+    fs.rename(hp(staged), hp(path))
+    fs.delete(hp(old), true)
+  }
+
+  /** The current committed table for a swapIn-maintained path: the main
+    * dir normally; after a crash mid-swap, the completed staging dir
+    * (its _SUCCESS marker proves the write finished), else the old dir.
+    * Returns `path` (possibly nonexistent) when none are present.
+    */
+  private[graft] def resolveCurrent(spark: SparkSession, path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (fs.exists(hp(path))) path
+    else if (fs.exists(hp(path + "__staged/_SUCCESS"))) path + "__staged"
+    else if (fs.exists(hp(path + "__old"))) path + "__old"
+    else path
   }
 
   private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {

@@ -16,15 +16,16 @@ class JsonIngestSpec extends SparkSpec {
       (2L, """{"k": 8}"""),            // missing field -> valid, tag null
       (3L, """not json at all"""),     // corrupt -> quarantine
       (4L, """{"k": "}"""),            // truncated -> quarantine
-      (5L, null.asInstanceOf[String])  // null payload: neither valid nor quarantine
+      (5L, null.asInstanceOf[String])  // empty fetch body -> quarantine (repair trail)
     ).toDF("id", "payload")
     val (valid, quarantine) = JsonIngest.parseWithQuarantine(raw, "payload", schema)
     assert(valid.columns.toSeq == Seq("id", "k", "tag"))
     val v = valid.orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
     assert(v == Seq((1L, Some(7), Some("ok")), (2L, Some(8), None)))
-    val q = quarantine.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(q == Seq((3L, "not json at all"), (4L, """{"k": "}""")), "quarantine must keep the raw payload")
-    assert(valid.count() + quarantine.count() + raw.filter(col("payload").isNull).count() == raw.count())
+    val q = quarantine.orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(q == Seq((3L, Some("not json at all")), (4L, Some("""{"k": "}""")), (5L, None)),
+      "quarantine must keep the raw payload, including null bodies")
+    assert(valid.count() + quarantine.count() == raw.count(), "no row may vanish")
   }
 
   test("real events.props corpus parses clean against its declared schema") {

@@ -59,6 +59,7 @@ class ParquetSinkSpec extends SparkSpec {
     val krFilesBefore = new java.io.File(path + "/region=kr").listFiles().map(_.getName).toSet
     val repair = Seq(
       (2L, Some(20.0), Some("t2r")),
+      (2L, Some(20.0), None),        // duplicate-key attempt: must NOT fan out sink rows
       (3L, Some(99.0), Some("t3r")), // result non-null in sink: must NOT be clobbered
       (4L, Some(40.0), None)         // partial repair: timeline stays null
     ).toDF("match_id", "result", "timeline")
@@ -98,6 +99,27 @@ class ParquetSinkSpec extends SparkSpec {
     assert(n < 32, s"compaction must reduce file count, got $n")
     assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == content, "content must survive")
     assert(ParquetSink.compact(spark, path) == n, "already-compacted sink is a no-op")
+  }
+
+  test("resolveCurrent survives every crash window of a swap commit") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = tmp() + "/t"
+    Seq(1L, 2L).toDF("id").write.parquet(path)
+    // normal swap: replacement visible at path, scratch dirs gone
+    graft.sources.ParquetSink.swapIn(spark, path, Seq(10L, 20L, 30L).toDF("id"))
+    assert(graft.sources.ParquetSink.resolveCurrent(spark, path) == path)
+    assert(spark.read.parquet(path).count() == 3)
+    // crash window: replacement fully staged, path already moved aside
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L, 3L, 4L).toDF("id").write.parquet(path + "__staged")
+    fs.rename(new Path(path), new Path(path + "__old"))
+    assert(graft.sources.ParquetSink.resolveCurrent(spark, path) == path + "__staged")
+    assert(spark.read.parquet(path + "__staged").count() == 4)
+    // crash window: staged write never committed (no _SUCCESS) -> old wins
+    fs.delete(new Path(path + "__staged/_SUCCESS"), false)
+    assert(graft.sources.ParquetSink.resolveCurrent(spark, path) == path + "__old")
+    assert(spark.read.parquet(path + "__old").count() == 3)
   }
 
   test("incomplete-records scan pushes the null filter down") {
