@@ -69,7 +69,9 @@ object SparkEntry {
     "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d)),
     "q_scd_history"         -> ((s, d) => graft.sources.ScdHistory.scdHistory(s, d)),
-    "q_stats_history_composite" -> (StatsHistory.statsComposite _)
+    "q_stats_history_composite" -> (StatsHistory.statsComposite _),
+    "q_feature_bins"        -> (Features.featureBins _),
+    "q_corr_matrix"         -> (Features.corrMatrix _)
   )
 
   private val NgramJaccardSql =
@@ -478,6 +480,46 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, event_type) AS BIGINT) AS lane_rank,
         |  cur_streak_len, cur_streak_win
         |FROM lane ORDER BY user_id, lane_rank""".stripMargin,
+    "q_feature_bins" ->
+      """WITH b AS (
+        |  SELECT list_transform(quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |                        q -> floor(q * 10000 + 0.5) / 10000) AS bs
+        |  FROM events
+        |)
+        |SELECT event_id, value,
+        |  CAST((CASE WHEN value >= bs[1] THEN 1 ELSE 0 END) + (CASE WHEN value >= bs[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN value >= bs[3] THEN 1 ELSE 0 END) + (CASE WHEN value >= bs[4] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN value >= bs[5] THEN 1 ELSE 0 END) + (CASE WHEN value >= bs[6] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN value >= bs[7] THEN 1 ELSE 0 END) + (CASE WHEN value >= bs[8] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN value >= bs[9] THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        |FROM events, b ORDER BY event_id""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+        |    sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+        |  FROM s
+        |)
+        |SELECT n,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS corr_qty_price,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS corr_qty_disc,
+        |  floor((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS corr_price_disc
+        |FROM a""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,

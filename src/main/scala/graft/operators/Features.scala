@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Feature-prep operators for the modeling pipeline (the reference
+  * feeds per-match one-hot/normalized frames into Keras —
+  * match_modeling.py, proto_data_analysis.py:39-77; these are the
+  * engine-side transforms that stage feeds on).
+  */
+object Features {
+
+  /** Decile binning of a value column: exact interpolated decile
+    * boundaries (one tiny aggregate) broadcast back to the fact scan —
+    * never a global ntile window, whose single ORDER BY partition is a
+    * 100 TB non-starter. Boundaries are rounded to 4 dp on BOTH engine
+    * sides so boundary comparisons are bit-identical in the oracle.
+    * The scale variant swaps percentile -> approx_percentile with the
+    * same call shape (see percentilesApprox).
+    */
+  def featureBins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "value")
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = ev.agg(
+      expr(s"percentile(value, array(${qs.mkString(", ")}))").as("bs"))
+    val bin = (0 until 9)
+      .map(i => when(col("value") >= Num.round4(col("bs")(i)), 1).otherwise(0))
+      .reduce(_ + _)
+    ev.join(broadcast(bounds))
+      .select(col("event_id"), col("value"), bin.cast("long").as("bin"))
+      .orderBy("event_id")
+  }
+
+  /** Pairwise Pearson correlations of the lineitem numeric columns in
+    * ONE aggregate pass. The co-moments are accumulated as EXACT sums
+    * of scaled integers (decimal(38,0) — overflow-safe and
+    * order-independent), then the correlation is assembled in double
+    * from the exact totals: the result is bit-identical across engines
+    * AND across partitionings, unlike a float corr() whose merge order
+    * shifts the last ulp. Mergeable partial aggregation — the shape
+    * that scales.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(spark, dir)
+      .select(
+        floor(col("l_quantity") * 100 + 0.5).cast(d38).as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast(d38).as("y"),
+        floor(col("l_discount") * 100 + 0.5).cast(d38).as("z"))
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def corrOf(sab: String, sa: String, sb: String, saa: String, sbb: String) = {
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      Num.round4(
+        (n * d(sab) - d(sa) * d(sb)) /
+          sqrt((n * d(saa) - d(sa) * d(sa)) * (n * d(sbb) - d(sb) * d(sb))))
+    }
+    agg.select(
+      col("n"),
+      corrOf("sxy", "sx", "sy", "sxx", "syy").as("corr_qty_price"),
+      corrOf("sxz", "sx", "sz", "sxx", "szz").as("corr_qty_disc"),
+      corrOf("syz", "sy", "sz", "syy", "szz").as("corr_price_disc"))
+  }
+}

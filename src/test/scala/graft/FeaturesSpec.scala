@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class FeaturesSpec extends SparkSpec {
+
+  test("decile bins cover 0..9 with ~10% mass each and are monotone in value") {
+    val bins = SparkEntry.queries("q_feature_bins")(spark, sfDir)
+    val n = bins.count()
+    val byBin = bins.groupBy("bin").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBin.keySet == (0L to 9L).toSet, s"bins present: ${byBin.keySet}")
+    byBin.values.foreach(c => assert(c >= n / 20 && c <= n / 5, s"decile far off 10%: $c of $n"))
+    // monotone: the max value of bin b is <= min value of bin b+1
+    val stats = bins.groupBy("bin").agg(min("value").as("mn"), max("value").as("mx"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val bad = stats.withColumn("next_mn", lead("mn", 1).over(w))
+      .filter(col("next_mn").isNotNull && col("mx") > col("next_mn"))
+    assert(bad.count() == 0, "bin ranges must not overlap")
+  }
+
+  test("exact-sum correlation matches Spark's float corr to 1e-3 and stays in [-1,1]") {
+    val m = SparkEntry.queries("q_corr_matrix")(spark, sfDir).collect()(0)
+    val li = Tables.lineitem(spark, sfDir)
+    val ref = li.agg(
+      corr("l_quantity", "l_extendedprice"),
+      corr("l_quantity", "l_discount"),
+      corr("l_extendedprice", "l_discount")).collect()(0)
+    for ((name, refIdx) <- Seq(("corr_qty_price", 0), ("corr_qty_disc", 1), ("corr_price_disc", 2))) {
+      val v = m.getAs[Double](name)
+      assert(v >= -1.0 && v <= 1.0, s"$name out of range: $v")
+      // scaled-int correlation differs from the raw-double one only by
+      // the 2-decimal quantization, far inside 1e-3 here
+      assert(math.abs(v - ref.getDouble(refIdx)) < 1e-3, s"$name: $v vs ${ref.getDouble(refIdx)}")
+    }
+  }
+}
