@@ -45,6 +45,7 @@ object SparkEntry {
     "q_fight_outcomes"  -> (Fights.outcomes _),
     "q_lookback_multiwindow" -> (Windows.multiWindowLookback _),
     "q_split_assign"    -> (Splits.splitAssign _),
+    "q_stratified_sample" -> (Splits.stratifiedSample _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
     "q_json_props"      -> (Relational.jsonProps _),
     "q_event_transitions" -> (Windows.eventTransitions _),
@@ -480,6 +481,13 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, event_type) AS BIGINT) AS lane_rank,
         |  cur_streak_len, cur_streak_win
         |FROM lane ORDER BY user_id, lane_rank""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT event_id, user_id, event_type,
+        |  ((event_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS bucket
+        |FROM events
+        |WHERE ((event_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100
+        |      < (CASE WHEN event_type IN ('view', 'click') THEN 20 ELSE 80 END)
+        |ORDER BY event_id""".stripMargin,
     "q_feature_bins" ->
       """WITH b AS (
         |  SELECT list_transform(quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),

@@ -30,4 +30,23 @@ object Splits {
           .when(col("bucket") < 90, "valid")
           .otherwise("test"))
       .orderBy("doc_id")
+
+  /** Deterministic stratified downsampling: keep a per-stratum rate of
+    * rows, selected by the same engine-portable multiplicative hash —
+    * same row kept on every run, no RNG state, joinable against any
+    * other derivation of the same table. The curation move behind
+    * "downweight the over-represented class": here the busiest event
+    * types keep 20%, the rest 80%. Pure scan + filter — the predicate
+    * is codegen'd and the only full-table cost is the read.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("bucket",
+        (((col("event_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))
+      .withColumn("rate", when(col("event_type").isin("view", "click"), 20L).otherwise(80L))
+      .filter(col("bucket") < col("rate"))
+      .select("event_id", "user_id", "event_type", "bucket")
+      .orderBy("event_id")
 }

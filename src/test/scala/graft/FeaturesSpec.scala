@@ -18,6 +18,22 @@ class FeaturesSpec extends SparkSpec {
     assert(bad.count() == 0, "bin ranges must not overlap")
   }
 
+  test("stratified sample keeps ~rate% per stratum, deterministically") {
+    val s = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
+    val totals = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((t, n) <- totals) {
+      val rate = if (t == "view" || t == "click") 0.20 else 0.80
+      val frac = kept.getOrElse(t, 0L).toDouble / n
+      assert(math.abs(frac - rate) < 0.08, s"$t kept $frac, wanted ~$rate")
+    }
+    // deterministic: the same rows are kept on every run
+    val again = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
+    assert(s.exceptAll(again).count() == 0)
+  }
+
   test("exact-sum correlation matches Spark's float corr to 1e-3 and stays in [-1,1]") {
     val m = SparkEntry.queries("q_corr_matrix")(spark, sfDir).collect()(0)
     val li = Tables.lineitem(spark, sfDir)
