@@ -68,6 +68,8 @@ object SparkEntry {
     "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d)),
     "q_doc_chunk"          -> ((s, d) => TextFunctions.docChunk(s, d)),
     "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
+    "q_tfidf_search"       -> ((s, d) => TextFunctions.tfidfSearch(s, d)),
+    "q_session_stats"      -> (Sessionize.sessionStats _),
     "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d)),
     "q_scd_history"         -> ((s, d) => graft.sources.ScdHistory.scdHistory(s, d)),
     "q_stats_history_composite" -> (StatsHistory.statsComposite _),
@@ -481,6 +483,47 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, event_type) AS BIGINT) AS lane_rank,
         |  cur_streak_len, cur_streak_win
         |FROM lane ORDER BY user_id, lane_rank""".stripMargin,
+    "q_tfidf_search" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+           |), tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+           |), dfreq AS (
+           |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+           |), total AS (
+           |  SELECT count(*) AS n_docs FROM documents
+           |), q AS (
+           |  SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 3
+           |), idf AS (
+           |  SELECT tok, CAST(floor((n_docs - df + 0.5) / (df + 0.5) * 10000 + 0.5) AS BIGINT) AS idf4
+           |  FROM q, total
+           |)
+           |SELECT tf.doc_id, CAST(sum(tf.tf * idf.idf4) AS DOUBLE) / 10000.0 AS score
+           |FROM tf JOIN idf USING (tok)
+           |GROUP BY tf.doc_id
+           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts_ms, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |  FROM s GROUP BY user_id, session_id
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_sessions,
+        |  floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_session_events,
+        |  max(n_events) AS max_session_events,
+        |  floor(CAST(sum(end_ms - start_ms) AS DOUBLE) / (count(*) * 60000.0) * 10000 + 0.5) / 10000 AS avg_session_minutes
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_id, user_id, event_type,
         |  ((event_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS bucket

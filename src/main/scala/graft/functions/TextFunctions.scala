@@ -47,6 +47,39 @@ object TextFunctions {
         size(expr(s"regexp_extract_all(text, '$BpePattern', 0)")).cast("long").as("n_tokens_bpe"))
       .orderBy("doc_id")
 
+  /** #32e TF-IDF keyword retrieval (sparse search over the corpus):
+    * score(doc) = Σ_q tf(doc,q) · idf(q) for the query tokens, top-k
+    * docs. The inverted-index shape — tf/df as partial-aggregated
+    * groupBys, the query side broadcast — is the same shuffle-hygiene
+    * family as the dedup operators and runs at corpus scale.
+    *
+    * idf is the BM25-style RATIONAL (N - df + 0.5)/(df + 0.5), not a
+    * log: +,-,*,/ are IEEE-exact in every engine while ln differs in
+    * the last ulp across libms (an oracle-parity killer). The idf is
+    * quantized to a 4-dp integer so each doc score is an exact long
+    * sum — stable across engines AND partition orders. The query here
+    * is the corpus's 3 most-frequent tokens (deterministic, data-
+    * derived); production passes arbitrary token sets the same way.
+    */
+  def tfidfSearch(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val queryToks = dfreq.orderBy(col("df").desc, col("tok").asc).limit(3)
+    val idf = queryToks
+      .join(broadcast(total))
+      .withColumn("idf4",
+        floor((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) * 10000 + 0.5).cast("long"))
+      .select("tok", "idf4")
+    tf.join(broadcast(idf), "tok")
+      .groupBy("doc_id")
+      .agg((sum(col("tf") * col("idf4")).cast("double") / lit(10000.0)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Stopword list for quality/language heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

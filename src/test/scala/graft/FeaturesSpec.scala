@@ -34,6 +34,18 @@ class FeaturesSpec extends SparkSpec {
     assert(s.exceptAll(again).count() == 0)
   }
 
+  test("session stats conserve the per-user event count") {
+    val stats = SparkEntry.queries("q_session_stats")(spark, sfDir)
+    val events = Tables.events(spark, sfDir).groupBy("user_id").count()
+    // avg_session_events * n_sessions must recover the user's event
+    // count (round4 tolerance), and the max can't exceed the total.
+    val bad = stats.join(events, "user_id").filter(
+      abs(col("avg_session_events") * col("n_sessions") - col("count")) > col("n_sessions") * 0.0001 ||
+        col("max_session_events") > col("count"))
+    assert(bad.count() == 0)
+    assert(stats.count() == events.count(), "every user has session stats")
+  }
+
   test("exact-sum correlation matches Spark's float corr to 1e-3 and stays in [-1,1]") {
     val m = SparkEntry.queries("q_corr_matrix")(spark, sfDir).collect()(0)
     val li = Tables.lineitem(spark, sfDir)

@@ -29,6 +29,14 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("tfidf search returns descending positive scores for docs containing query tokens") {
+    val hits = SparkEntry.queries("q_tfidf_search")(spark, sfDir).collect()
+    assert(hits.nonEmpty && hits.length <= 50)
+    assert(hits.forall(_.getAs[Double]("score") > 0))
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores must be non-increasing")
+  }
+
   test("quality score stays in [0,1] and penalizes stopword-heavy docs") {
     val q = SparkEntry.queries("q_text_quality")(spark, sfDir)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
