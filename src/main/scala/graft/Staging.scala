@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import java.util.concurrent.atomic.AtomicLong
+
+/** Index staging for the dedup/ANN/TF-IDF operators: materialize a
+  * sub-plan ONCE so the 2-4 downstream subtrees (prefix, signature,
+  * verify, scoring) reuse it instead of each re-scanning and
+  * re-tokenizing the corpus — at 100 TB those re-scans are the dominant
+  * cost of a dedup run.
+  *
+  * Two modes:
+  * - Default: executor-storage persist (MEMORY_AND_DISK — oversized
+  *   partitions spill instead of OOMing). NOTE: persisted frames are
+  *   strongly referenced by the session's CacheManager and are NOT
+  *   auto-unpersisted when the plan goes unreferenced; the harness
+  *   (Bench/Verify) calls `spark.catalog.clearCache()` after each
+  *   query, and library callers must do the same (or unpersist) between
+  *   invocations or cache entries accumulate.
+  * - Scratch parquet (`spark.graft.scratch` conf or `SPARK_GRAFT_SCRATCH`
+  *   env set to a directory): the frame is written to scratch parquet
+  *   and re-read. This is the 100 TB deployment mode — the staged index
+  *   can exceed aggregate executor storage, survives executor loss
+  *   without recompute, and its scan parallelism is governed by file
+  *   splits rather than the cached partitioning. Scratch files live for
+  *   the duration of the run; the scratch dir is a transient workspace
+  *   the deployment wipes between runs.
+  */
+object Staging {
+
+  private val counter = new AtomicLong()
+
+  /** The configured scratch dir, if any. The Spark conf takes precedence
+    * (settable per-session, which is how the spec exercises this path);
+    * the env var is the deployment switch.
+    */
+  def scratchDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf
+      .getOption("spark.graft.scratch")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .filter(_.nonEmpty)
+
+  /** Materialize `df` once under a stable name prefix; see object doc
+    * for the mode split.
+    */
+  def staged(df: DataFrame, name: String): DataFrame =
+    scratchDir(df) match {
+      case Some(dir) =>
+        val path = s"$dir/stage_${name}_${counter.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None =>
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+}

@@ -51,12 +51,12 @@ object Dedup {
   /** Materialize an index once per query: the df/prefix/signature/verify
     * subtrees otherwise EACH re-scan the tokenize+explode of the full
     * corpus (3-5 passes at 100 TB — the dominant cost of a dedup run).
-    * MEMORY_AND_DISK spills oversized partitions instead of OOMing; a
-    * cluster deployment at the full scale would stage-write to scratch
-    * parquet instead of relying on executor storage. Spark's
-    * ContextCleaner unpersists once the query plan is unreferenced.
+    * Delegates to graft.Staging: executor-storage persist by default,
+    * scratch parquet when `spark.graft.scratch`/`SPARK_GRAFT_SCRATCH` is
+    * set (the 100 TB deployment mode) — mode semantics and the caller's
+    * unpersist obligation are documented there.
     */
-  private def staged(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+  private def staged(df: DataFrame, name: String): DataFrame = graft.Staging.staged(df, name)
 
   /** Exact pairwise Jaccard over the FULL shingle inverted index. Kept
     * only as the spec-parity reference for the prefix filter: the
@@ -157,8 +157,9 @@ object Dedup {
   def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val sh = staged(
       shingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), xxhash64(col("sg")).as("sg")))
-    val prefix = staged(prefixIndex(sh, threshold))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
+      "shingle")
+    val prefix = staged(prefixIndex(sh, threshold), "prefix")
     val candidates = prefix
       .toDF("a", "sg")
       .join(prefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
@@ -186,8 +187,9 @@ object Dedup {
     // of re-scanning the corpus and shuffling shingle strings.
     val sh = staged(
       shingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), xxhash64(col("sg")).as("sg")))
-    val minAggs = (0 until MinHashK).map(i => min(xxhash64(col("sg"), lit(i))).as(s"m$i"))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
+      "shingle")
+    val minAggs =(0 until MinHashK).map(i => min(xxhash64(col("sg"), lit(i))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bandCols: Seq[Column] = (0 until NumBands).map { j =>
       val rowCols = (j * BandRows until (j + 1) * BandRows).map(i => col(s"m$i"))

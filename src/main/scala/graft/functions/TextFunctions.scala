@@ -64,11 +64,12 @@ object TextFunctions {
   def tfidfSearch(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    // Staged once: the df/query-selection subtree and the scoring join
-    // would otherwise each re-tokenize the corpus (same pattern as the
-    // dedup shingle index).
-    val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Staged once (graft.Staging — persist or scratch parquet): the
+    // df/query-selection subtree and the scoring join would otherwise
+    // each re-tokenize the corpus (same pattern as the dedup shingle
+    // index).
+    val tf = graft.Staging.staged(
+      tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), "tf")
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val queryToks = dfreq.orderBy(col("df").desc, col("tok").asc).limit(3)

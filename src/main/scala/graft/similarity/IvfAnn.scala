@@ -1,40 +1,58 @@
 package graft.similarity
 
 import graft.Num
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.storage.StorageLevel
 
 /** IVF-Flat approximate nearest neighbors: the learned-centroid scale
   * path complementing LshAnn's data-independent hyperplanes (the two
   * published families for corpus-scale vector search).
   *
-  * Index build: k-means coarse quantizer trained on a deterministic
-  * hashed sample (capped — training cost does not grow with the
-  * corpus), then ONE assignment pass mapping every vector to its
-  * nearest centroid cell. Query: rank the k centroids per query (k is
-  * tiny — a literal-array dot against each), probe the nprobe nearest
-  * cells, exact cosine ONLY within probed cells. Per-query scan
-  * fraction is ~nprobe/k of the corpus, an equi-join on cell id — no
-  * all-pairs term, AQE splits any hot cell.
+  * Index build: cell count is DERIVED from a cheap corpus count —
+  * cells ≈ clamp(√n, 64, 65536), the balance point where cell size and
+  * cell count grow together (~√n rows each), so neither the per-query
+  * cell ranking (k dots) nor the probed-cell scan (nprobe·n/k rows)
+  * degenerates as the corpus grows. A fixed constant would silently
+  * stop pruning: 64 cells at 10⁹ vectors is ~10⁷ rows per probed cell.
+  * The k-means coarse quantizer trains on a deterministic hashed sample
+  * capped at 8·cells rows (enough for a stable quantizer; training cost
+  * grows with √n, not n), then ONE assignment pass maps every vector to
+  * its nearest centroid cell. Query: rank the k centroids per query,
+  * probe the nprobe = max(8, cells/8) nearest cells (proportional —
+  * scan fraction stays ~1/8 of the corpus as cells grow), exact cosine
+  * ONLY within probed cells via an equi-join on cell id — no all-pairs
+  * term, AQE splits any hot cell.
   *
   * In production the index (centroids + assignments) is built offline
   * and reused across query batches; the declared query rebuilds it
-  * inline to stay self-contained. NumCells is the corpus dial: cells
-  * should hold ~sqrt(n)-ish rows (raise to 4096+ for 10^9 vectors),
-  * nprobe trades recall for scan fraction.
+  * inline to stay self-contained.
   */
 object IvfAnn {
 
-  val NumCells = 64
-  val NumProbes = 8
-  /** Training-sample cap: k-means cost stays constant as the corpus
-    * grows; the sample is hash-ordered (deterministic, id-uncorrelated).
+  val MinCells = 64
+  val MaxCells = 65536
+
+  /** cells ≈ √n, clamped; never more cells than vectors (k-means needs
+    * k ≤ points).
     */
-  val TrainCap = 4096
+  private[graft] def numCellsFor(n: Long): Int = {
+    val root = math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt
+    math.min(math.max(root, MinCells), MaxCells).min(math.max(n, 1L).min(Int.MaxValue).toInt)
+  }
+
+  /** nprobe proportional to the cell count (floor 8): recall stays tied
+    * to a fixed scan FRACTION, not a fixed cell count.
+    */
+  private[graft] def numProbesFor(cells: Int): Int = math.max(8, cells / 8)
+
+  /** Training-sample cap: 8 samples per centroid (hash-ordered —
+    * deterministic, id-uncorrelated). The coalesce(1) this sample feeds
+    * is bounded by construction: ≤ 8·cells ≤ 2^19 rows even at MaxCells.
+    */
+  private[graft] def trainCapFor(cells: Int): Int = math.max(4096, 8 * cells)
 
   /** Euclidean ranking on UNIT vectors equals cosine ranking:
     * dist²(u, c) = 1 - 2·u·c + ‖c‖², so cells rank by ‖c‖² - 2·u·c.
@@ -45,22 +63,29 @@ object IvfAnn {
     lit(norm2) - lit(2d) * expr(s"graft_dot($uCol, $cSql)")
   }
 
-  /** The ONE index build both the query path and the balance spec use:
-    * normalized+staged vectors and the fitted coarse quantizer.
+  /** The ONE index build the query path and the balance/derivation specs
+    * all use: normalized+staged vectors and the fitted coarse quantizer
+    * (k derived from the staged frame's count — the count is a cheap
+    * aggregate over the already-materialized stage).
     */
-  private def index(spark: SparkSession, dir: String): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+  private[graft] def indexOf(vectors: DataFrame): (DataFrame, KMeansModel) = {
     // Unit vectors for the quantizer; originals kept for exact scoring.
-    val v = Knn.vectors(spark, dir)
-      .withColumn("u", expr("transform(e, x -> x / norm)"))
-      .withColumn("fv", array_to_vector(col("u")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val train = v.orderBy(xxhash64(col("vec_id"))).limit(TrainCap).coalesce(1)
+    val v = graft.Staging.staged(
+      vectors
+        .withColumn("u", expr("transform(e, x -> x / norm)"))
+        .withColumn("fv", array_to_vector(col("u"))),
+      "ivf")
+    val cells = numCellsFor(v.count())
+    val train = v.orderBy(xxhash64(col("vec_id"))).limit(trainCapFor(cells)).coalesce(1)
     val model = new KMeans()
-      .setK(NumCells).setSeed(42).setMaxIter(10)
+      .setK(cells).setSeed(42).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(train)
     (v, model)
   }
+
+  private def index(spark: SparkSession, dir: String): (DataFrame, KMeansModel) =
+    indexOf(Knn.vectors(spark, dir))
 
   /** Top-k approximate neighbors for the same query set as
     * Knn.bruteTopK (recall directly measurable).
@@ -71,8 +96,9 @@ object IvfAnn {
       .transform(v)
       .select(col("vec_id"), col("e"), col("norm"), col("cell"))
     val centroids = model.clusterCenters.map(_.toArray)
+    val nProbes = numProbesFor(centroids.length)
     // Query side: rank all k centroids (array_sort over k structs —
-    // k is a constant, this is per-QUERY work only), probe top nprobe.
+    // per-QUERY work only, and k ~ √n by construction), probe top nprobe.
     val scoreStructs = centroids.zipWithIndex.map { case (c, j) =>
       struct(cellScore(c, "u").as("score"), lit(j).as("cell"))
     }
@@ -80,7 +106,7 @@ object IvfAnn {
       .filter(col("vec_id") < Knn.NumQueries)
       .select(
         col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"),
-        explode(slice(array_sort(array(scoreStructs: _*)), 1, NumProbes)).as("pr"))
+        explode(slice(array_sort(array(scoreStructs: _*)), 1, nProbes)).as("pr"))
       .select(col("q_id"), col("qe"), col("qn"), col("pr.cell").as("cell"))
     val scored = probes
       .join(assigned.toDF("nbr_id", "ce", "cn", "cell2"),
@@ -100,5 +126,13 @@ object IvfAnn {
   private[graft] def assignments(spark: SparkSession, dir: String): DataFrame = {
     val (v, model) = index(spark, dir)
     model.transform(v).select(col("vec_id"), col("cell"))
+  }
+
+  /** Cell assignment over an arbitrary (vec_id, e, norm) frame — the
+    * two-corpus-sizes derivation spec drives this directly.
+    */
+  private[graft] def assignmentsOf(vectors: DataFrame): (Int, DataFrame) = {
+    val (v, model) = indexOf(vectors)
+    (model.getK, model.transform(v).select(col("vec_id"), col("cell")))
   }
 }

@@ -111,9 +111,8 @@ object LshAnn {
     * (measured against the exact oracle in the spec).
     */
   def neardupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val v = Knn.vectors(spark, dir)
-      .withColumn("sig", signature("e"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = graft.Staging.staged(
+      Knn.vectors(spark, dir).withColumn("sig", signature("e")), "lsh_neardup")
     val bands = bandsOf(v)
     val candidates = probesOf(v, "a")
       .join(bands.toDF("b", "band2", "key2"),
@@ -133,12 +132,12 @@ object LshAnn {
     * as Knn.bruteTopK so recall is directly measurable).
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    // Staged once: the banding, the query probes, and both sides of the
-    // candidate-scoring join otherwise EACH re-scan the corpus and
-    // re-evaluate the 64-hyperplane signature projection.
-    val v = Knn.vectors(spark, dir)
-      .withColumn("sig", signature("e"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Staged once (graft.Staging — persist or scratch parquet): the
+    // banding, the query probes, and both sides of the candidate-scoring
+    // join otherwise EACH re-scan the corpus and re-evaluate the
+    // 64-hyperplane signature projection.
+    val v = graft.Staging.staged(
+      Knn.vectors(spark, dir).withColumn("sig", signature("e")), "lsh_ann")
     val bands = bandsOf(v)
     // Query side: multi-probe — exact band key plus every 1-bit flip.
     val queryBands = probesOf(v.filter(col("vec_id") < Knn.NumQueries), "q_id")

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object ParquetSink {
 
+  /** Cap on the affected-partition list patchIncomplete collects to the
+    * driver: makes the low-cardinality contract self-enforcing (fail
+    * fast with a clear message) instead of doc-enforced.
+    */
+  val MaxPatchPartitions = 10000
+
   /** Partitioned write. `overwritePartitions=true` replaces only the
     * partitions present in `df` (dynamic overwrite), the idempotent
     * re-run mode for batch ingest.
@@ -102,7 +108,12 @@ object ParquetSink {
     val existing = spark.read.parquet(path)
     val needy = incompleteRecords(existing, patchCols)
       .join(repair.select(keys.map(col): _*).distinct(), keys, "left_semi")
-    val parts = needy.select(partitionCol).distinct().collect().map(_.get(0))
+    val parts = needy.select(partitionCol).distinct().limit(MaxPatchPartitions + 1).collect().map(_.get(0))
+    require(
+      parts.length <= MaxPatchPartitions,
+      s"patchIncomplete: repair touches more than $MaxPatchPartitions distinct '$partitionCol' partitions — " +
+        "the affected-partition list is collected to the driver, which is only safe for low-cardinality " +
+        "partition columns (date/region). Partition by a coarser column or patch in bounded slices.")
     if (parts.isEmpty) return 0L
     val slice = existing.filter(col(partitionCol).isin(parts: _*))
     // ONE patch row per key: a repair batch with duplicate keys (two
@@ -142,11 +153,15 @@ object ParquetSink {
     * @return resulting file count
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    // Resolve FIRST: after a crash mid-swap the table may live at the
+    // staged dir until resolveCurrent heals it back to `path` — sizing
+    // the unresolved path would throw FileNotFoundException there.
+    val current = resolveCurrent(spark, path)
+    val p = new org.apache.hadoop.fs.Path(current)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(resolveCurrent(spark, path))
+    val df = spark.read.parquet(current)
     if (df.inputFiles.length <= nFiles) return df.inputFiles.length
     swapIn(spark, path, df.coalesce(nFiles))
     spark.read.parquet(path).inputFiles.length
@@ -166,6 +181,14 @@ object ParquetSink {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     val (staged, old) = (path + "__staged", path + "__old")
+    // Complete a pending swap first: after a crash between the two
+    // renames, the complete staged dir is the ONLY durable copy — writing
+    // the new stage over it would destroy the table before the
+    // replacement exists. The rename is metadata-only and idempotent.
+    if (!fs.exists(hp(path)) && fs.exists(hp(staged + "/_SUCCESS"))) {
+      fs.rename(hp(staged), hp(path))
+      fs.delete(hp(old), true)
+    }
     replacement.write.mode(SaveMode.Overwrite).parquet(staged)
     fs.delete(hp(old), true)
     if (fs.exists(hp(path))) fs.rename(hp(path), hp(old))
@@ -174,17 +197,25 @@ object ParquetSink {
   }
 
   /** The current committed table for a swapIn-maintained path: the main
-    * dir normally; after a crash mid-swap, the completed staging dir
-    * (its _SUCCESS marker proves the write finished), else the old dir.
-    * Returns `path` (possibly nonexistent) when none are present.
+    * dir normally. After a crash between swapIn's two renames (path moved
+    * aside, completed staging dir not yet renamed in — _SUCCESS proves
+    * the write finished), the pending swap is COMPLETED here by renaming
+    * staged into place, and `path` is returned: handing out the staged
+    * dir instead would wedge the next swapIn, which overwrites that same
+    * dir while the caller's plan is still reading it. Falls back to the
+    * old dir when the staged write never committed. Returns `path`
+    * (possibly nonexistent) when none are present.
     */
   private[graft] def resolveCurrent(spark: SparkSession, path: String): String = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     if (fs.exists(hp(path))) path
-    else if (fs.exists(hp(path + "__staged/_SUCCESS"))) path + "__staged"
-    else if (fs.exists(hp(path + "__old"))) path + "__old"
+    else if (fs.exists(hp(path + "__staged/_SUCCESS"))) {
+      fs.rename(hp(path + "__staged"), hp(path))
+      fs.delete(hp(path + "__old"), true)
+      path
+    } else if (fs.exists(hp(path + "__old"))) path + "__old"
     else path
   }
 

@@ -62,14 +62,15 @@ object ScdHistory {
     * Only keys present in `updates` are rebuilt: their history rows are
     * decomposed back into change events (valid_from is the change
     * timestamp; per-key valid_from is strictly increasing so no tie
-    * column is needed), unioned with the new updates, deduped, and
-    * re-derived. Untouched keys pass through by anti-join — at scale
-    * this is a touched-partition rewrite, never a full-history rewrite.
+    * column is needed), unioned with the new updates, collapsed to one
+    * event per (key, instant), and re-derived. Untouched keys pass
+    * through by anti-join — at scale this is a touched-partition
+    * rewrite, never a full-history rewrite.
     *
     * Idempotent: re-applying the same batch is a no-op (duplicate
-    * events drop in the distinct; same-value updates collapse in the
-    * change filter). Deterministic: version numbering depends only on
-    * the event set.
+    * events collapse in the per-instant groupBy; same-value updates
+    * collapse in the change filter). Deterministic: version numbering
+    * depends only on the event set.
     *
     * Out-of-order caveat (inherent to any incremental SCD merge that
     * doesn't retain raw events): an update older than an existing
@@ -92,10 +93,17 @@ object ScdHistory {
     val priorEvents = existing
       .join(touched, keyCols, "left_semi")
       .select((keyCols.map(col) :+ col(valueCol) :+ col("valid_from_ms").as("ts_ms")): _*)
+    // ONE event per (key, instant): two repair attempts at the same
+    // timestamp carrying different values would otherwise both survive a
+    // distinct(), producing a zero-width version whose order is the
+    // VALUE, not arrival. The max value wins (deterministic, idempotent —
+    // re-applying can't flip the choice); duplicates also collapse here.
     val allEvents = priorEvents
       .unionByName(updates.select((keyCols.map(col) :+ col(valueCol) :+ col("ts_ms")): _*))
-      .distinct()
-    untouched.unionByName(fromEvents(allEvents, keyCols, valueCol, "ts_ms", Seq(valueCol)))
+      .groupBy((keyCols.map(col) :+ col("ts_ms")): _*)
+      .agg(max(col(valueCol)).as(valueCol))
+      .select((keyCols.map(col) :+ col(valueCol) :+ col("ts_ms")): _*)
+    untouched.unionByName(fromEvents(allEvents, keyCols, valueCol, "ts_ms"))
   }
 
   /** Declared query: SCD-2 history of each user's event_type over the
