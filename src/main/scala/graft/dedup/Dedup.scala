@@ -3,7 +3,6 @@ package graft.dedup
 import graft.{Num, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication operators for the LLM-data-pipeline surface.
   *
@@ -189,7 +188,7 @@ object Dedup {
       shingles(Tables.documents(spark, dir))
         .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
       "shingle")
-    val minAggs =(0 until MinHashK).map(i => min(xxhash64(col("sg"), lit(i))).as(s"m$i"))
+    val minAggs = (0 until MinHashK).map(i => min(xxhash64(col("sg"), lit(i))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bandCols: Seq[Column] = (0 until NumBands).map { j =>
       val rowCols = (j * BandRows until (j + 1) * BandRows).map(i => col(s"m$i"))

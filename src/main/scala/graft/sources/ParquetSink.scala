@@ -185,14 +185,17 @@ object ParquetSink {
     // renames, the complete staged dir is the ONLY durable copy — writing
     // the new stage over it would destroy the table before the
     // replacement exists. The rename is metadata-only and idempotent.
+    // Every rename result is checked: a silently-failed rename followed by
+    // the deletes below would destroy the only durable copy.
     if (!fs.exists(hp(path)) && fs.exists(hp(staged + "/_SUCCESS"))) {
-      fs.rename(hp(staged), hp(path))
+      require(fs.rename(hp(staged), hp(path)), s"swapIn: healing rename $staged -> $path failed")
       fs.delete(hp(old), true)
     }
     replacement.write.mode(SaveMode.Overwrite).parquet(staged)
     fs.delete(hp(old), true)
-    if (fs.exists(hp(path))) fs.rename(hp(path), hp(old))
-    fs.rename(hp(staged), hp(path))
+    if (fs.exists(hp(path)))
+      require(fs.rename(hp(path), hp(old)), s"swapIn: rename $path -> $old failed")
+    require(fs.rename(hp(staged), hp(path)), s"swapIn: rename $staged -> $path failed")
     fs.delete(hp(old), true)
   }
 
@@ -212,7 +215,9 @@ object ParquetSink {
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     if (fs.exists(hp(path))) path
     else if (fs.exists(hp(path + "__staged/_SUCCESS"))) {
-      fs.rename(hp(path + "__staged"), hp(path))
+      require(
+        fs.rename(hp(path + "__staged"), hp(path)),
+        s"resolveCurrent: healing rename ${path}__staged -> $path failed")
       fs.delete(hp(path + "__old"), true)
       path
     } else if (fs.exists(hp(path + "__old"))) path + "__old"

@@ -110,16 +110,43 @@ class ParquetSinkSpec extends SparkSpec {
     graft.sources.ParquetSink.swapIn(spark, path, Seq(10L, 20L, 30L).toDF("id"))
     assert(graft.sources.ParquetSink.resolveCurrent(spark, path) == path)
     assert(spark.read.parquet(path).count() == 3)
-    // crash window: replacement fully staged, path already moved aside
+    // crash window: replacement fully staged (_SUCCESS proves the write
+    // finished), path already moved aside -> resolveCurrent COMPLETES the
+    // pending swap: staged renamed into place, __old consumed, and `path`
+    // (not the staged dir) handed out, so the next swapIn can't overwrite
+    // a directory a caller's plan is still reading.
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(1L, 2L, 3L, 4L).toDF("id").write.parquet(path + "__staged")
     fs.rename(new Path(path), new Path(path + "__old"))
-    assert(graft.sources.ParquetSink.resolveCurrent(spark, path) == path + "__staged")
-    assert(spark.read.parquet(path + "__staged").count() == 4)
-    // crash window: staged write never committed (no _SUCCESS) -> old wins
+    assert(graft.sources.ParquetSink.resolveCurrent(spark, path) == path)
+    assert(spark.read.parquet(path).count() == 4)
+    assert(!fs.exists(new Path(path + "__staged")), "healing must consume the staged dir")
+    assert(!fs.exists(new Path(path + "__old")), "healing must remove the superseded old dir")
+    // crash window: staged write never committed (no _SUCCESS) -> the old
+    // dir wins and nothing is promoted (an incomplete stage never heals).
+    Seq(9L).toDF("id").write.parquet(path + "__staged")
     fs.delete(new Path(path + "__staged/_SUCCESS"), false)
+    fs.rename(new Path(path), new Path(path + "__old"))
     assert(graft.sources.ParquetSink.resolveCurrent(spark, path) == path + "__old")
-    assert(spark.read.parquet(path + "__old").count() == 3)
+    assert(spark.read.parquet(path + "__old").count() == 4)
+    assert(fs.exists(new Path(path + "__staged")), "incomplete stage must be left untouched")
+  }
+
+  test("swapIn completes a pending crashed swap before staging a new replacement") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = tmp() + "/t"
+    // crashed state: no main dir; a COMPLETE staged dir is the only durable
+    // copy. swapIn must promote it BEFORE its Overwrite write reuses the
+    // staged dir — otherwise the table is destroyed before the replacement
+    // exists.
+    Seq(1L, 2L, 3L, 4L).toDF("id").write.parquet(path + "__staged")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(path + "__staged/_SUCCESS")))
+    graft.sources.ParquetSink.swapIn(spark, path, Seq(10L).toDF("id"))
+    assert(spark.read.parquet(path).collect().map(_.getLong(0)).toSeq == Seq(10L))
+    assert(!fs.exists(new Path(path + "__staged")), "swap must consume the staged dir")
+    assert(!fs.exists(new Path(path + "__old")), "swap must clean up the old dir")
   }
 
   test("incomplete-records scan pushes the null filter down") {
