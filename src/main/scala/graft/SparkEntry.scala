@@ -56,6 +56,7 @@ object SparkEntry {
     "q_dedup_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
+    "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
     "q_embed_neardup_lsh"  -> ((s, d) => LshAnn.neardupPairs(s, d)),
     "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
@@ -399,6 +400,41 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> NgramJaccardSql,
     // prefix-filtered variant is LOSSLESS — identical oracle.
     "q_dedup_jaccard_prefix" -> NgramJaccardSql,
+    // Transitive closure over the same >= 0.8 Jaccard edge set via a
+    // recursive CTE: min reachable doc_id = cluster id.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
+        |  FROM tok t1
+        |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+        |), cand AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT c.a, c.b
+        |  FROM cand c
+        |  JOIN sizes sa ON c.a = sa.doc_id
+        |  JOIN sizes sb ON c.b = sb.doc_id
+        |  WHERE c.inter * 1.0 / (sa.n + sb.n - c.inter) >= 0.8
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b, a FROM pairs
+        |), walk(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

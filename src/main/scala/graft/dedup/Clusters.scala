@@ -1,0 +1,104 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup cluster formation: pairs -> connected components -> one
+  * canonical survivor per cluster — the step between near-dup PAIR
+  * operators (Dedup / LshAnn) and an actually deduplicated corpus.
+  *
+  * The reference dedups per primary key at ingest
+  * (dj_lol_dcs/lolapi/models.py:68 unique_together); content-level
+  * near-dup edges are transitive only through clustering, which a
+  * key-constraint engine never needs. At corpus scale this is the
+  * min-label connected-components algorithm of the MapReduce CC
+  * literature (Rastogi et al., "Finding Connected Components in
+  * Map-Reduce in Logarithmic Rounds", ICDE'13 hash-min family): every
+  * step is a keyed equi-join + min aggregate — no adjacency matrix, no
+  * driver-side graph.
+  */
+object Clusters {
+
+  /** Iteration cap: hash-min + pointer jumping converges in
+    * O(log(longest path)) rounds, so 40 covers any graph a 64-bit id
+    * space can hold; hitting the cap means non-convergence (a bug), and
+    * the require below turns it into a loud failure instead of silently
+    * wrong clusters.
+    */
+  val MaxIterations = 40
+
+  /** Min-label connected components over undirected pair edges.
+    *
+    * @param vertices single column `id` (long): every node, including
+    *                 isolated docs that appear in no pair
+    * @param pairs    columns `a`, `b`: undirected near-dup edges
+    * @return (id, label) where label = min id of the component
+    *
+    * Each round does (1) hash-min propagation — every vertex takes the
+    * min label over itself and its neighbors (one equi-join on src +
+    * one groupBy(id).min) — and (2) pointer jumping — label(v) <-
+    * label(label(v)) (a self-join on label), which doubles the distance
+    * a min travels per round and gives the O(log n) bound plain
+    * propagation (O(diameter)) lacks. Labels only ever decrease, so
+    * sum(label) strictly decreases until the fixpoint: convergence is
+    * ONE scalar aggregate per round, no change-count join.
+    *
+    * Scale shape: both joins shuffle on (id | label) — high-cardinality
+    * keys, never the payload. Each round's result is localCheckpoint'd
+    * (eager): iterative joins otherwise stack lineage until planning
+    * time explodes, and a lost-block recompute would replay every prior
+    * round. Edges are checkpointed once and reused by every round.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // sum(label) fits a long at any plausible scale: ids are bounded by
+    // the corpus key domain and sum is over n vertices (1e9 docs with
+    // 1e6-range ids is ~1e15 << 2^63); Decimal(38,0) would be the
+    // paranoid upgrade.
+    def labelSum(df: DataFrame): Long = df.agg(sum("label")).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxIterations) {
+      val msgs = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val propagated = labels.union(msgs).groupBy("id").agg(min("label").as("label"))
+      // Pointer jump. Every label IS a vertex id (labels start as ids
+      // and min only selects among them), so the join always matches.
+      val jumped = propagated
+        .join(propagated.select(col("id").as("pid"), col("label").as("plabel")), col("label") === col("pid"))
+        .select(col("id"), col("plabel").as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
+      labels = jumped
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $MaxIterations rounds")
+    labels
+  }
+
+  /** Declared query: cluster the 3-gram-Jaccard near-dup pairs
+    * (Dedup.jaccardPrefix, tau = 0.8) over ALL documents — singletons
+    * are their own cluster — and mark the canonical survivor
+    * (min doc_id) per cluster. Downstream corpus dedup is then
+    * `filter(is_keeper)`.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val pairs = Dedup.jaccardPrefix(spark, dir).select("a", "b")
+    connectedComponents(docs, pairs)
+      .select(
+        col("id").as("doc_id"),
+        col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+}

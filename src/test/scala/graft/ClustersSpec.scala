@@ -1,0 +1,58 @@
+package graft
+
+import graft.dedup.Clusters
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(vertices: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters
+      .connectedComponents(vertices.toDF("id"), pairs.toDF("a", "b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("connected components labels transitive closures with the min id, singletons included") {
+    val labels = cc(1L to 7L, Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("a long chain converges (pointer jumping beats the diameter bound)") {
+    // Path graph 1-2-...-100 in the worst orientation for min propagation:
+    // plain per-round propagation needs ~n rounds; hash-min + pointer
+    // jumping must finish within the O(log n) MaxIterations cap.
+    val n = 100L
+    val labels = cc(1L to n, (1L until n).map(i => (i + 1, i)))
+    assert(labels.values.toSet == Set(1L), "whole chain is one component labeled by its min")
+  }
+
+  test("q_dedup_clusters covers every doc with exactly one keeper per cluster") {
+    val out = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == docs, "every document gets a cluster row")
+    // exactly one keeper per cluster, and it is the min doc_id
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cid must have exactly one keeper")
+      assert(members.filter(_._3).head._1 == members.map(_._1).min && cid == members.map(_._1).min,
+        s"cluster $cid keeper/label must be the min doc_id")
+    }
+    // cluster assignment IS the transitive closure of the pair edges:
+    // two docs share a cluster iff they are connected through pairs.
+    val pairs = SparkEntry.queries("q_dedup_jaccard_prefix")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test data must contain near-dup pairs")
+    val label = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"paired docs $a,$b must share a cluster")
+    }
+    // and the component count matches a reference union-find closure
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = rows.map(r => find(r._1)).distinct.length
+    assert(rows.map(_._2).distinct.length == expected,
+      "cluster count must equal the union-find component count (no over-merging)")
+  }
+}
