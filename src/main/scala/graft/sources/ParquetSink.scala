@@ -103,19 +103,20 @@ object ParquetSink {
       repair: DataFrame,
       keys: Seq[String],
       patchCols: Seq[String],
-      partitionCol: String
+      partitionCol: String,
+      maxPartitions: Int = MaxPatchPartitions
   ): Long = {
     val existing = spark.read.parquet(path)
     val needy = incompleteRecords(existing, patchCols)
       .join(repair.select(keys.map(col): _*).distinct(), keys, "left_semi")
-    val parts = needy.select(partitionCol).distinct().limit(MaxPatchPartitions + 1).collect().map(_.get(0))
+    val parts = needy.select(partitionCol).distinct().limit(maxPartitions + 1).collect().map(_.get(0))
     require(
-      parts.length <= MaxPatchPartitions,
-      s"patchIncomplete: repair touches more than $MaxPatchPartitions distinct '$partitionCol' partitions — " +
+      parts.length <= maxPartitions,
+      s"patchIncomplete: repair touches more than $maxPartitions distinct '$partitionCol' partitions — " +
         "the affected-partition list is collected to the driver, which is only safe for low-cardinality " +
         "partition columns (date/region). Partition by a coarser column or patch in bounded slices.")
     if (parts.isEmpty) return 0L
-    val slice = existing.filter(col(partitionCol).isin(parts: _*))
+    val slice = partitionSlice(existing, partitionCol, parts.toSeq)
     // ONE patch row per key: a repair batch with duplicate keys (two
     // re-fetch attempts) must not fan out sink rows through the join —
     // that would permanently duplicate data in the sink. Per column,
@@ -138,6 +139,16 @@ object ParquetSink {
     writePartitioned(patched, path, Seq(partitionCol), overwritePartitions = true)
     nPatched
   }
+
+  /** The bounded read patchIncomplete rewrites from: a plain isin filter
+    * on the partition column, which Spark's partition pruning turns into
+    * a directory-level prune — only affected partition dirs are listed
+    * and scanned. Kept as a named helper so the pruning contract has a
+    * spec (isin over a literal list prunes; wrapping the column in any
+    * expression would silently widen the read to the full table).
+    */
+  private[graft] def partitionSlice(existing: DataFrame, partitionCol: String, parts: Seq[Any]): DataFrame =
+    existing.filter(col(partitionCol).isin(parts: _*))
 
   /** Small-file compaction: rewrite a parquet dir into
     * ceil(bytes / targetBytes) files. Ingest upserts append a file per

@@ -1,0 +1,53 @@
+package graft
+
+import graft.similarity.IvfAnn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the IVF index derivation: cell count grows ~sqrt(n) with both
+  * clamps, and `assignmentsOf` builds a complete, in-range cell
+  * assignment at different corpus sizes (the derivation is driven by the
+  * DATA, not a constant).
+  */
+class IvfDerivationSpec extends SparkSpec {
+
+  test("numCellsFor grows ~sqrt(n) and clamps at both ends") {
+    assert(IvfAnn.numCellsFor(1L) == 1, "never more cells than vectors")
+    assert(IvfAnn.numCellsFor(10L) == 10, "small corpus: one cell per vector at most")
+    assert(IvfAnn.numCellsFor(1000L) == IvfAnn.MinCells, "sqrt(1000)~32 clamps up to MinCells")
+    assert(IvfAnn.numCellsFor(1000000L) == 1000, "sqrt growth in the open range")
+    assert(IvfAnn.numCellsFor(100000000L) == 10000)
+    assert(IvfAnn.numCellsFor(10000000000L) == IvfAnn.MaxCells, "upper clamp")
+    assert(IvfAnn.numProbesFor(64) == 8 && IvfAnn.numProbesFor(1024) == 128,
+      "nprobe stays a fixed fraction of the cell count above the floor")
+  }
+
+  private def synthVectors(n: Int): DataFrame =
+    spark.range(n)
+      .select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(0, 7), i -> cast(pmod(xxhash64(id, i), 997) as double) / 997.0 + 0.001)").as("e"))
+      .withColumn("norm", sqrt(expr("graft_dot(e, e)")))
+
+  test("assignmentsOf derives k from the corpus and assigns every vector an in-range cell") {
+    val small = 300
+    val large = 20000
+    val (kSmall, aSmall) = IvfAnn.assignmentsOf(synthVectors(small))
+    val (kLarge, aLarge) = IvfAnn.assignmentsOf(synthVectors(large))
+    assert(kSmall == IvfAnn.numCellsFor(small) && kSmall == IvfAnn.MinCells)
+    assert(kLarge == IvfAnn.numCellsFor(large) && kLarge == math.ceil(math.sqrt(large)).toInt,
+      s"derived k must follow sqrt(n): got $kLarge")
+    assert(kLarge > kSmall, "a larger corpus must derive more cells")
+    for ((a, n, k) <- Seq((aSmall, small, kSmall), (aLarge, large, kLarge))) {
+      val rows = a.collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.length == n && rows.map(_._1).distinct.length == n,
+        "every vector gets exactly one cell")
+      assert(rows.forall { case (_, c) => c >= 0 && c < k }, "cells within [0, k)")
+      // the quantizer actually partitions the space — the corpus must not
+      // collapse into a handful of cells
+      assert(rows.map(_._2).distinct.length > k / 4,
+        s"expected a spread assignment, got ${rows.map(_._2).distinct.length} of $k cells used")
+    }
+    spark.catalog.clearCache()
+  }
+}

@@ -149,6 +149,47 @@ class ParquetSinkSpec extends SparkSpec {
     assert(!fs.exists(new Path(path + "__old")), "swap must clean up the old dir")
   }
 
+  test("patch-back refuses a repair touching more partitions than the driver-collect cap") {
+    import spark.implicits._
+    val path = tmp() + "/wide"
+    Seq(
+      (1L, "p1", None: Option[Double]),
+      (2L, "p2", None),
+      (3L, "p3", None)
+    ).toDF("id", "part", "value").write.partitionBy("part").parquet(path)
+    val repair = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "value")
+    val err = intercept[IllegalArgumentException] {
+      ParquetSink.patchIncomplete(spark, path, repair, Seq("id"), Seq("value"), "part", maxPartitions = 2)
+    }
+    assert(err.getMessage.contains("more than 2 distinct"), s"unexpected message: ${err.getMessage}")
+    // and nothing was rewritten: all cells still NULL
+    assert(spark.read.parquet(path).filter(col("value").isNotNull).count() == 0)
+  }
+
+  test("the patch slice reads only affected partition directories (partition pruning)") {
+    import spark.implicits._
+    val path = tmp() + "/pruned"
+    Seq(
+      (1L, "euw", None: Option[Double]),
+      (2L, "na", Some(2.0)),
+      (3L, "kr", Some(3.0))
+    ).toDF("id", "region", "value").write.partitionBy("region").parquet(path)
+    val existing = spark.read.parquet(path)
+    assert(existing.inputFiles.length == 3, "sanity: one file per partition dir")
+    val slice = ParquetSink.partitionSlice(existing, "region", Seq("euw"))
+    slice.collect()
+    // inputFiles ignores filters, so the pruning witness is the executed
+    // scan node's numFiles metric: a pruned read lists ONE file; a
+    // widened read path (e.g. wrapping the partition column in an
+    // expression) would scan all three and fail here.
+    val scans = slice.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan node")
+    assert(scans.map(_.metrics("numFiles").value).sum == 1,
+      s"pruned slice must read exactly the affected partition's file, got ${scans.map(_.metrics("numFiles").value).sum}")
+  }
+
   test("incomplete-records scan pushes the null filter down") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))

@@ -75,4 +75,28 @@ class ScdSpec extends SparkSpec {
     val twice = ScdHistory.applyUpdates(once, b2, Seq("user_id"), "event_type")
     assert(twice.collect().map(_.toSeq).toSet == once.collect().map(_.toSeq).toSet)
   }
+
+  test("applyUpdates collapses conflicting same-instant events to one max-value version") {
+    import spark.implicits._
+    val existing = ScdHistory.fromEvents(
+      Seq(("u1", "a", 1000L)).toDF("user_id", "event_type", "ts_ms"),
+      Seq("user_id"), "event_type", "ts_ms")
+    // two repair attempts at the SAME new instant with different values,
+    // plus a conflicting value at an EXISTING instant
+    val updates = Seq(
+      ("u1", "b", 2000L),
+      ("u1", "c", 2000L),
+      ("u1", "z", 1000L)
+    ).toDF("user_id", "event_type", "ts_ms")
+    val merged = ScdHistory.applyUpdates(existing, updates, Seq("user_id"), "event_type")
+      .orderBy("version")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // per (key, ts) the max value wins: ts=1000 -> z (over a), ts=2000 -> c
+    // (over b); versions are contiguous and intervals chain with NO
+    // zero-width version.
+    assert(merged.toSeq == Seq(
+      (1L, "z", 1000L, 2000L),
+      (2L, "c", 2000L, ScdHistory.OpenEnd)), s"got ${merged.toSeq}")
+    merged.foreach { case (_, _, from, to) => assert(from < to, "zero-width version") }
+  }
 }
