@@ -44,6 +44,8 @@ object SparkEntry {
     "q_range_attr_merge" -> (Fights.attrMerge _),
     "q_fight_outcomes"  -> (Fights.outcomes _),
     "q_lookback_multiwindow" -> (Windows.multiWindowLookback _),
+    "q_stats_availability" -> (Windows.statsAvailability _),
+    "q_recurrent_delta"    -> (Windows.recurrentDelta _),
     "q_split_assign"    -> (Splits.splitAssign _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
@@ -376,6 +378,41 @@ object SparkEntry {
         |  w14 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 1209600000 PRECEDING AND 1 PRECEDING),
         |  w21 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 1814400000 PRECEDING AND 1 PRECEDING),
         |  wt AS (PARTITION BY user_id, event_type ORDER BY ts_ms RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+    "q_stats_availability" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w7 AS n_7d,
+        |  count(*) OVER w21 AS n_21d,
+        |  CAST(coalesce(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) OVER w7, 0) AS BIGINT) AS n_high_7d,
+        |  CAST(coalesce(sum(CASE WHEN value >= 10 THEN 1 ELSE 0 END) OVER w7, 0) AS BIGINT) AS n_counted_7d,
+        |  count(*) OVER wt AS n_same_type_7d
+        |FROM e
+        |WINDOW
+        |  w7 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING),
+        |  w21 AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 1814400000 PRECEDING AND 1 PRECEDING),
+        |  wt AS (PARTITION BY user_id, event_type ORDER BY ts_ms RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+    "q_recurrent_delta" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, value,
+        |  CASE WHEN count(*) OVER w2 = 2
+        |    THEN floor(CAST(sum(v100) OVER w2 AS DOUBLE) / 200.0 * 10000 + 0.5) / 10000 END AS delta2,
+        |  CASE WHEN count(*) OVER w3 = 3
+        |    THEN floor(CAST(sum(v100) OVER w3 AS DOUBLE) / 300.0 * 10000 + 0.5) / 10000 END AS delta3,
+        |  CASE WHEN count(*) OVER w4 = 4
+        |    THEN floor(CAST(sum(v100) OVER w4 AS DOUBLE) / 400.0 * 10000 + 0.5) / 10000 END AS delta4
+        |FROM e
+        |WINDOW
+        |  w2 AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+        |  w3 AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        |  w4 AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id""".stripMargin,
     "q_doc_chunk" ->
       raw"""WITH t AS (

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -167,6 +167,77 @@ object Windows {
       .withColumn("n_7d", count(lit(1)).over(trailing(7)))
       .withColumn("avg_7d_type", exactAvg(byType))
       .select("event_id", "user_id", "avg_7d", "avg_14d", "avg_21d", "n_7d", "avg_7d_type")
+      .orderBy("event_id")
+  }
+
+  /** Pre-flight stats availability: for every event, how much usable
+    * history the user has under each predicate filter BEFORE any history
+    * computation runs — total trailing counts at two horizons, a
+    * same-type split, and two conditional counts. The reference walks
+    * weekly matchlist pages and counts matches per filter
+    * (get_stats_availability, utils.py:990-1099: total / in-role /
+    * as-champion / with-spells / with-runes, skipping remakes); here the
+    * five counters are CASE-counts over the SAME trailing windows as
+    * multiWindowLookback — the user_id frames share one shuffle, the
+    * same-type frame one more on (user_id, event_type).
+    *
+    * Counts over an empty frame are 0, not NULL (a player with no
+    * history has zero available matches).
+    */
+  def statsAvailability(spark: SparkSession, dir: String): DataFrame = {
+    def trailing(days: Int) = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-days.toLong * 24 * 3600 * 1000, -1)
+    val byType = Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-7L * 24 * 3600 * 1000, -1)
+    def condCount(cond: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
+    Tables
+      .events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("n_7d", count(lit(1)).over(trailing(7)))
+      .withColumn("n_21d", count(lit(1)).over(trailing(21)))
+      .withColumn("n_high_7d", condCount(col("value") >= 100, trailing(7)))
+      .withColumn("n_counted_7d", condCount(col("value") >= 10, trailing(7)))
+      .withColumn("n_same_type_7d", count(lit(1)).over(byType))
+      .select("event_id", "user_id", "n_7d", "n_21d", "n_high_7d", "n_counted_7d", "n_same_type_7d")
+      .orderBy("event_id")
+  }
+
+  /** Recurrent-delta training frame: per (user, event_type) sequence,
+    * the current value as the TARGET alongside trailing averages of the
+    * n strictly-PRECEDING events (n = 2, 3, 4), NULL until n
+    * predecessors exist — the feature/target split a trainer consumes
+    * directly, distinct from movingAvg's current-inclusive smoothing.
+    * Reference: find_recurrent_delta_across_n_games.py:173-195 builds
+    * delta2/3/4 trailing k/d/a averages per (player, lane_role) history
+    * and emits them beside each match's own stats, gated on enough
+    * history existing. All three frames share one (user_id, event_type)
+    * shuffle and sort; averages use exact integer sums (see
+    * multiWindowLookback).
+    */
+  def recurrentDelta(spark: SparkSession, dir: String): DataFrame = {
+    def lastN(n: Int) = Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-n, -1)
+    def delta(n: Int) =
+      when(
+        count(lit(1)).over(lastN(n)) === n,
+        graft.Num.round4(sum("v100").over(lastN(n)).cast("double") / lit(n * 100.0)))
+    Tables
+      .events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("v100", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("delta2", delta(2))
+      .withColumn("delta3", delta(3))
+      .withColumn("delta4", delta(4))
+      .select("event_id", "user_id", "event_type", "value", "delta2", "delta3", "delta4")
       .orderBy("event_id")
   }
 

@@ -73,4 +73,47 @@ class ReferenceGapSpec extends SparkSpec {
     assert(m.filter(col("avg_14d").isNotNull && col("avg_21d").isNull).count() == 0)
     assert(m.filter(col("n_7d") < 0).count() == 0)
   }
+
+  test("stats availability: counters are consistent subsets, zero for no-history players") {
+    val a = SparkEntry.queries("q_stats_availability")(spark, sfDir)
+    assert(a.count() == Tables.events(spark, sfDir).count(), "one availability row per event")
+    // predicate counts can never exceed the window total, the stricter
+    // predicate never exceeds the looser one, and the 21d window always
+    // contains the 7d one
+    assert(a.filter(col("n_high_7d") > col("n_counted_7d")).count() == 0)
+    assert(a.filter(col("n_counted_7d") > col("n_7d")).count() == 0)
+    assert(a.filter(col("n_same_type_7d") > col("n_7d")).count() == 0)
+    assert(a.filter(col("n_21d") < col("n_7d")).count() == 0)
+    // a user's first event has zero history under every counter (0, not NULL)
+    val first = a.orderBy("event_id").groupBy("user_id").agg(min("event_id").as("event_id"))
+    val firstRows = a.join(first, Seq("user_id", "event_id"), "left_semi")
+    assert(firstRows.filter(col("n_21d") =!= 0 || col("n_high_7d").isNull).count() == 0)
+  }
+
+  test("recurrent delta: null until n predecessors exist, then the exact trailing mean") {
+    val d = SparkEntry.queries("q_recurrent_delta")(spark, sfDir).collect()
+    // reconstruct per-(user, type) sequences from the source and verify
+    // the frame semantics row by row
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime, r.getDouble(4)))
+    val seqs = events.groupBy(e => (e._2, e._3)).map { case (k, es) =>
+      k -> es.sortBy(e => (e._4, e._1)).map(e => (e._1, math.floor(e._5 * 100 + 0.5).toLong))
+    }
+    val expect = seqs.values.flatMap { seq =>
+      seq.zipWithIndex.map { case ((id, _), i) =>
+        def mean(n: Int): Option[Double] =
+          if (i >= n) Some(math.floor(seq.slice(i - n, i).map(_._2).sum.toDouble / (n * 100.0) * 10000 + 0.5) / 10000)
+          else None
+        id -> (mean(2), mean(3), mean(4))
+      }
+    }.toMap
+    assert(d.length == events.length)
+    d.foreach { r =>
+      val (e2, e3, e4) = expect(r.getLong(0))
+      def got(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      assert(got(4) == e2 && got(5) == e3 && got(6) == e4,
+        s"event ${r.getLong(0)}: got (${got(4)}, ${got(5)}, ${got(6)}), want ($e2, $e3, $e4)")
+    }
+  }
 }
