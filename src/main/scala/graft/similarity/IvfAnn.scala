@@ -3,7 +3,7 @@ package graft.similarity
 import graft.Num
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   * published families for corpus-scale vector search).
   *
   * Index build: cell count is DERIVED from a cheap corpus count —
-  * cells ≈ clamp(√n, 64, 65536), the balance point where cell size and
+  * cells ≈ clamp(√n, MinCells, MaxCells), the balance point where cell size and
   * cell count grow together (~√n rows each), so neither the per-query
   * cell ranking (k dots) nor the probed-cell scan (nprobe·n/k rows)
   * degenerates as the corpus grows. A fixed constant would silently
@@ -33,7 +33,19 @@ import org.apache.spark.sql.expressions.Window
 object IvfAnn {
 
   val MinCells = 64
-  val MaxCells = 65536
+
+  /** Upper clamp on the cell count, set by QUANTIZER-TRAINING
+    * feasibility, not plan size (centroid ranking is a broadcast join —
+    * O(1) plan nodes in k): the k-means fit runs on a deterministic
+    * coalesce(1) sample of 8·cells rows, costing ~samples·k·iters
+    * distance ops on one core — at 4096 cells that is ~1.3e9, seconds;
+    * at 65536 it would be ~3.4e12, untrainable. 4096 cells is reached at
+    * n ≈ 1.7e7 vectors; beyond that the probed fraction grows with n/k,
+    * and the escape hatch is a HIERARCHICAL quantizer (a second IVF
+    * level inside each coarse cell — k₁·k₂ effective cells with two
+    * feasible fits), not a bigger flat k.
+    */
+  val MaxCells = 4096
 
   /** cells ≈ √n, clamped; never more cells than vectors (k-means needs
     * k ≤ points).
@@ -53,15 +65,6 @@ object IvfAnn {
     * is bounded by construction: ≤ 8·cells ≤ 2^19 rows even at MaxCells.
     */
   private[graft] def trainCapFor(cells: Int): Int = math.max(4096, 8 * cells)
-
-  /** Euclidean ranking on UNIT vectors equals cosine ranking:
-    * dist²(u, c) = 1 - 2·u·c + ‖c‖², so cells rank by ‖c‖² - 2·u·c.
-    */
-  private def cellScore(centroid: Array[Double], uCol: String): Column = {
-    val cSql = centroid.mkString("array(", "D, ", "D)")
-    val norm2 = centroid.map(x => x * x).sum
-    lit(norm2) - lit(2d) * expr(s"graft_dot($uCol, $cSql)")
-  }
 
   /** The ONE index build the query path and the balance/derivation specs
     * all use: normalized+staged vectors and the fitted coarse quantizer
@@ -95,19 +98,30 @@ object IvfAnn {
     val assigned = model
       .transform(v)
       .select(col("vec_id"), col("e"), col("norm"), col("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
-    val nProbes = numProbesFor(centroids.length)
-    // Query side: rank all k centroids (array_sort over k structs —
-    // per-QUERY work only, and k ~ √n by construction), probe top nprobe.
-    val scoreStructs = centroids.zipWithIndex.map { case (c, j) =>
-      struct(cellScore(c, "u").as("score"), lit(j).as("cell"))
-    }
+    val nProbes = numProbesFor(model.getK)
+    // Query side: centroids enter as DATA (a broadcast k-row frame), not
+    // as k literal expression nodes — the plan stays O(1) in k, codegen
+    // never sees a 4096-way expression tree, and plan serialization
+    // doesn't ship centroids per task. Euclidean ranking on UNIT vectors
+    // equals cosine ranking: dist²(u, c) = 1 - 2·u·c + ‖c‖², so cells
+    // rank by ‖c‖² - 2·u·c. The query×centroid pairing is a broadcast
+    // nested-loop with bounded ×k fanout (the one shape where that node
+    // is right: every query must score every coarse cell), then a
+    // per-query window keeps the nprobe best.
+    import spark.implicits._
+    val centroidsDf = model.clusterCenters.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
+    val wCell = Window.partitionBy("q_id").orderBy(col("score").asc, col("cell").asc)
     val probes = v
       .filter(col("vec_id") < Knn.NumQueries)
-      .select(
-        col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"),
-        explode(slice(array_sort(array(scoreStructs: _*)), 1, nProbes)).as("pr"))
-      .select(col("q_id"), col("qe"), col("qn"), col("pr.cell").as("cell"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u"))
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("score", col("cnorm2") - lit(2d) * expr("graft_dot(u, centroid)"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nProbes)
+      .select("q_id", "qe", "qn", "cell")
     val scored = probes
       .join(assigned.toDF("nbr_id", "ce", "cn", "cell2"),
         col("cell2") === col("cell") && col("nbr_id") =!= col("q_id"))

@@ -16,10 +16,21 @@ class IvfDerivationSpec extends SparkSpec {
     assert(IvfAnn.numCellsFor(10L) == 10, "small corpus: one cell per vector at most")
     assert(IvfAnn.numCellsFor(1000L) == IvfAnn.MinCells, "sqrt(1000)~32 clamps up to MinCells")
     assert(IvfAnn.numCellsFor(1000000L) == 1000, "sqrt growth in the open range")
-    assert(IvfAnn.numCellsFor(100000000L) == 10000)
-    assert(IvfAnn.numCellsFor(10000000000L) == IvfAnn.MaxCells, "upper clamp")
+    assert(IvfAnn.numCellsFor(100000000L) == IvfAnn.MaxCells,
+      "upper clamp at the quantizer-training feasibility bound")
     assert(IvfAnn.numProbesFor(64) == 8 && IvfAnn.numProbesFor(1024) == 128,
       "nprobe stays a fixed fraction of the cell count above the floor")
+  }
+
+  test("centroid ranking plan is O(1) in the cell count (no per-centroid literals)") {
+    val df = graft.similarity.IvfAnn.ivfTopK(spark, sfDir)
+    // Before de-literalizing, the plan held one graft_dot-over-literal
+    // node PER centroid (k of them); now centroids are broadcast data and
+    // the plan has a constant handful of expression nodes regardless of k.
+    val plan = df.queryExecution.analyzed.toString
+    val dots = "graft_dot".r.findAllIn(plan).length
+    assert(dots <= 8, s"plan embeds per-centroid expressions: $dots graft_dot nodes")
+    spark.catalog.clearCache()
   }
 
   private def synthVectors(n: Int): DataFrame =
