@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Extracted per-asset features. Images carry pixel dimensions, audio
-  * carries sample rate/channels, video (no pure-JVM codec) falls back
-  * to `format = "raw"` with zeroed media fields.
+  * carries sample rate/channels, video carries track dimensions and
+  * movie duration from the ISO-BMFF box tree; anything unrecognized
+  * falls back to `format = "raw"` with zeroed media fields.
   */
 case class MediaFeatures(
     media_id: Long,
@@ -17,6 +18,7 @@ case class MediaFeatures(
     height: Int,
     sample_rate: Int,
     channels: Int,
+    duration_ms: Long,
     checksum: Long
 )
 
@@ -24,13 +26,14 @@ case class MediaFeatures(
   * metadata, with feature extraction as a batched per-partition decode.
   *
   * The decode step is REAL for containers a pure JVM can parse — PNG
-  * IHDR, JPEG SOF marker scan, WAV fmt chunk — and the media table
-  * synthesizes header-valid payloads (true PNG/JPEG/WAV headers with
-  * dimensions/rates derived from the id) so the end-to-end pipeline
-  * exercises genuine byte-level decoding. Full-frame video decode needs
-  * a native codec this environment lacks; those assets pass through as
-  * format="raw" (disclosed limitation), with the batching/schema
-  * contract identical.
+  * IHDR, JPEG SOF marker scan, WAV fmt chunk, MP4/ISO-BMFF box walk
+  * (moov/trak/tkhd dims, mvhd duration) — and the media table
+  * synthesizes header-valid payloads (true PNG/JPEG/WAV/MP4 headers
+  * with dimensions/rates/durations derived from the id) so the
+  * end-to-end pipeline exercises genuine byte-level decoding.
+  * Full-FRAME video decode (pixels out of an avc1/hevc sample) needs a
+  * native codec this environment lacks; container metadata is parsed
+  * for real, frame decode would slot into the same batch contract.
   *
   * Layout principles for 100 TB of media:
   * - the payload is ONE binary column next to scalar metadata — never
@@ -59,6 +62,15 @@ object BinaryPipeline {
   private[graft] def imgHeight(id: Column): Column = (lit(16) + pmod(id, lit(768))).cast("long")
   private[graft] def wavRate(id: Column): Column   = (lit(8000) + pmod(id, lit(8)) * 4000).cast("long")
   private[graft] def wavChannels(id: Column): Column = (lit(1) + pmod(id, lit(2))).cast("long")
+  private[graft] def vidWidth(id: Column): Column  = (lit(160) + pmod(id, lit(1280))).cast("long")
+  private[graft] def vidHeight(id: Column): Column = (lit(120) + pmod(id, lit(720))).cast("long")
+  private[graft] def vidDurationMs(id: Column): Column = ((lit(1) + pmod(id, lit(59))) * 1000).cast("long")
+
+  /** 3x3 fixed-point identity transform matrix of mvhd/tkhd (36 bytes). */
+  private val Mp4MatrixHex =
+    "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
 
   /** Builds the media table from the documents corpus: payload bytes
     * with a REAL container header (PNG/JPEG for images, WAV for audio)
@@ -83,13 +95,34 @@ object BinaryPipeline {
       lit("524946462400000057415645666D74201000000001"), lit("00"),
       leHex(ch, 1), lit("00")) // audioFormat=1 LE padded + channels 2B LE
     val wavHex2 = concat(wavHex, leHex(sr, 4), leHex(sr * 2, 4), lit("02001000"), lit("6461746100000000"))
+    // MP4/ISO-BMFF: ftyp, then moov { mvhd (timescale 1000, duration),
+    // trak { tkhd (16.16 fixed-point width/height) } }. Box sizes are
+    // fixed (v0 mvhd 108, tkhd 92) so every size field is a literal.
+    val dur = vidDurationMs(id) // timescale 1000 -> duration field IS ms
+    val mvhdHex = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" + "000003E8"),
+      beHex(dur, 4),
+      lit("00010000" + "0100" + "00000000000000000000" + Mp4MatrixHex),
+      lit("0" * 48 + "00000002"))
+    val tkhdHex = concat(
+      lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" + "00000001" + "00000000"),
+      beHex(dur, 4),
+      lit("0000000000000000" + "0000" + "0000" + "0000" + "0000" + Mp4MatrixHex),
+      beHex(vidWidth(id), 2), lit("0000"),
+      beHex(vidHeight(id), 2), lit("0000"))
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
+      lit("000000D8" + "6D6F6F76"),                           // moov (216B)
+      mvhdHex,
+      lit("00000064" + "7472616B"),                           // trak (100B)
+      tkhdHex)
     val kind = when(pmod(id, lit(3)) === 0, "image")
       .when(pmod(id, lit(3)) === 1, "audio")
       .otherwise("video")
     val header = when(kind === "image" && pmod(id, lit(6)) === 0, unhex(pngHex))
       .when(kind === "image", unhex(jpegHex))
       .when(kind === "audio", unhex(wavHex2))
-      .otherwise(lit(Array.empty[Byte]))
+      .otherwise(unhex(mp4Hex))
     Tables
       .documents(spark, dir)
       .select(
@@ -160,6 +193,71 @@ object BinaryPipeline {
     None
   }
 
+  /** MP4/ISO-BMFF: walk the top-level box list to `moov`, read movie
+    * duration from `mvhd` (duration/timescale, version-0 layout) and
+    * track pixel dimensions from `trak`/`tkhd` (16.16 fixed point —
+    * the integer part is the pixel count). Trailing non-box bytes
+    * (this pipeline appends a content body after the last box, and
+    * real files append `mdat` sample data the walk skips by size) end
+    * the walk without invalidating what was already parsed. Long
+    * cursors guard against fuzzed 32-bit sizes, as in wavInfo.
+    *
+    * @return (width, height, duration_ms)
+    */
+  private[graft] def mp4Info(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    def typ(off: Int): String = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def boxSize(off: Int): Long = be(b, off, 4).toLong & 0xffffffffL
+    if (b.length < 16 || (typ(0) != "ftyp" && typ(0) != "moov")) return None
+    var w = -1; var h = -1; var durMs = -1L
+    var i = 0L
+    var walking = true
+    while (walking && i + 8 <= b.length) {
+      val at = i.toInt
+      val sz = boxSize(at)
+      if (sz < 8) walking = false // not a box: trailing body bytes
+      else {
+        if (typ(at) == "moov") {
+          val end = math.min(i + sz, b.length.toLong)
+          var j = i + 8
+          var inMoov = true
+          while (inMoov && j + 8 <= end) {
+            val ja = j.toInt
+            val jsz = boxSize(ja)
+            if (jsz < 8) inMoov = false
+            else {
+              typ(ja) match {
+                case "mvhd" if j + 28 <= end && b(ja + 8) == 0 =>
+                  val ts = be(b, ja + 20, 4).toLong & 0xffffffffL
+                  val dur = be(b, ja + 24, 4).toLong & 0xffffffffL
+                  if (ts > 0) durMs = dur * 1000L / ts
+                case "trak" =>
+                  val tend = math.min(j + jsz, end)
+                  var k = j + 8
+                  var inTrak = true
+                  while (inTrak && k + 8 <= tend) {
+                    val ka = k.toInt
+                    val ksz = boxSize(ka)
+                    if (ksz < 8) inTrak = false
+                    else {
+                      if (typ(ka) == "tkhd" && k + 92 <= tend && b(ka + 8) == 0) {
+                        w = be(b, ka + 84, 2)
+                        h = be(b, ka + 88, 2)
+                      }
+                      k += ksz
+                    }
+                  }
+                case _ => ()
+              }
+              j += jsz
+            }
+          }
+        }
+        i += sz
+      }
+    }
+    if (w >= 0 && h >= 0 && durMs >= 0) Some((w, h, durMs)) else None
+  }
+
   /** Batched decode: real header parse per container, deterministic
     * content checksum either way. Signature and batching are the
     * production contract: Array[Byte] in, fixed-size batches, typed
@@ -171,12 +269,15 @@ object BinaryPipeline {
       var i = 0
       while (i < bytes.length) { h = h * 1315423911L + (bytes(i) & 0xff); i += 1 }
       pngDims(bytes) match {
-        case Some((w, ht)) => MediaFeatures(id, kind, "png", bytes.length.toLong, w, ht, 0, 0, h)
+        case Some((w, ht)) => MediaFeatures(id, kind, "png", bytes.length.toLong, w, ht, 0, 0, 0L, h)
         case None => jpegDims(bytes) match {
-          case Some((w, ht)) => MediaFeatures(id, kind, "jpeg", bytes.length.toLong, w, ht, 0, 0, h)
+          case Some((w, ht)) => MediaFeatures(id, kind, "jpeg", bytes.length.toLong, w, ht, 0, 0, 0L, h)
           case None => wavInfo(bytes) match {
-            case Some((sr, ch)) => MediaFeatures(id, kind, "wav", bytes.length.toLong, 0, 0, sr, ch, h)
-            case None => MediaFeatures(id, kind, "raw", bytes.length.toLong, 0, 0, 0, 0, h)
+            case Some((sr, ch)) => MediaFeatures(id, kind, "wav", bytes.length.toLong, 0, 0, sr, ch, 0L, h)
+            case None => mp4Info(bytes) match {
+              case Some((w, ht, d)) => MediaFeatures(id, kind, "mp4", bytes.length.toLong, w, ht, 0, 0, d, h)
+              case None => MediaFeatures(id, kind, "raw", bytes.length.toLong, 0, 0, 0, 0, 0L, h)
+            }
           }
         }
       }

@@ -33,6 +33,17 @@ class MultimodalSpec extends SparkSpec {
     val wavJunk = hexBytes("524946462400000057415645" + "4A554E4B" + "04000000" + "AABBCCDD" +
       "666D742010000000" + "0100" + "0200" + "44AC0000" + "88580100" + "04001000")
     assert(BinaryPipeline.wavInfo(wavJunk).contains((44100, 2)))
+    // MP4: ftyp + moov{mvhd ts=1000 dur=5000, trak{tkhd 640x480 16.16}},
+    // with a free box before moov and trailing body bytes after it
+    val matrix = "000100000000000000000000" + "000000000001000000000000" + "000000000000000040000000"
+    val mvhd = "0000006C6D766864" + "00000000" + "00000000" + "00000000" + "000003E8" + "00001388" +
+      "00010000" + "0100" + "00000000000000000000" + matrix + ("0" * 48) + "00000002"
+    val tkhd = "0000005C746B6864" + "00000007" + "00000000" + "00000000" + "00000001" + "00000000" +
+      "00001388" + "0000000000000000" + "0000" + "0000" + "0000" + "0000" + matrix +
+      "0280" + "0000" + "01E0" + "0000"
+    val mp4 = hexBytes("000000106674797069736F6D00000000" + "0000000C66726565AABBCCDD" +
+      "000000D86D6F6F76" + mvhd + "000000647472616B" + tkhd + "DEADBEEF")
+    assert(BinaryPipeline.mp4Info(mp4).contains((640, 480, 5000L)))
     // garbage falls back to raw, never throws
     assert(BinaryPipeline.decodeBatch(Seq((1L, "video", Array[Byte](1, 2, 3)))).head.format == "raw")
   }
@@ -52,7 +63,14 @@ class MultimodalSpec extends SparkSpec {
         col("sample_rate") =!= (lit(8000) + pmod(col("media_id"), lit(8)) * 4000) ||
         col("channels") =!= (lit(1) + pmod(col("media_id"), lit(2))))
     assert(badAud.count() == 0, "wav header decode mismatch")
-    assert(feats.filter(col("kind") === "video").filter(col("format") =!= "raw").count() == 0)
+    // every video decodes to the dims/duration its ISO-BMFF boxes encode
+    val badVid = feats.filter(col("kind") === "video").filter(
+      col("format") =!= "mp4" ||
+        col("width") =!= (lit(160) + pmod(col("media_id"), lit(1280))) ||
+        col("height") =!= (lit(120) + pmod(col("media_id"), lit(720))) ||
+        col("duration_ms") =!= (lit(1) + pmod(col("media_id"), lit(59))) * 1000)
+    assert(badVid.count() == 0, "mp4 box-walk decode mismatch")
+    assert(feats.filter(col("format") === "raw").count() == 0, "no undecoded assets remain")
     assert(feats.filter(col("n_bytes") <= 0).count() == 0)
     val again = BinaryPipeline.pipeline(spark, sfDir)
     assert(feats.exceptAll(again).count() == 0, "decode must be deterministic")

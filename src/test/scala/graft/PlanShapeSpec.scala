@@ -15,12 +15,14 @@ class PlanShapeSpec extends SparkSpec {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       if (plan.contains("BroadcastNestedLoopJoin")) {
-        // Only the scalar-subquery shape is allowed: a keyless aggregate
-        // (guaranteed single row) broadcast to the stream side — the plan
-        // Spark itself produces for scalar subqueries. Anything else
-        // (two unbounded sides) is a 100 TB killer.
+        // Only BOUNDED broadcast sides are allowed: a keyless aggregate
+        // (guaranteed single row — the scalar-subquery plan Spark itself
+        // produces) or a driver-local LocalTableScan whose size is fixed
+        // by construction (the IVF centroid frame, ≤ MaxCells rows).
+        // Anything else (two unbounded sides) is a 100 TB killer.
         assert(
-          plan.contains("IdentityBroadcastMode") && plan.contains("HashAggregate(keys=[]"),
+          plan.contains("IdentityBroadcastMode") &&
+            (plan.contains("HashAggregate(keys=[]") || plan.contains("LocalTableScan")),
           s"$name plans an unbounded BroadcastNestedLoopJoin"
         )
       }
