@@ -45,22 +45,29 @@ object Clusters {
     * ONE scalar aggregate per round, no change-count join.
     *
     * Scale shape: both joins shuffle on (id | label) — high-cardinality
-    * keys, never the payload. Each round's result is localCheckpoint'd
-    * (eager): iterative joins otherwise stack lineage until planning
-    * time explodes, and a lost-block recompute would replay every prior
-    * round. Edges are checkpointed once and reused by every round.
+    * keys, never the payload. The loop runs over EDGE-INCIDENT vertices
+    * only: a vertex in no pair can never change label, and near-dup
+    * edges are sparse relative to the corpus (billions of docs, few
+    * clusters), so iterating the full vertex set would shuffle the
+    * whole corpus once per round for nothing — singletons are appended
+    * once, outside the loop, as their own cluster. Each round's result
+    * is localCheckpoint'd (eager): iterative joins otherwise stack
+    * lineage until planning time explodes, and a lost-block recompute
+    * would replay every prior round. Edges are checkpointed once and
+    * reused by every round.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    val edgeVertices = edges.select(col("src").as("id")).distinct()
+    var labels = edgeVertices.withColumn("label", col("id")).localCheckpoint(true)
     // sum(label) fits a long at any plausible scale: ids are bounded by
     // the corpus key domain and sum is over n vertices (1e9 docs with
     // 1e6-range ids is ~1e15 << 2^63); Decimal(38,0) would be the
     // paranoid upgrade.
-    def labelSum(df: DataFrame): Long = df.agg(sum("label")).head.getLong(0)
+    def labelSum(df: DataFrame): Long = df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -82,7 +89,11 @@ object Clusters {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $MaxIterations rounds")
-    labels
+    val singletons = vertices
+      .select("id")
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    labels.unionByName(singletons)
   }
 
   /** Declared query: cluster the 3-gram-Jaccard near-dup pairs

@@ -81,12 +81,23 @@ object ScdHistory {
     *
     * @param existing (keyCols..., version, valueCol, valid_from_ms, valid_to_ms)
     * @param updates  (keyCols..., valueCol, ts_ms)
+    * @param preferUpdates same-(key, instant) tie-break policy: false
+    *                      (default) = max value wins — symmetric and
+    *                      order-free; true = the UPDATE batch wins over
+    *                      prior events (source-ranked max_by), so a
+    *                      correction carrying a SMALLER value at an
+    *                      existing instant can take effect. Both are
+    *                      deterministic and idempotent (re-applying a
+    *                      batch whose value already won changes nothing).
+    *                      Corrections that must never depend on policy
+    *                      should carry a newer timestamp instead.
     */
   def applyUpdates(
       existing: DataFrame,
       updates: DataFrame,
       keyCols: Seq[String],
-      valueCol: String
+      valueCol: String,
+      preferUpdates: Boolean = false
   ): DataFrame = {
     val touched = updates.select(keyCols.map(col): _*).distinct()
     val untouched = existing.join(touched, keyCols, "left_anti")
@@ -96,12 +107,16 @@ object ScdHistory {
     // ONE event per (key, instant): two repair attempts at the same
     // timestamp carrying different values would otherwise both survive a
     // distinct(), producing a zero-width version whose order is the
-    // VALUE, not arrival. The max value wins (deterministic, idempotent —
-    // re-applying can't flip the choice); duplicates also collapse here.
+    // VALUE, not arrival. max_by over (source rank, value) implements
+    // both policies in one aggregate; duplicates also collapse here.
+    val rank = if (preferUpdates) col("__src") else lit(0)
     val allEvents = priorEvents
-      .unionByName(updates.select((keyCols.map(col) :+ col(valueCol) :+ col("ts_ms")): _*))
+      .withColumn("__src", lit(0))
+      .unionByName(updates
+        .select((keyCols.map(col) :+ col(valueCol) :+ col("ts_ms")): _*)
+        .withColumn("__src", lit(1)))
       .groupBy((keyCols.map(col) :+ col("ts_ms")): _*)
-      .agg(max(col(valueCol)).as(valueCol))
+      .agg(max_by(col(valueCol), struct(rank, col(valueCol))).as(valueCol))
       .select((keyCols.map(col) :+ col(valueCol) :+ col("ts_ms")): _*)
     untouched.unionByName(fromEvents(allEvents, keyCols, valueCol, "ts_ms"))
   }

@@ -18,6 +18,11 @@ class ClustersSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("no pairs at all: every vertex is its own singleton cluster") {
+    val labels = cc(1L to 5L, Seq.empty)
+    assert(labels == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("a long chain converges (pointer jumping beats the diameter bound)") {
     // Path graph 1-2-...-100 in the worst orientation for min propagation:
     // plain per-round propagation needs ~n rounds; hash-min + pointer

@@ -99,4 +99,23 @@ class ScdSpec extends SparkSpec {
       (2L, "c", 2000L, ScdHistory.OpenEnd)), s"got ${merged.toSeq}")
     merged.foreach { case (_, _, from, to) => assert(from < to, "zero-width version") }
   }
+
+  test("preferUpdates lets a smaller-value correction win at an existing instant, idempotently") {
+    import spark.implicits._
+    val existing = ScdHistory.fromEvents(
+      Seq(("u1", "z", 1000L)).toDF("user_id", "event_type", "ts_ms"),
+      Seq("user_id"), "event_type", "ts_ms")
+    // correction at the SAME instant with a SMALLER value: under the
+    // default max policy it can never win; with preferUpdates the update
+    // batch outranks prior events.
+    val fix = Seq(("u1", "a", 1000L)).toDF("user_id", "event_type", "ts_ms")
+    val defaulted = ScdHistory.applyUpdates(existing, fix, Seq("user_id"), "event_type")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(defaulted.toSeq == Seq(("z", 1000L)), "max policy keeps the larger value")
+    val corrected = ScdHistory.applyUpdates(existing, fix, Seq("user_id"), "event_type", preferUpdates = true)
+    assert(corrected.collect().map(r => (r.getString(2), r.getLong(3))).toSeq == Seq(("a", 1000L)))
+    // idempotent: re-applying the winning batch changes nothing
+    val again = ScdHistory.applyUpdates(corrected, fix, Seq("user_id"), "event_type", preferUpdates = true)
+    assert(again.collect().map(_.toSeq).toSet == corrected.collect().map(_.toSeq).toSet)
+  }
 }
