@@ -59,6 +59,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
+    "q_decontaminate"      -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_doc_repetition"     -> ((s, d) => TextFunctions.docRepetition(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
     "q_embed_neardup_lsh"  -> ((s, d) => LshAnn.neardupPairs(s, d)),
     "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
@@ -472,6 +474,40 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) - 6)) AS i, tk FROM t WHERE len(tk) >= 8
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i : i + 7], ' ') AS sg FROM s
+        |), ev AS (
+        |  SELECT DISTINCT sg FROM sh WHERE doc_id % 20 = 0
+        |), hits AS (
+        |  SELECT sh.doc_id, count(*) AS n_overlap
+        |  FROM sh JOIN ev USING (sg)
+        |  WHERE sh.doc_id % 20 != 0
+        |  GROUP BY sh.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  coalesce(h.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 20 != 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i : i + 2], ' ')) AS grams
+        |  FROM t WHERE len(tk) >= 3
+        |)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  floor((1.0 - len(list_distinct(grams)) * 1.0 / len(grams)) * 10000 + 0.5) / 10000 AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

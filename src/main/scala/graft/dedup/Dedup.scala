@@ -267,6 +267,45 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Shingle width for benchmark decontamination: 8-gram overlap is the
+    * published convention (GPT-3 appendix C / PaLM-family eval
+    * decontamination use 8-13-gram collision).
+    */
+  val DecontamN = 8
+
+  /** Benchmark decontamination: flag every training doc sharing at
+    * least one 8-gram with the held-out eval split — run before any
+    * training job so eval answers don't leak into the corpus. The eval
+    * side here is the deterministic doc_id % 20 == 0 slice (production
+    * passes the real benchmark set); its distinct shingles are tiny
+    * relative to the corpus, so the overlap join is an equi-join on the
+    * hashed shingle that AQE broadcasts — the corpus side streams, only
+    * matches shuffle to the per-doc count. Output covers every
+    * non-eval doc (n_overlap = 0 when clean).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir))
+
+  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(20)) === 0
+    val sh = shingles(docs, DecontamN).select(col("doc_id"), xxhash64(col("sg")).as("sg"))
+    val evalSh = sh.filter(isEval).select("sg").distinct()
+    val hits = sh
+      .filter(!isEval)
+      .join(evalSh, "sg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    docs
+      .filter(!isEval)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Block count for the exact all-pairs embedding compare. */
   val EmbedBlocks = 8
 

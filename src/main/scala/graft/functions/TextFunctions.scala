@@ -47,6 +47,32 @@ object TextFunctions {
         size(expr(s"regexp_extract_all(text, '$BpePattern', 0)")).cast("long").as("n_tokens_bpe"))
       .orderBy("doc_id")
 
+  /** #30b intra-document repetition score: total vs distinct 3-gram
+    * counts and their duplicate ratio — the Gopher/MassiveText-family
+    * quality filter (Rae et al. 2021 §A1.1 flag docs whose duplicate
+    * n-gram fraction is high; boilerplate and degenerate generations
+    * repeat). Pure per-row column expressions (transform over the token
+    * array — no explode, no shuffle, whole-stage codegen): the cheapest
+    * possible shape at corpus scale. Docs shorter than 3 tokens have no
+    * 3-gram and are excluded, like Dedup.shingles.
+    */
+  def docRepetition(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    docRepetitionOf(Tables.documents(spark, dir), n)
+
+  private[graft] def docRepetitionOf(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn(
+        "grams",
+        expr(s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio", Num.round4(lit(1.0) - col("n_distinct").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+
   /** #32e TF-IDF keyword retrieval (sparse search over the corpus):
     * score(doc) = Σ_q tf(doc,q) · idf(q) for the query tokens, top-k
     * docs. The inverted-index shape — tf/df as partial-aggregated

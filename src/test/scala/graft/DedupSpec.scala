@@ -79,6 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH near-dup recall collapsed: $recall")
   }
 
+  test("decontamination flags exactly the non-eval docs sharing an 8-gram with the eval split") {
+    import spark.implicits._
+    // doc 0 is eval (id % 20 == 0); doc 21 copies 8 of its consecutive
+    // tokens, doc 22 shares only a 7-gram (one token changed), doc 23 is
+    // clean, doc 24 is too short to carry an 8-gram.
+    val evalText = "a b c d e f g h i j"
+    val docs = Seq(
+      (0L, evalText),
+      (21L, "x y a b c d e f g h"),
+      (22L, "a b c d e f g X i j"),
+      (23L, "entirely different words with no overlap at all here ok"),
+      (24L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(21L, 22L, 23L, 24L), "eval docs excluded, all others covered")
+    assert(out(21L) == (1L, true), s"doc 21 shares one 8-gram: ${out(21L)}")
+    assert(out(22L) == (0L, false), "a 7-gram overlap must NOT flag")
+    assert(out(23L) == (0L, false))
+    assert(out(24L) == (0L, false), "short docs carry no 8-gram")
+  }
+
   test("shingling produces distinct 3-gram shingles per doc") {
     val sh = Dedup.shingles(Tables.documents(spark, sfDir))
     val dup = sh.groupBy("doc_id", "sg").count().filter(col("count") > 1).count()

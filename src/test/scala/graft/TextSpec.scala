@@ -88,4 +88,22 @@ class TextSpec extends SparkSpec {
     val expected = Seq("", "a", "graft", "é中文").map(FingerprintExpr.reference)
     assert(df.collect().map(_.getLong(0)).toSeq == expected)
   }
+
+  test("doc repetition scores degenerate repeats high and unique text zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),   // one distinct 3-gram, 4 total
+      (2L, "all words here are fully unique"), // no repeated 3-gram
+      (3L, "a b")                              // too short: excluded
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions.docRepetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (4L, 1L, 0.75), s"degenerate doc: ${out(1L)}")
+    assert(out(2L) == (4L, 4L, 0.0), s"unique doc: ${out(2L)}")
+    // and over the real corpus the ratio is always a valid fraction
+    val corpus = SparkEntry.queries("q_doc_repetition")(spark, sfDir)
+    assert(corpus.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() == 0)
+    assert(corpus.filter(col("n_distinct") > col("n_grams")).count() == 0)
+  }
 }
