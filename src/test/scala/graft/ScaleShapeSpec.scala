@@ -52,6 +52,26 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("multi-frame window queries share shuffles: one exchange per distinct partition key") {
+    // q_stats_availability evaluates 5 counters over 3 window specs and
+    // 2 distinct partition keys, yet plans ONE exchange: hashpartitioning
+    // on user_id already co-locates (user_id, event_type) groups, so
+    // EnsureRequirements satisfies the per-type window with a sort, not a
+    // second shuffle. q_recurrent_delta's 3 frames share one (user_id,
+    // event_type) sort+shuffle. A regression that splits frames into
+    // extra shuffles multiplies the dominant cost at 100 TB.
+    def exchanges(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      // hashpartitioning exchanges only: the final presentation orderBy
+      // plans a rangepartitioning exchange that's irrelevant here
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    }
+    assert(exchanges("q_stats_availability") == 1,
+      "stats availability must evaluate all counters with one shuffle")
+    assert(exchanges("q_recurrent_delta") == 1,
+      "recurrent delta must evaluate delta2/3/4 over one shuffle")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val path = Files.createTempDirectory("graft_prune").toString + "/events"
     ParquetSink.writePartitioned(
