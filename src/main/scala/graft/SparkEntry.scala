@@ -64,6 +64,7 @@ object SparkEntry {
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
     "q_embed_neardup_lsh"  -> ((s, d) => LshAnn.neardupPairs(s, d)),
     "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
+    "q_embed_quantize"     -> ((s, d) => graft.similarity.Quantize.quantizeStats(s, d)),
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
@@ -520,6 +521,27 @@ object SparkEntry {
         |FROM n x JOIN n y ON x.vec_id < y.vec_id
         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
         |ORDER BY a, b""".stripMargin,
+    // Quantization is elementwise (no accumulation order), so the stats
+    // oracle-check exactly; indexing instead of list_zip keeps DuckDB
+    // struct field naming out of the comparison.
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e
+        |), q AS (
+        |  SELECT vec_id, v, sc,
+        |    CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(floor(x / sc + 0.5) AS INT)) END AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS n_dims,
+        |  floor(sc * 10000 + 0.5) / 10000 AS scale,
+        |  CASE WHEN sc = 0 THEN 0.0
+        |       ELSE floor(list_max(list_transform(range(1, len(v) + 1), i -> abs(qv[i] * sc - v[i]))) * 10000 + 0.5) / 10000
+        |  END AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     // q_ann_lsh is rows-checked: its signatures use seeded JVM-side
     // hyperplanes DuckDB can't replicate; its recall is asserted against
     // q_knn_cosine in the ScalaTest suite instead.

@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
+  test("int8 quantization stays in range with error bounded by half a step") {
+    val q = graft.similarity.Quantize.quantized(spark, sfDir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Int](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), "codes exceed int8 symmetric range")
+      assert(scale >= 0)
+    }
+    val stats = SparkEntry.queries("q_embed_quantize")(spark, sfDir).collect()
+    stats.foreach { r =>
+      val (scale, err) = (r.getDouble(2), r.getDouble(3))
+      // round-half-up quantization error is at most scale/2 (+ round4 slack)
+      assert(err <= scale / 2 + 1e-4, s"vec ${r.getLong(0)}: err $err > scale/2 ${scale / 2}")
+    }
+  }
+
   test("brute kNN returns exactly top-5 per query with valid ranks and cosine range") {
     val knn = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
     val counts = knn.groupBy("q_id").count().collect()
