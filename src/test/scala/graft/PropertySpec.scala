@@ -99,4 +99,29 @@ class PropertySpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("length mismatch")), s"unexpected error: $e")
   }
+
+  test("media byte parsers never throw on fuzzed inputs (100 TB of untrusted bytes)") {
+    import graft.multimodal.BinaryPipeline
+    // random bytes, truncations of VALID headers at every length, and
+    // magic-byte prefixes followed by garbage — decodeBatch must always
+    // produce a row (format raw at worst), never an exception.
+    def hexBytes(s: String): Array[Byte] = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val validPng = hexBytes("89504E470D0A1A0A0000000D4948445200000280000001E00802000000")
+    val validWav = hexBytes("524946462400000057415645666D7420100000000100020044AC00008858010004001000")
+    val validMp4 = hexBytes("000000106674797069736F6D00000000000000D86D6F6F76")
+    val magics = Seq("FFD8FF", "89504E47", "52494646", "00000010667479")
+    val cases: Seq[Array[Byte]] =
+      (0 until 200).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)) ++
+        (validPng ++ validWav ++ validMp4).indices.map { i => (validPng ++ validWav ++ validMp4).take(i) } ++
+        (0 until 60).map { _ =>
+          hexBytes(magics(rnd.nextInt(magics.size))) ++ Array.fill(rnd.nextInt(48))(rnd.nextInt(256).toByte)
+        } ++
+        // adversarial box/chunk sizes: huge unsigned, zero, and 1-7 (sub-header)
+        Seq("00000000", "00000001", "00000007", "FFFFFFFF", "7FFFFFFF").map { sz =>
+          hexBytes("000000106674797069736F6D00000000" + sz + "6D6F6F76AABBCCDD")
+        }
+    val out = BinaryPipeline.decodeBatch(cases.zipWithIndex.map { case (b, i) => (i.toLong, "fuzz", b) })
+    assert(out.size == cases.size, "every fuzzed payload must yield a feature row")
+    assert(out.forall(f => f.n_bytes >= 0), "sane output for every input")
+  }
 }
