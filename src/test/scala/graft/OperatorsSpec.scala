@@ -96,4 +96,34 @@ class OperatorsSpec extends SparkSpec {
     val grand = df.filter(col("rname") === "ALL" && col("nname") === "ALL").head.getLong(2)
     assert(grand == Tables.customer(spark, sfDir).count())
   }
+
+  test("driver contract: every oracle key names a query; rows-only set is exactly the documented one") {
+    // A typo'd oracle key silently downgrades its query to rows-only in
+    // the driver's gate — pin both directions.
+    val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    val documented = Set(
+      // seeded JVM hashes / hyperplanes DuckDB can't replicate:
+      "q_dedup_minhash_lsh", "q_dedup_simhash", "q_embed_neardup_lsh", "q_ann_lsh",
+      // learned k-means cells (non-deterministic across engines):
+      "q_ann_ivf",
+      // sketches (approximate by design):
+      "q_distinct_agg_approx", "q_percentiles_approx",
+      // custom codegen hash / binary decode (spec-verified instead):
+      "q_doc_fingerprint", "q_multimodal_pipeline")
+    assert(rowsOnly == documented,
+      s"rows-only drift: extra=${rowsOnly.diff(documented)} missing=${documented.diff(rowsOnly)}")
+  }
+
+  test("bench aliases really share their target's plan") {
+    for ((alias, target) <- Bench.Aliases) {
+      assert(SparkEntry.queries.contains(alias) && SparkEntry.queries.contains(target),
+        s"alias $alias -> $target must name real queries")
+      val a = SparkEntry.queries(alias)(spark, sfDir).queryExecution.analyzed.canonicalized
+      val t = SparkEntry.queries(target)(spark, sfDir).queryExecution.analyzed.canonicalized
+      assert(a == t, s"$alias is benched as an alias of $target but plans differently")
+      spark.catalog.clearCache()
+    }
+  }
 }
