@@ -47,6 +47,8 @@ object SparkEntry {
     "q_stats_availability" -> (Windows.statsAvailability _),
     "q_recurrent_delta"    -> (Windows.recurrentDelta _),
     "q_split_assign"    -> (Splits.splitAssign _),
+    "q_split_leakage_safe" -> (Splits.leakageSafeSplit _),
+    "q_seq_pack"        -> (SeqPack.seqPack _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
     "q_json_props"      -> (Relational.jsonProps _),
@@ -106,6 +108,43 @@ object SparkEntry {
       |JOIN sizes sb ON p.b = sb.doc_id
       |WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8
       |ORDER BY a, b""".stripMargin
+
+  /** Shared recursive-closure CTEs (DuckDB): 3-gram shingles → >= 0.8
+    * Jaccard pairs → undirected edges → `walk` = transitive reachability
+    * from every doc. Used by the clustering oracle and the
+    * leakage-safe-split oracle.
+    */
+  private val ClusterWalkCtes =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
+      |  FROM tok t1
+      |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+      |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+      |), cand AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT c.a, c.b
+      |  FROM cand c
+      |  JOIN sizes sa ON c.a = sa.doc_id
+      |  JOIN sizes sb ON c.b = sb.doc_id
+      |  WHERE c.inter * 1.0 / (sa.n + sb.n - c.inter) >= 0.8
+      |), edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT b, a FROM pairs
+      |), walk(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src
+      |)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column aliases, same rounding,
     * same deterministic ORDER BY).
@@ -417,6 +456,21 @@ object SparkEntry {
         |  w3 AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
         |  w4 AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id""".stripMargin,
+    "q_seq_pack" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents
+           |), c AS (
+           |  SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM t
+           |)
+           |SELECT doc_id,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(off AS BIGINT) AS start_offset,
+           |  CAST(off // 2048 AS BIGINT) AS pack_id,
+           |  CAST(off % 2048 AS BIGINT) AS pack_offset
+           |FROM c ORDER BY doc_id""".stripMargin,
     "q_doc_chunk" ->
       raw"""WITH t AS (
            |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
@@ -443,38 +497,21 @@ object SparkEntry {
     // Transitive closure over the same >= 0.8 Jaccard edge set via a
     // recursive CTE: min reachable doc_id = cluster id.
     "q_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |         generate_subscripts(string_split(text, ' '), 1) AS i
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
-        |  FROM tok t1
-        |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
-        |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
-        |), cand AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT c.a, c.b
-        |  FROM cand c
-        |  JOIN sizes sa ON c.a = sa.doc_id
-        |  JOIN sizes sb ON c.b = sb.doc_id
-        |  WHERE c.inter * 1.0 / (sa.n + sb.n - c.inter) >= 0.8
-        |), edges AS (
-        |  SELECT a AS src, b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT b, a FROM pairs
-        |), walk(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src
-        |)
+      s"""WITH RECURSIVE $ClusterWalkCtes
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Same closure, split assigned by hashing the CLUSTER id so near-dup
+    // members can never straddle train/test.
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $ClusterWalkCtes, cl AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(((cluster_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN ((cluster_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 < 80 THEN 'train'
+        |       WHEN ((cluster_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

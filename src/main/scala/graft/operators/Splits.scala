@@ -31,6 +31,26 @@ object Splits {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Leakage-safe split: hash the near-dup CLUSTER id, not the doc id,
+    * so every member of a near-dup cluster lands in the same split — a
+    * doc-keyed split leaks eval answers into training through
+    * near-duplicates, which is exactly what dedup clustering detects.
+    * Same engine-portable multiplicative hash as splitAssign; cluster
+    * ids come from graft.dedup.Clusters (Jaccard >= 0.8 components,
+    * singletons = their own cluster).
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Clusters
+      .dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("bucket",
+        (((col("cluster_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
   /** Deterministic stratified downsampling: keep a per-stratum rate of
     * rows, selected by the same engine-portable multiplicative hash —
     * same row kept on every run, no RNG state, joinable against any

@@ -32,6 +32,24 @@ class ClustersSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L), "whole chain is one component labeled by its min")
   }
 
+  test("leakage-safe split keeps every near-dup cluster inside one split") {
+    val s = SparkEntry.queries("q_split_leakage_safe")(spark, sfDir)
+    val rows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(rows.length == Tables.documents(spark, sfDir).count(), "every doc gets a split")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // near-dup PAIRS can therefore never leak across train/test
+    val split = rows.map(r => r._1 -> r._3).toMap
+    SparkEntry.queries("q_dedup_jaccard_prefix")(spark, sfDir)
+      .select("a", "b").collect().foreach { r =>
+        assert(split(r.getLong(0)) == split(r.getLong(1)), "paired docs in different splits")
+      }
+    val frac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of band")
+  }
+
   test("q_dedup_clusters covers every doc with exactly one keeper per cluster") {
     val out = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

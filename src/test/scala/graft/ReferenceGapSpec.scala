@@ -74,6 +74,28 @@ class ReferenceGapSpec extends SparkSpec {
     assert(m.filter(col("n_7d") < 0).count() == 0)
   }
 
+  test("sequence packing is a gapless concatenation layout built without a corpus-scale global window") {
+    val p = SparkEntry.queries("q_seq_pack")(spark, sfDir)
+    val rows = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // contiguity: each doc starts exactly where the previous one ended
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.head._3 == 0L, "stream starts at offset 0")
+    sorted.sliding(2).foreach {
+      case Array((_, n0, off0, _, _), (id1, _, off1, _, _)) =>
+        assert(off1 == off0 + n0, s"gap/overlap before doc $id1")
+      case _ =>
+    }
+    rows.foreach { case (_, _, off, pack, pOff) =>
+      assert(pOff >= 0 && pOff < graft.operators.SeqPack.PackBudget)
+      assert(pack == off / graft.operators.SeqPack.PackBudget)
+    }
+    // the only partition-less window runs over the tiny block frame: the
+    // corpus-scale window must be partitioned by blk
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(blk"),
+      "per-doc running sum must be partitioned by block")
+  }
+
   test("stats availability: counters are consistent subsets, zero for no-history players") {
     val a = SparkEntry.queries("q_stats_availability")(spark, sfDir)
     assert(a.count() == Tables.events(spark, sfDir).count(), "one availability row per event")
