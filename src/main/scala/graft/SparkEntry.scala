@@ -49,6 +49,7 @@ object SparkEntry {
     "q_split_assign"    -> (Splits.splitAssign _),
     "q_split_leakage_safe" -> (Splits.leakageSafeSplit _),
     "q_seq_pack"        -> (SeqPack.seqPack _),
+    "q_source_mix"      -> (Splits.sourceMix _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
     "q_json_props"      -> (Relational.jsonProps _),
@@ -456,6 +457,19 @@ object SparkEntry {
         |  w3 AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
         |  w4 AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id""".stripMargin,
+    "q_source_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT min(n_s) AS min_n FROM c
+        |), r AS (
+        |  SELECT source, (min_n * 100) // n_s AS rate_pct FROM c, m
+        |)
+        |SELECT d.doc_id, d.source,
+        |  CAST(((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS BIGINT) AS bucket
+        |FROM documents d JOIN r USING (source)
+        |WHERE ((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 < r.rate_pct
+        |ORDER BY d.doc_id""".stripMargin,
     "q_seq_pack" ->
       raw"""WITH t AS (
            |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents

@@ -51,6 +51,33 @@ object Splits {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Source-balanced mixture sampling: downsample every `source` to
+    * (approximately) the SMALLEST source's row count — the data-mixing
+    * move that stops one over-crawled source from dominating a training
+    * corpus. Unlike stratifiedSample's fixed rates, the per-source keep
+    * rate is DERIVED from the corpus (floor(min_n·100/n_s) percent,
+    * integer arithmetic so both engines agree exactly; 1% granularity —
+    * a source more than 100× the smallest keeps nothing, the documented
+    * cost of hash-bucket determinism). Shape: tiny per-source counts →
+    * scalar min via the 1-row keyless-aggregate join → rates broadcast
+    * back to the scan; the corpus pays one read + codegen'd filter.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val rates = counts
+      .crossJoin(counts.agg(min(col("n_s")).as("min_n")))
+      .withColumn("rate_pct", expr("min_n * 100 div n_s"))
+      .select("source", "rate_pct")
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("bucket",
+        (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))
+      .filter(col("bucket") < col("rate_pct"))
+      .select("doc_id", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified downsampling: keep a per-stratum rate of
     * rows, selected by the same engine-portable multiplicative hash —
     * same row kept on every run, no RNG state, joinable against any

@@ -96,6 +96,24 @@ class ReferenceGapSpec extends SparkSpec {
       "per-doc running sum must be partitioned by block")
   }
 
+  test("source mix balances every source to roughly the smallest source's size") {
+    val mix = SparkEntry.queries("q_source_mix")(spark, sfDir)
+    val perSource = mix.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val original = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.keySet == original.keySet, "every source survives")
+    val minN = original.values.min
+    perSource.foreach { case (s, kept) =>
+      // hash buckets are ~uniform: each source lands within a loose band
+      // of the smallest source's size, and never above its own count
+      assert(kept <= original(s), s"source $s kept more than it has")
+      assert(kept <= minN * 1.5 && kept >= minN * 0.5,
+        s"source $s kept $kept, expected ~$minN")
+    }
+    val again = SparkEntry.queries("q_source_mix")(spark, sfDir)
+    assert(mix.exceptAll(again).count() == 0, "mix must be deterministic")
+  }
+
   test("stats availability: counters are consistent subsets, zero for no-history players") {
     val a = SparkEntry.queries("q_stats_availability")(spark, sfDir)
     assert(a.count() == Tables.events(spark, sfDir).count(), "one availability row per event")
