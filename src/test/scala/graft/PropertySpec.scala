@@ -100,6 +100,33 @@ class PropertySpec extends SparkSpec {
     assert(messages(e).exists(_.contains("length mismatch")), s"unexpected error: $e")
   }
 
+  test("connected components equals union-find on random graphs (sparse, dense, star, cycles)") {
+    import spark.implicits._
+    val shapes = Seq(
+      // (nVertices, edges)
+      (40, (0 until 20).map(_ => (rnd.nextInt(40).toLong + 1, rnd.nextInt(40).toLong + 1))),   // sparse random
+      (25, (0 until 80).map(_ => (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))),   // dense random
+      (30, (2 to 30).map(i => (1L, i.toLong))),                                                // star
+      (24, (1 to 24).map(i => (i.toLong, (i % 24).toLong + 1)))                                 // one big cycle
+    )
+    for ((n, rawEdges) <- shapes) {
+      val edges = rawEdges.filter { case (a, b) => a != b }
+      val labels = graft.dedup.Clusters
+        .connectedComponents((1L to n.toLong).toDF("id"), edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val roots = (1L to n.toLong).groupBy(find).map { case (_, vs) => vs.toSet -> vs.min }
+      roots.foreach { case (members, minId) =>
+        members.foreach { v =>
+          assert(labels(v) == minId, s"vertex $v labeled ${labels(v)}, union-find says $minId (n=$n)")
+        }
+      }
+    }
+  }
+
   test("media byte parsers never throw on fuzzed inputs (100 TB of untrusted bytes)") {
     import graft.multimodal.BinaryPipeline
     // random bytes, truncations of VALID headers at every length, and
