@@ -463,12 +463,12 @@ object SparkEntry {
         |), m AS (
         |  SELECT min(n_s) AS min_n FROM c
         |), r AS (
-        |  SELECT source, (min_n * 100) // n_s AS rate_pct FROM c, m
+        |  SELECT source, greatest((min_n * 1000) // n_s, 1) AS rate_pm FROM c, m
         |)
         |SELECT d.doc_id, d.source,
-        |  CAST(((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS BIGINT) AS bucket
+        |  CAST(((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 1000 AS BIGINT) AS bucket
         |FROM documents d JOIN r USING (source)
-        |WHERE ((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 < r.rate_pct
+        |WHERE ((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 1000 < r.rate_pm
         |ORDER BY d.doc_id""".stripMargin,
     "q_seq_pack" ->
       raw"""WITH t AS (

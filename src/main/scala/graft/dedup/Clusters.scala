@@ -3,6 +3,7 @@ package graft.dedup
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Near-dup cluster formation: pairs -> connected components -> one
   * canonical survivor per cluster — the step between near-dup PAIR
@@ -63,11 +64,14 @@ object Clusters {
       .localCheckpoint(true)
     val edgeVertices = edges.select(col("src").as("id")).distinct()
     var labels = edgeVertices.withColumn("label", col("id")).localCheckpoint(true)
-    // sum(label) fits a long at any plausible scale: ids are bounded by
-    // the corpus key domain and sum is over n vertices (1e9 docs with
-    // 1e6-range ids is ~1e15 << 2^63); Decimal(38,0) would be the
-    // paranoid upgrade.
-    def labelSum(df: DataFrame): Long = df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    // Labels only ever decrease, so the label sum strictly decreases
+    // until the fixpoint. Summed as Decimal(38,0): a long sum can wrap
+    // with adversarially large 64-bit ids, and a wrapped-equal sum would
+    // falsely signal convergence; 38 digits hold sum(2^63) over 1e19
+    // vertices exactly.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -83,7 +87,7 @@ object Clusters {
         .select(col("id"), col("plabel").as("label"))
         .localCheckpoint(true)
       val s = labelSum(jumped)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = jumped
       iter += 1

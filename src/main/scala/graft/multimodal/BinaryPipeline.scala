@@ -143,6 +143,11 @@ object BinaryPipeline {
     while (i < n) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
     v
   }
+  private def be8(b: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    v
+  }
   private def le(b: Array[Byte], off: Int, n: Int): Int = {
     var v = 0; var i = n - 1
     while (i >= 0) { v = (v << 8) | (b(off + i) & 0xff); i -= 1 }
@@ -194,9 +199,12 @@ object BinaryPipeline {
   }
 
   /** MP4/ISO-BMFF: walk the top-level box list to `moov`, read movie
-    * duration from `mvhd` (duration/timescale, version-0 layout) and
-    * track pixel dimensions from `trak`/`tkhd` (16.16 fixed point —
-    * the integer part is the pixel count). Trailing non-box bytes
+    * duration from `mvhd` (duration/timescale; both the version-0
+    * 32-bit and version-1 64-bit time layouts — v1 shifts timescale to
+    * +28 and widens duration to 8 bytes at +32) and track pixel
+    * dimensions from `trak`/`tkhd` (16.16 fixed point — the integer
+    * part is the pixel count; v1's two 64-bit times + 64-bit duration
+    * shift width/height by 12 bytes). Trailing non-box bytes
     * (this pipeline appends a content body after the last box, and
     * real files append `mdat` sample data the walk skips by size) end
     * the walk without invalidating what was already parsed. Long
@@ -230,6 +238,12 @@ object BinaryPipeline {
                   val ts = be(b, ja + 20, 4).toLong & 0xffffffffL
                   val dur = be(b, ja + 24, 4).toLong & 0xffffffffL
                   if (ts > 0) durMs = dur * 1000L / ts
+                case "mvhd" if j + 40 <= end && b(ja + 8) == 1 =>
+                  // v1: creation/modification are 64-bit, so timescale
+                  // moves to +28 and duration is 8 bytes at +32
+                  val ts = be(b, ja + 28, 4).toLong & 0xffffffffL
+                  val dur = be8(b, ja + 32)
+                  if (ts > 0 && dur >= 0) durMs = dur * 1000L / ts
                 case "trak" =>
                   val tend = math.min(j + jsz, end)
                   var k = j + 8
@@ -242,6 +256,10 @@ object BinaryPipeline {
                       if (typ(ka) == "tkhd" && k + 92 <= tend && b(ka + 8) == 0) {
                         w = be(b, ka + 84, 2)
                         h = be(b, ka + 88, 2)
+                      } else if (typ(ka) == "tkhd" && k + 104 <= tend && b(ka + 8) == 1) {
+                        // v1: +12 bytes (two 64-bit times, 64-bit duration)
+                        w = be(b, ka + 96, 2)
+                        h = be(b, ka + 100, 2)
                       }
                       k += ksz
                     }

@@ -55,25 +55,29 @@ object Splits {
     * (approximately) the SMALLEST source's row count — the data-mixing
     * move that stops one over-crawled source from dominating a training
     * corpus. Unlike stratifiedSample's fixed rates, the per-source keep
-    * rate is DERIVED from the corpus (floor(min_n·100/n_s) percent,
-    * integer arithmetic so both engines agree exactly; 1% granularity —
-    * a source more than 100× the smallest keeps nothing, the documented
-    * cost of hash-bucket determinism). Shape: tiny per-source counts →
-    * scalar min via the 1-row keyless-aggregate join → rates broadcast
-    * back to the scan; the corpus pays one read + codegen'd filter.
+    * rate is DERIVED from the corpus (floor(min_n·1000/n_s) per-mille,
+    * integer arithmetic so both engines agree exactly, clamped to a
+    * floor of 1‰ so no source is ever fully eliminated — a source
+    * 10000× the smallest still contributes a trace, it is downweighted,
+    * not silently dropped). Shape: tiny per-source counts → scalar min
+    * via the 1-row keyless-aggregate join → rates broadcast back to the
+    * scan; the corpus pays one read + codegen'd filter.
     */
-  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+  def sourceMix(spark: SparkSession, dir: String): DataFrame =
+    sourceMixOf(Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+
+  /** Frame-level sourceMix: any (doc_id, source) frame. */
+  def sourceMixOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val rates = counts
       .crossJoin(counts.agg(min(col("n_s")).as("min_n")))
-      .withColumn("rate_pct", expr("min_n * 100 div n_s"))
-      .select("source", "rate_pct")
+      .withColumn("rate_pm", greatest(expr("min_n * 1000 div n_s"), lit(1L)))
+      .select("source", "rate_pm")
     docs
       .join(broadcast(rates), "source")
       .withColumn("bucket",
-        (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))
-      .filter(col("bucket") < col("rate_pct"))
+        (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 1000L).cast("long"))
+      .filter(col("bucket") < col("rate_pm"))
       .select("doc_id", "source", "bucket")
       .orderBy("doc_id")
   }

@@ -44,6 +44,18 @@ class MultimodalSpec extends SparkSpec {
     val mp4 = hexBytes("000000106674797069736F6D00000000" + "0000000C66726565AABBCCDD" +
       "000000D86D6F6F76" + mvhd + "000000647472616B" + tkhd + "DEADBEEF")
     assert(BinaryPipeline.mp4Info(mp4).contains((640, 480, 5000L)))
+    // MP4 version-1 headers (64-bit creation/modification/duration):
+    // mvhd v1 moves timescale to +28 / 8-byte duration to +32, tkhd v1
+    // shifts width/height by 12 — real-world long-lived files use these
+    val mvhd1 = "000000786D766864" + "01000000" + ("0" * 32) + "000003E8" +
+      "0000000000001388" + ("0" * 160)
+    val tkhd1 = "00000068746B6864" + "01000000" + ("0" * 32) + "00000001" + "00000000" +
+      "0000000000001388" + "0000000000000000" + "0000" + "0000" + "0000" + "0000" + matrix +
+      "02800000" + "01E00000"
+    val mp4v1 = hexBytes("000000106674797069736F6D00000000" +
+      "000000F06D6F6F76" + mvhd1 + "000000707472616B" + tkhd1)
+    assert(BinaryPipeline.mp4Info(mp4v1).contains((640, 480, 5000L)),
+      s"v1 layout parse failed: ${BinaryPipeline.mp4Info(mp4v1)}")
     // garbage falls back to raw, never throws
     assert(BinaryPipeline.decodeBatch(Seq((1L, "video", Array[Byte](1, 2, 3)))).head.format == "raw")
   }

@@ -5,25 +5,48 @@ package graft
   */
 class PlanShapeSpec extends SparkSpec {
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
   private def executedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.queryExecution.executedPlan.toString
   }
 
+  /** Recursive collect that descends through AQE wrappers (a leaf node
+    * to TreeNode.collect) and subquery plans.
+    */
+  private def collectBnlj(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = {
+    val self = p match { case j: BroadcastNestedLoopJoinExec => Seq(j); case _ => Nil }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _                        => p.children ++ p.subqueries
+    }
+    self ++ kids.flatMap(collectBnlj)
+  }
+
   test("no CartesianProduct or unbounded BroadcastNestedLoopJoin in any query plan") {
     for ((name, fn) <- SparkEntry.queries) {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      if (plan.contains("BroadcastNestedLoopJoin")) {
-        // Only BOUNDED broadcast sides are allowed: a keyless aggregate
-        // (guaranteed single row — the scalar-subquery plan Spark itself
-        // produces) or a driver-local LocalTableScan whose size is fixed
-        // by construction (the IVF centroid frame, ≤ MaxCells rows).
-        // Anything else (two unbounded sides) is a 100 TB killer.
+      val exec = fn(spark, sfDir).queryExecution.executedPlan
+      assert(!exec.toString.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      // Only BOUNDED broadcast sides are allowed, checked on the BUILD
+      // side subtree itself (not anywhere in the whole plan): a keyless
+      // aggregate (guaranteed single row — the scalar-subquery plan
+      // Spark itself produces) or a driver-local LocalTableScan whose
+      // size is fixed by construction (the IVF centroid frame,
+      // ≤ MaxCells rows). Anything else (an unbounded build side) is a
+      // 100 TB killer.
+      for (j <- collectBnlj(exec)) {
+        val build = j.buildSide match {
+          case BuildLeft  => j.left
+          case BuildRight => j.right
+        }
+        val buildStr = build.toString
         assert(
-          plan.contains("IdentityBroadcastMode") &&
-            (plan.contains("HashAggregate(keys=[]") || plan.contains("LocalTableScan")),
-          s"$name plans an unbounded BroadcastNestedLoopJoin"
+          buildStr.contains("HashAggregate(keys=[]") || buildStr.contains("LocalTableScan"),
+          s"$name plans a BroadcastNestedLoopJoin with an unbounded build side:\n$buildStr"
         )
       }
     }

@@ -114,6 +114,22 @@ class ReferenceGapSpec extends SparkSpec {
     assert(mix.exceptAll(again).count() == 0, "mix must be deterministic")
   }
 
+  test("source mix never fully eliminates a source, even at extreme skew") {
+    // 20000:50 skew — far past the old 1% granularity cliff (100x) where
+    // a giant source's rate rounded to zero and the source vanished. The
+    // per-mille clamp guarantees rate >= 1 permille for every source.
+    import spark.implicits._
+    val docs = ((1L to 20000L).map(i => (i, "crawl")) ++ (1L to 50L).map(i => (100000L + i, "books")))
+      .toDF("doc_id", "source")
+    val kept = graft.operators.Splits.sourceMixOf(docs)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set("crawl", "books"), s"a source was eliminated: $kept")
+    // the giant source is downweighted hard (clamped 1 permille band), the
+    // small source keeps everything (rate 1000 permille)
+    assert(kept("crawl") <= 100, s"crawl kept ${kept("crawl")} rows, expected ~20 (1 permille)")
+    assert(kept("books") == 50, s"books must keep all rows, kept ${kept("books")}")
+  }
+
   test("stats availability: counters are consistent subsets, zero for no-history players") {
     val a = SparkEntry.queries("q_stats_availability")(spark, sfDir)
     assert(a.count() == Tables.events(spark, sfDir).count(), "one availability row per event")
