@@ -83,7 +83,10 @@ object SparkEntry {
     "q_scd_history"         -> ((s, d) => graft.sources.ScdHistory.scdHistory(s, d)),
     "q_stats_history_composite" -> (StatsHistory.statsComposite _),
     "q_feature_bins"        -> (Features.featureBins _),
-    "q_corr_matrix"         -> (Features.corrMatrix _)
+    "q_corr_matrix"         -> (Features.corrMatrix _),
+    "q_line_dedup"          -> ((s, d) => graft.dedup.LineDedup.lineDedup(s, d)),
+    "q_pii_redact"          -> ((s, d) => graft.functions.QualityFilters.piiRedact(s, d)),
+    "q_quality_gopher"      -> ((s, d) => graft.functions.QualityFilters.gopherQuality(s, d))
   )
 
   private val NgramJaccardSql =
@@ -799,6 +802,73 @@ object SparkEntry {
            |    ELSE 'zh'
            |  END AS pred_lang,
            |  greatest(h_de, h_en, h_es, h_fr, h_zh) AS n_hits
-           |FROM h ORDER BY doc_id""".stripMargin
+           |FROM h ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, (i - 1) // 10 AS line_no, string_agg(w, ' ' ORDER BY i) AS line
+        |  FROM w GROUP BY doc_id, (i - 1) // 10
+        |), f AS (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+        |)
+        |SELECT l.doc_id, count(*) AS n_lines,
+        |  count(CASE WHEN f.df >= 3 THEN 1 END) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN f.df < 3 THEN l.line END, ' ' ORDER BY l.line_no), '') AS clean_text
+        |FROM l JOIN f USING (line)
+        |GROUP BY l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
+    "q_pii_redact" ->
+      raw"""WITH p AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or call 555-' ||
+           |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS pii_text
+           |  FROM documents
+           |), r AS (
+           |  SELECT doc_id, pii_text,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+           |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+           |  FROM p
+           |)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           |  len(regexp_extract_all(pii_text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+           |  len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           |  clean_text
+           |FROM r ORDER BY doc_id""".stripMargin,
+    "q_quality_gopher" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM documents
+           |), b AS (
+           |  SELECT doc_id,
+           |    len(tk) AS n_words,
+           |    len(list_filter(tk, x -> x IN (${TextFunctions.stopListSql}))) AS stop_hits,
+           |    floor((length(text) - len(tk) + 1) / len(tk) * 10000 + 0.5) / 10000 AS mean_word_len
+           |  FROM t
+           |), w AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents
+           |), tw AS (
+           |  SELECT doc_id, max(c) AS top_word_n FROM (
+           |    SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+           |  ) GROUP BY doc_id
+           |)
+           |SELECT b.doc_id, b.n_words, b.mean_word_len, b.stop_hits, tw.top_word_n,
+           |  floor(tw.top_word_n / b.n_words * 10000 + 0.5) / 10000 AS top_word_ratio,
+           |  b.n_words >= 50 AND b.n_words <= 100000 AS pass_wc,
+           |  b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0 AS pass_mwl,
+           |  b.stop_hits >= 2 AS pass_stop,
+           |  floor(tw.top_word_n / b.n_words * 10000 + 0.5) / 10000 <= 0.2 AS pass_rep,
+           |  (b.n_words >= 50 AND b.n_words <= 100000)
+           |    AND (b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0)
+           |    AND b.stop_hits >= 2
+           |    AND floor(tw.top_word_n / b.n_words * 10000 + 0.5) / 10000 <= 0.2 AS keep
+           |FROM b JOIN tw USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators a training-data pipeline runs before any
+  * model sees the text: PII redaction and rule-based quality gating
+  * (the Gopher/C4 filter family, Rae et al. 2021 §A1.1). Both are pure
+  * column expressions — zero UDFs, fully codegen'd, one corpus scan
+  * each (gopherQuality adds one token aggregation for the repetition
+  * rule) — so at 100 TB they run at parquet-read speed.
+  */
+object QualityFilters {
+
+  /** PII patterns, written in the common subset of Java regex (Spark)
+    * and RE2 (DuckDB oracle): character classes, bounded repeats, \b
+    * word boundaries — no backrefs, no lookaround (RE2 has neither).
+    */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePattern = """\b\d{3}-\d{3}-\d{4}\b"""
+  val Ipv4Pattern  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Count + redact the three PII classes over any text column.
+    * Order matters: emails first (their local part may contain digit
+    * runs), then phones, then bare IPv4s — each later pattern runs on
+    * the already-redacted text so it cannot re-match inside an earlier
+    * replacement.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Declared query: the synthetic corpus is PII-free (word salad), so
+    * the frame under redaction deterministically plants one email, one
+    * phone, and one IPv4 derived from doc_id — identical arithmetic in
+    * the oracle SQL — and the operator must find and scrub exactly
+    * those. Counts are taken BEFORE redaction.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("pii_text",
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or call 555-"),
+          lpad(col("doc_id") % 1000, 3, "0"), lit("-"), lpad(col("doc_id") % 10000, 4, "0"),
+          lit(" from 10."), col("doc_id") % 256, lit(".0.1")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("pii_text"), lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+        redact(col("pii_text")).as("clean_text"))
+      .orderBy("doc_id")
+
+  /** Gopher-style rule gate: per-document booleans for each published
+    * rule that is non-vacuous on this corpus, plus the conjunction.
+    * Word-count bounds, mean-word-length band, minimum stopword hits,
+    * and a top-word repetition cap (the intra-doc half of repetition;
+    * cross-doc repetition is LineDedup / docRepetition). The repetition
+    * rule needs each doc's modal word count — one explode + (doc, word)
+    * aggregate + (doc) aggregate, shuffling on doc_id both times; all
+    * other rules are scan-local expressions joined back on doc_id.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs
+      .withColumn("tk", split(col("text"), "\\s+"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        expr(s"size(filter(tk, t -> t IN (${TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")})))")
+          .cast("long").as("stop_hits"),
+        Num.round4((length(col("text")) - size(col("tk")) + 1) / size(col("tk"))).as("mean_word_len"))
+    val topWord = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_word_n"))
+    base
+      .join(topWord, "doc_id")
+      .withColumn("top_word_ratio", Num.round4(col("top_word_n") / col("n_words")))
+      .withColumn("pass_wc", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("pass_mwl", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_stop", col("stop_hits") >= 2)
+      .withColumn("pass_rep", col("top_word_ratio") <= 0.2)
+      .withColumn("keep", col("pass_wc") && col("pass_mwl") && col("pass_stop") && col("pass_rep"))
+      .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_n",
+        "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep")
+      .orderBy("doc_id")
+  }
+}
