@@ -16,16 +16,20 @@ import org.apache.spark.sql.functions._
   * 10-word span — the algorithm is identical under any liner, and the
   * fixed-width liner keeps the DuckDB oracle bit-exact.
   *
-  * Scale shape: one corpus scan → chunk per doc via pure array
+  * Scale shape: one corpus scan → per-doc chunk ARRAY via pure array
   * expressions (no per-word explode — a 10x smaller intermediate than
-  * the token frame), one (doc,line)-distinct + line groupBy for
-  * document frequency, one shuffle join back on the line key, one
-  * doc_id groupBy to reassemble. The line-frequency frame is
-  * corpus-scale, so the join is a shuffled equi-join on the line —
-  * NEVER broadcast. Reassembly sorts each doc's kept lines by line_no
-  * inside the aggregate (collect_list order is partition-dependent;
-  * the struct sort restores it), which is safe because a document's
-  * line count is bounded by doc length, not corpus size.
+  * the token frame), staged once (graft.Staging) because both the
+  * frequency subtree and the reassembly subtree consume it. Document
+  * frequency needs distinct lines PER DOC, and a doc's lines are
+  * co-located by construction — `array_distinct` inside the row does
+  * it for free, where a (doc,line).distinct() would shuffle the whole
+  * chunk frame first (the avoided exchange IS the corpus). The
+  * line-frequency frame is corpus-scale, so the join back is a
+  * shuffled equi-join on the line — never hint-broadcast (AQE may at
+  * toy SF). Reassembly sorts each doc's kept lines by line_no inside
+  * the aggregate (collect_list order is partition-dependent; the
+  * struct sort restores it), which is safe because a document's line
+  * count is bounded by doc length, not corpus size.
   */
 object LineDedup {
 
@@ -35,24 +39,28 @@ object LineDedup {
   /** A line present in >= this many distinct docs is boilerplate. */
   val BoilerplateDf = 3
 
-  /** Per-doc (line_no, line) frame — pure array expressions. */
-  private[graft] def lines(docs: DataFrame): DataFrame =
+  /** Per-doc chunk array. */
+  private def chunked(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(
         col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, (size(w)-1) div $LineWords), i -> array_join(slice(w, i*$LineWords+1, $LineWords), ' '))"))
-          .as(Seq("line_no", "line")))
+        expr(
+          s"transform(sequence(0, (size(w)-1) div $LineWords), i -> array_join(slice(w, i*$LineWords+1, $LineWords), ' '))")
+          .as("chunks"))
+
+  /** Per-doc (line_no, line) frame — the spec's reassembly witness. */
+  private[graft] def lines(docs: DataFrame): DataFrame =
+    chunked(docs).select(col("doc_id"), posexplode(col("chunks")).as(Seq("line_no", "line")))
 
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docLines = lines(Tables.documents(spark, dir))
-    val freq = docLines
-      .select("doc_id", "line")
-      .distinct()
+    val chunks = graft.Staging.staged(chunked(Tables.documents(spark, dir)), "line_chunks")
+    val freq = chunks
+      .select(explode(array_distinct(col("chunks"))).as("line"))
       .groupBy("line")
       .agg(count(lit(1)).as("df"))
-    docLines
+    chunks
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("line_no", "line")))
       .join(freq, "line")
       .groupBy("doc_id")
       .agg(
