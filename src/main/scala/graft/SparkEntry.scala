@@ -86,7 +86,9 @@ object SparkEntry {
     "q_corr_matrix"         -> (Features.corrMatrix _),
     "q_line_dedup"          -> ((s, d) => graft.dedup.LineDedup.lineDedup(s, d)),
     "q_pii_redact"          -> ((s, d) => graft.functions.QualityFilters.piiRedact(s, d)),
-    "q_quality_gopher"      -> ((s, d) => graft.functions.QualityFilters.gopherQuality(s, d))
+    "q_quality_gopher"      -> ((s, d) => graft.functions.QualityFilters.gopherQuality(s, d)),
+    "q_dedup_delta"         -> ((s, d) => Dedup.dedupDelta(s, d)),
+    "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d))
   )
 
   private val NgramJaccardSql =
@@ -509,6 +511,9 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "q_dedup_ngram_jaccard" -> NgramJaccardSql,
+    "q_dedup_delta" -> NgramJaccardSql.replace(
+      "WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8",
+      "WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8 AND (p.a % 10 = 7 OR p.b % 10 = 7)"),
     // prefix-filtered variant is LOSSLESS — identical oracle.
     "q_dedup_jaccard_prefix" -> NgramJaccardSql,
     // Transitive closure over the same >= 0.8 Jaccard edge set via a

@@ -306,6 +306,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The incremental batch slice: doc_id % 10 == 7 stands in for
+    * "today's ingest" (production passes the real new-arrivals frame).
+    */
+  val DeltaBatchMod = 10
+  val DeltaBatchRem = 7
+
+  /** Incremental near-dup: pairs with jac >= τ that TOUCH the new
+    * batch — (new, corpus) and (new, new) — without recomputing the
+    * corpus×corpus pairs a standing index already settled. This is the
+    * daily-ingest shape of corpus dedup: at 100 TB the full pair set is
+    * recomputed never, only the delta joins against the lake-resident
+    * shingle + prefix indexes (staged here; incrementally appended in
+    * production — the prefix theorem needs only a CONSISTENT total
+    * shingle order, so frozen df ranks stay valid as the corpus grows,
+    * at worst lengthening prefixes until a periodic re-rank).
+    *
+    * Lossless for batch-incident pairs: a qualifying pair shares a
+    * prefix shingle in BOTH prefixes, so restricting one join side to
+    * batch postings loses nothing — the candidate volume drops from
+    * Σ p² to Σ p·p_batch per shingle. Same exact verify as
+    * jaccardPrefix; the full-recompute parity is spec-pinned.
+    */
+  def dedupDelta(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = staged(
+      shingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
+      "shingle_delta")
+    val prefix = staged(prefixIndex(sh, threshold), "prefix_delta")
+    val batchPrefix = prefix.filter(pmod(col("doc_id"), lit(DeltaBatchMod)) === DeltaBatchRem)
+    val candidates = batchPrefix
+      .toDF("x", "sg")
+      .join(prefix.toDF("y", "sg2"), col("sg") === col("sg2") && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
   /** Block count for the exact all-pairs embedding compare. */
   val EmbedBlocks = 8
 

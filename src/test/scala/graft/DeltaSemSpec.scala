@@ -1,0 +1,36 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.SemDedup
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta) text dedup and semantic (embedding-cluster)
+  * dedup.
+  */
+class DeltaSemSpec extends SparkSpec {
+
+  test("dedupDelta equals the full recompute restricted to batch-incident pairs") {
+    val full = Dedup.jaccardPrefix(spark, sfDir)
+    val isBatch = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(Dedup.DeltaBatchMod)) === Dedup.DeltaBatchRem
+    val expected = full.filter(isBatch(col("a")) || isBatch(col("b")))
+    val delta = Dedup.dedupDelta(spark, sfDir)
+    assert(delta.count() > 0, "batch slice found no near-dup pairs at this SF")
+    assert(delta.exceptAll(expected).count() == 0, "delta invented a pair")
+    assert(expected.exceptAll(delta).count() == 0, "delta lost a batch-incident pair (prefix restriction not lossless)")
+    // and it never reports settled corpus-corpus pairs
+    assert(delta.filter(!isBatch(col("a")) && !isBatch(col("b"))).count() == 0)
+  }
+
+  test("semDedup pairs are exact-cosine-correct and a within-cell subset of the all-pairs result") {
+    val sem = SemDedup.semDedupPairs(spark, sfDir)
+    val exact = Dedup.embedNeardup(spark, sfDir)
+    assert(sem.count() > 0)
+    // every semantic pair exists in the exact all-pairs set with the
+    // identical cosine — within-cell scoring is exact, never approximate
+    assert(sem.exceptAll(exact).count() == 0, "semdedup pair absent from (or mis-scored vs) exact all-pairs")
+    // the cluster trade: recall floor against the exact pair set
+    val recall = sem.count().toDouble / exact.count().toDouble
+    assert(recall >= 0.3, f"within-cell recall $recall%.2f collapsed (cells too fine or assignment broken)")
+  }
+}
