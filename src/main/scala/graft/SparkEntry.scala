@@ -88,7 +88,8 @@ object SparkEntry {
     "q_pii_redact"          -> ((s, d) => graft.functions.QualityFilters.piiRedact(s, d)),
     "q_quality_gopher"      -> ((s, d) => graft.functions.QualityFilters.gopherQuality(s, d)),
     "q_dedup_delta"         -> ((s, d) => Dedup.dedupDelta(s, d)),
-    "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d))
+    "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d)),
+    "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d))
   )
 
   private val NgramJaccardSql =
@@ -808,6 +809,31 @@ object SparkEntry {
            |  END AS pred_lang,
            |  greatest(h_de, h_en, h_es, h_fr, h_zh) AS n_hits
            |FROM h ORDER BY doc_id""".stripMargin,
+    // The oracle recomputes the media-prep plan from the id-derived
+    // generator formulas, so a Spark-side DECODE regression (the dims
+    // feeding the plan come from real byte parsing) breaks this gate.
+    "q_media_prep" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1024 WHEN 2 THEN 160 + doc_id % 1280 ELSE 0 END AS width,
+        |    CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 768 WHEN 2 THEN 120 + doc_id % 720 ELSE 0 END AS height,
+        |    CASE WHEN doc_id % 3 = 2 THEN (1 + doc_id % 59) * 1000 ELSE 0 END AS duration_ms
+        |  FROM documents
+        |), d AS (
+        |  SELECT media_id, kind, width, height, duration_ms,
+        |    CASE WHEN width <= 0 OR height <= 0 THEN 0
+        |         WHEN width >= height THEN 224
+        |         ELSE greatest(1, (width * 224) // height) END AS dst_w,
+        |    CASE WHEN width <= 0 OR height <= 0 THEN 0
+        |         WHEN height >= width THEN 224
+        |         ELSE greatest(1, (height * 224) // width) END AS dst_h,
+        |    CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN duration_ms // 1000 + 1 ELSE 0 END AS n_frames
+        |  FROM m
+        |)
+        |SELECT media_id, kind, width, height, dst_w, dst_h, n_frames,
+        |  ((dst_w + 15) // 16) * ((dst_h + 15) // 16) * n_frames AS n_tokens
+        |FROM d ORDER BY media_id""".stripMargin,
     "q_line_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,

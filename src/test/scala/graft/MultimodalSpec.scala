@@ -60,6 +60,32 @@ class MultimodalSpec extends SparkSpec {
     assert(BinaryPipeline.decodeBatch(Seq((1L, "video", Array[Byte](1, 2, 3)))).head.format == "raw")
   }
 
+  test("mediaPrep plans aspect-fit resizes and frameSamples expands exactly the 1-fps plan") {
+    val prep = SparkEntry.queries("q_media_prep")(spark, sfDir)
+    // every visual asset fits with max dimension pinned to 224 and the
+    // other in (0, 224]; audio plans nothing
+    assert(prep.filter(col("kind").isin("image", "video") &&
+      greatest(col("dst_w"), col("dst_h")) =!= 224).count() == 0)
+    assert(prep.filter(col("kind").isin("image", "video") &&
+      (least(col("dst_w"), col("dst_h")) <= 0 || least(col("dst_w"), col("dst_h")) > 224)).count() == 0)
+    assert(prep.filter(col("kind") === "audio" &&
+      (col("dst_w") =!= 0 || col("n_frames") =!= 0 || col("n_tokens") =!= 0)).count() == 0)
+    // token budget is patches x frames, recomputed independently
+    assert(prep.filter(col("n_tokens") =!=
+      ((col("dst_w") + 15) / 16).cast("long") * ((col("dst_h") + 15) / 16).cast("long") * col("n_frames"))
+      .count() == 0)
+    val feats = BinaryPipeline.pipeline(spark, sfDir)
+    val frames = BinaryPipeline.frameSamples(feats)
+    // exactly n_frames rows per video, 1000 ms apart, inside the duration
+    val perVid = frames.groupBy("media_id").agg(
+      count(lit(1)).as("n"), max("ts_ms").as("last_ts"))
+    val joined = prep.filter(col("kind") === "video").join(perVid, "media_id")
+    assert(joined.filter(col("n") =!= col("n_frames")).count() == 0, "frame count != plan")
+    val withDur = frames.join(feats.select(col("media_id"), col("duration_ms").as("dur")), "media_id")
+    assert(withDur.filter(col("ts_ms") > col("dur")).count() == 0, "sampled past the end")
+    assert(frames.filter(pmod(col("ts_ms"), lit(1000)) =!= 0).count() == 0)
+  }
+
   test("pipeline decodes real dimensions/rates from the synthesized headers") {
     val feats = BinaryPipeline.pipeline(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()
