@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{Column, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Document arriving on the ingest stream. */
+case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+/** Near-dup candidate emitted at ingest: the new doc `b` collided with
+  * the earlier doc `a` in LSH band `band`; `est_sim` is the MinHash
+  * Jaccard estimate (matching minhashes / k).
+  */
+case class LshCandidate(a: Long, b: Long, band: Int, est_sim: Double)
+
+private[graft] case class BandArrival(
+    band: Int, key: Long, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+
+private case class BucketState(entries: List[(Long, Seq[Long], Long)])
+
+/** Streaming MinHash-LSH near-dup detection at ingest: the incremental
+  * twin of dedup.Dedup.minhashLsh, flagging each arriving document
+  * against earlier stream documents it shares an LSH band bucket with.
+  *
+  * The signature pipeline is the SAME function composition as the batch
+  * operator (xxhash64 shingle → per-seed xxhash64 min → per-band
+  * xxhash64 of BandRows minhashes), but computed per ROW with array
+  * expressions instead of explode+groupBy — a streaming-safe, shuffle-
+  * free scan; the only shuffle is groupByKey on (band, bucket).
+  * Batch/stream signature identity is spec-pinned.
+  *
+  * At ingest the exact-Jaccard verify of the batch path is replaced by
+  * the MinHash ESTIMATE (matching minhashes / k): the shingle sets a
+  * verify needs would mean unbounded per-bucket state. Production
+  * treats the stream output as a pre-filter; the nightly batch pass
+  * (minhashLsh + Clusters) remains the exact authority — same
+  * pre-filter/authority split as the LSH/exact pairing in batch.
+  *
+  * State is bounded on BOTH axes: entries older than the watermark
+  * horizon are evicted (rate × horizon, like StreamDedup), and each
+  * bucket retains at most MaxPerBucket newest entries — a viral bucket
+  * (near-identical spam flood) degrades to comparing against the cap,
+  * not to an executor OOM. Re-deliveries of an id already in state are
+  * ignored (idempotent ingest, mirroring the reference's re-fetch
+  * tolerance).
+  */
+object StreamLshDedup {
+
+  val MaxPerBucket = 64
+
+  /** Per-row band keys + signature, identical arithmetic to the batch
+    * minhashLsh: shingles hash via xxhash64(string), minhash i is
+    * min(xxhash64(shingle_hash, i)), band j keys on
+    * xxhash64(m_{j*r}..m_{j*r+r-1}, j).
+    */
+  private[graft] def withBands(docs: Dataset[DocEvent]): Dataset[BandArrival] = {
+    implicit val enc = Encoders.product[BandArrival]
+    val sigCols: Seq[Column] =
+      (0 until Dedup.MinHashK).map(i => expr(s"array_min(transform(sh, s -> xxhash64(s, $i)))"))
+    val bandCols: Seq[Column] = (0 until Dedup.NumBands).map { j =>
+      val rows = (j * Dedup.BandRows until (j + 1) * Dedup.BandRows).map(i => s"sig[$i]").mkString(", ")
+      struct(lit(j).as("band"), expr(s"xxhash64($rows, $j)").as("key"))
+    }
+    docs
+      .toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh",
+        expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3)))))"))
+      .withColumn("sig", array(sigCols: _*))
+      .select(col("doc_id"), col("ts"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"), col("ts"), col("sig"))
+      .as[BandArrival]
+  }
+
+  def candidates(docs: Dataset[DocEvent], horizon: String = "1 hour"): Dataset[LshCandidate] = {
+    implicit val outEnc = Encoders.product[LshCandidate]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.product[BucketState]
+    withBands(docs)
+      .withWatermark("ts", horizon)
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBucket)
+  }
+
+  private def estSim(x: Seq[Long], y: Seq[Long]): Double =
+    x.iterator.zip(y.iterator).count { case (a, b) => a == b }.toDouble / Dedup.MinHashK
+
+  private def processBucket(
+      key: (Int, Long),
+      rows: Iterator[BandArrival],
+      state: GroupState[BucketState]
+  ): Iterator[LshCandidate] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
+    var entries = state.getOption.map(_.entries).getOrElse(Nil)
+    val wm = state.getCurrentWatermarkMs()
+    entries = entries.filter(_._3 >= wm)
+    // Micro-batches are unordered; process the per-trigger slice in
+    // event-time order so "earlier doc" is deterministic.
+    for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))) {
+      if (!entries.exists(_._1 == r.doc_id)) {
+        for ((id, sig, _) <- entries) {
+          val (a, b) = if (id < r.doc_id) (id, r.doc_id) else (r.doc_id, id)
+          out += LshCandidate(a, b, key._1, estSim(sig, r.sig))
+        }
+        entries = ((r.doc_id, r.sig, r.ts.getTime) :: entries).take(MaxPerBucket)
+      }
+    }
+    state.update(BucketState(entries))
+    // Flush the bucket once the watermark passes its newest entry plus
+    // the horizon (nothing inside the horizon can collide with it).
+    if (entries.nonEmpty) state.setTimeoutTimestamp(entries.map(_._3).max, "1 hour")
+    out.iterator
+  }
+}
