@@ -89,7 +89,8 @@ object SparkEntry {
     "q_quality_gopher"      -> ((s, d) => graft.functions.QualityFilters.gopherQuality(s, d)),
     "q_dedup_delta"         -> ((s, d) => Dedup.dedupDelta(s, d)),
     "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d)),
-    "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d))
+    "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d)),
+    "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d))
   )
 
   private val NgramJaccardSql =
@@ -873,7 +874,21 @@ object SparkEntry {
            |  len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
            |  clean_text
            |FROM r ORDER BY doc_id""".stripMargin,
-    "q_quality_gopher" ->
+    "q_quality_gopher" -> QualityGopherSql,
+    "q_corpus_report" ->
+      s"""WITH g AS (
+         |$QualityGopherSql
+         |)
+         |SELECT coalesce(d.lang, 'ALL') AS lang, coalesce(d.source, 'ALL') AS source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(g.n_words) AS BIGINT) AS total_words,
+         |  floor(avg(CAST(g.keep AS INT)) * 10000 + 0.5) / 10000 AS keep_rate
+         |FROM g JOIN documents d ON g.doc_id = d.doc_id
+         |GROUP BY ROLLUP(d.lang, d.source)
+         |ORDER BY lang, source""".stripMargin
+  )
+
+  private lazy val QualityGopherSql =
       raw"""WITH t AS (
            |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM documents
            |), b AS (
@@ -901,5 +916,4 @@ object SparkEntry {
            |    AND floor(tw.top_word_n / b.n_words * 10000 + 0.5) / 10000 <= 0.2 AS keep
            |FROM b JOIN tw USING (doc_id)
            |ORDER BY b.doc_id""".stripMargin
-  )
 }

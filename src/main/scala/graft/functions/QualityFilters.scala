@@ -94,4 +94,26 @@ object QualityFilters {
         "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep")
       .orderBy("doc_id")
   }
+
+  /** Corpus report card: docs / words / quality-gate keep rate per
+    * (lang, source) with rollup subtotals — the one-pass summary a
+    * curation run publishes before anyone trains on the corpus. Shares
+    * the gopherQuality shuffle shape; the rollup only expands the tiny
+    * aggregated frame. rollup gets untagged functions.col refs (the
+    * String overload's dataset-tagged refs trip DetectAmbiguousSelfJoin
+    * after Expand, see rollupAgg).
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(gopherQuality(spark, dir).select(col("doc_id"), col("n_words"), col("keep")), "doc_id")
+      .select(col("lang"), col("source"), col("n_words"), col("keep").cast("long").as("k"))
+      .rollup(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        Num.round4(avg(col("k"))).as("keep_rate"))
+      .na.fill("ALL", Seq("lang", "source"))
+      .orderBy("lang", "source")
 }

@@ -42,6 +42,27 @@ class QualityFiltersSpec extends SparkSpec {
         s"residual PII matching $p")
   }
 
+  test("redact is idempotent: markers never re-match any PII pattern") {
+    val out = SparkEntry.queries("q_pii_redact")(spark, sfDir)
+      .select(col("doc_id"), col("clean_text"))
+      .withColumn("twice", QualityFilters.redact(col("clean_text")))
+    assert(out.filter(col("twice") =!= col("clean_text")).count() == 0,
+      "second redaction pass changed already-clean text")
+  }
+
+  test("corpusReport subtotals are consistent with the per-doc gate") {
+    val rep = SparkEntry.queries("q_corpus_report")(spark, sfDir)
+    val grand = rep.filter(col("lang") === "ALL" && col("source") === "ALL").collect()
+    assert(grand.length == 1)
+    val q = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+    assert(grand.head.getAs[Long]("n_docs") == q.count())
+    // per-lang rows sum to the grand total
+    val perLang = rep.filter(col("lang") =!= "ALL" && col("source") === "ALL")
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(perLang == q.count(), "lang subtotals do not cover the corpus")
+    assert(rep.filter(col("keep_rate") < 0 || col("keep_rate") > 1).count() == 0)
+  }
+
   test("gopherQuality rules are internally consistent and keep is their conjunction") {
     val q = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
     assert(q.filter(col("stop_hits") > col("n_words")).count() == 0)
