@@ -513,9 +513,14 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "q_dedup_ngram_jaccard" -> NgramJaccardSql,
-    "q_dedup_delta" -> NgramJaccardSql.replace(
-      "WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8",
-      "WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8 AND (p.a % 10 = 7 OR p.b % 10 = 7)"),
+    "q_dedup_delta" -> {
+      val where = "WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8"
+      val m = Dedup.DeltaBatchMod
+      val r = Dedup.DeltaBatchRem
+      val sql = NgramJaccardSql.replace(where, s"$where AND (p.a % $m = $r OR p.b % $m = $r)")
+      require(sql != NgramJaccardSql, "delta oracle WHERE anchor drifted out of NgramJaccardSql")
+      sql
+    },
     // prefix-filtered variant is LOSSLESS — identical oracle.
     "q_dedup_jaccard_prefix" -> NgramJaccardSql,
     // Transitive closure over the same >= 0.8 Jaccard edge set via a
@@ -895,7 +900,7 @@ object SparkEntry {
            |  SELECT doc_id,
            |    len(tk) AS n_words,
            |    len(list_filter(tk, x -> x IN (${TextFunctions.stopListSql}))) AS stop_hits,
-           |    floor((length(text) - len(tk) + 1) / len(tk) * 10000 + 0.5) / 10000 AS mean_word_len
+           |    floor(length(regexp_replace(text, '\s', '', 'g')) / len(tk) * 10000 + 0.5) / 10000 AS mean_word_len
            |  FROM t
            |), w AS (
            |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents

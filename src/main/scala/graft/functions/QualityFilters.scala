@@ -73,9 +73,13 @@ object QualityFilters {
       .select(
         col("doc_id"),
         size(col("tk")).cast("long").as("n_words"),
-        expr(s"size(filter(tk, t -> t IN (${TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")})))")
+        expr(s"size(filter(tk, t -> t IN (${TextFunctions.stopListSql})))")
           .cast("long").as("stop_hits"),
-        Num.round4((length(col("text")) - size(col("tk")) + 1) / size(col("tk"))).as("mean_word_len"))
+        // word chars = text minus ALL whitespace (multi-char runs would
+        // inflate a length-minus-(n-1) separator estimate and shift docs
+        // across the mwl band edges)
+        Num.round4(length(regexp_replace(col("text"), "\\s", "")) / size(col("tk")))
+          .as("mean_word_len"))
     val topWord = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
       .groupBy("doc_id", "w")

@@ -22,12 +22,17 @@ object SemDedup {
 
   def semDedupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val assigned = IvfAnn.assignments(spark, dir)
-    val v = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .withColumn("norm", sqrt(expr("graft_dot(e, e)")))
-      .join(assigned, "vec_id")
-      .select("vec_id", "e", "norm", "cell")
+    // Staged: the self-join would otherwise run the embeddings scan,
+    // the double-cast/norm transform, and the assignment join TWICE —
+    // the re-scan cost the dedup staging pattern exists to kill.
+    val v = graft.Staging.staged(
+      Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+        .withColumn("norm", sqrt(expr("graft_dot(e, e)")))
+        .join(assigned, "vec_id")
+        .select("vec_id", "e", "norm", "cell"),
+      "semdedup_cells")
     v.toDF("a", "ea", "na", "cell")
       .join(v.toDF("b", "eb", "nb", "cell2"), col("cell") === col("cell2") && col("a") < col("b"))
       .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))

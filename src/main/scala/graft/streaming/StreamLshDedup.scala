@@ -81,13 +81,14 @@ object StreamLshDedup {
     withBands(docs)
       .withWatermark("ts", horizon)
       .groupByKey(r => (r.band, r.key))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processBucket(horizon))
   }
 
   private def estSim(x: Seq[Long], y: Seq[Long]): Double =
     x.iterator.zip(y.iterator).count { case (a, b) => a == b }.toDouble / Dedup.MinHashK
 
-  private def processBucket(
+  private def processBucket(horizon: String)(
       key: (Int, Long),
       rows: Iterator[BandArrival],
       state: GroupState[BucketState]
@@ -111,7 +112,7 @@ object StreamLshDedup {
     state.update(BucketState(entries))
     // Flush the bucket once the watermark passes its newest entry plus
     // the horizon (nothing inside the horizon can collide with it).
-    if (entries.nonEmpty) state.setTimeoutTimestamp(entries.map(_._3).max, "1 hour")
+    if (entries.nonEmpty) state.setTimeoutTimestamp(entries.map(_._3).max, horizon)
     out.iterator
   }
 }

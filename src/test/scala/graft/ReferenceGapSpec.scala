@@ -124,9 +124,10 @@ class ReferenceGapSpec extends SparkSpec {
     val kept = graft.operators.Splits.sourceMixOf(docs)
       .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept.keySet == Set("crawl", "books"), s"a source was eliminated: $kept")
-    // the giant source is downweighted hard (clamped 1 permille band), the
-    // small source keeps everything (rate 1000 permille)
-    assert(kept("crawl") <= 100, s"crawl kept ${kept("crawl")} rows, expected ~20 (1 permille)")
+    // the giant source is downweighted hard (floor(50*1000/20000) = 2
+    // permille -> ~40 rows expected), the small source keeps everything
+    // (rate 1000 permille)
+    assert(kept("crawl") <= 100, s"crawl kept ${kept("crawl")} rows, expected ~40 (2 permille)")
     assert(kept("books") == 50, s"books must keep all rows, kept ${kept("books")}")
   }
 
