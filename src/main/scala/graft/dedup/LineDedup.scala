@@ -53,8 +53,12 @@ object LineDedup {
   private[graft] def lines(docs: DataFrame): DataFrame =
     chunked(docs).select(col("doc_id"), posexplode(col("chunks")).as(Seq("line_no", "line")))
 
-  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = graft.Staging.staged(chunked(Tables.documents(spark, dir)), "line_chunks")
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOf(Tables.documents(spark, dir))
+
+  /** Frame-level lineDedup: any (doc_id, text) frame. */
+  def lineDedupOf(docs: DataFrame): DataFrame = {
+    val chunks = graft.Staging.staged(chunked(docs), "line_chunks")
     val freq = chunks
       .select(explode(array_distinct(col("chunks"))).as("line"))
       .groupBy("line")

@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.Tables
+import graft.operators.{SeqPack, Splits}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export: the terminal sink of the curation pipeline —
+  * packed sequences land as split-partitioned, size-bounded,
+  * internally-sorted parquet shards a training job can map to data
+  * loaders 1:1.
+  *
+  * The writer features doing the work are all native parquet-sink
+  * controls, not custom code: `partitionBy(split)` gives the
+  * train/valid/test directory layout (readers prune by directory);
+  * `maxRecordsPerFile` bounds every shard file so loader memory and
+  * work-stealing granularity are fixed regardless of corpus size;
+  * `repartition(split, shard)` spreads each split over writer tasks
+  * (shard = pack_id mod shardsPerSplit, so a pack never straddles
+  * writers); `sortWithinPartitions(pack_id, pack_offset)` makes file
+  * contents deterministic and sequential-read-friendly. At 100 TB the
+  * same call shape holds — shardsPerSplit scales writer parallelism,
+  * maxRecordsPerFile caps file size, and no driver-side work occurs.
+  */
+object ShardExport {
+
+  /** Default rows per shard file (tiny for testability; production
+    * sizes this to the loader's memory budget).
+    */
+  val DefaultMaxRecords = 1000
+
+  /** Join the packed sequence layout with leakage-safe split labels —
+    * the frame a training export ships.
+    */
+  def packedWithSplits(spark: SparkSession, dir: String): DataFrame =
+    SeqPack
+      .seqPack(spark, dir)
+      .join(Splits.splitAssign(spark, dir).select("doc_id", "split"), "doc_id")
+
+  def export(
+      packed: DataFrame,
+      path: String,
+      shardsPerSplit: Int = 8,
+      maxRecordsPerFile: Int = DefaultMaxRecords): Unit =
+    packed
+      .repartition(col("split"), pmod(col("pack_id"), lit(shardsPerSplit)))
+      // `split` leads the sort so the partitioned write's required
+      // ordering (by partition columns) is already satisfied — without
+      // it FileFormatWriter inserts its own, non-stable sort and the
+      // (pack_id, pack_offset) order inside each file is destroyed
+      .sortWithinPartitions("split", "pack_id", "pack_offset")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("split")
+      .mode("overwrite")
+      .parquet(path)
+}

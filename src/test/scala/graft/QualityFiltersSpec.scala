@@ -75,6 +75,38 @@ class QualityFiltersSpec extends SparkSpec {
     assert(kept > 0 && kept < q.count(), s"vacuous gate: kept $kept of ${q.count()}")
   }
 
+  test("lineDedup matches a plain-Scala model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 4) {
+      // small vocab + short lines force cross-doc chunk collisions;
+      // lengths straddle the 10-word line width (incl. sub-line docs)
+      val banner = Seq.fill(LineDedup.LineWords)("z").mkString(" ")
+      val docs = (1L to 40L).map { id =>
+        val n = 1 + rnd.nextInt(25)
+        val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        // ~30% of docs open with a 10-word banner — the aligned
+        // boilerplate line the operator exists to strip
+        (id, if (rnd.nextInt(10) < 3) s"$banner $body" else body)
+      }
+      // plain-Scala model
+      val chunked = docs.map { case (id, text) =>
+        id -> text.split(" ").grouped(LineDedup.LineWords).map(_.mkString(" ")).toVector
+      }.toMap
+      val df = chunked.values.flatMap(_.distinct).groupBy(identity).map { case (l, v) => l -> v.size }
+      val boiler = df.filter(_._2 >= LineDedup.BoilerplateDf).keySet
+      val expected = chunked.map { case (id, lines) =>
+        (id, lines.size.toLong, lines.count(boiler.contains).toLong,
+          lines.filterNot(boiler.contains).mkString(" "))
+      }.toSeq.sortBy(_._1)
+      val got = LineDedup.lineDedupOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == expected, s"trial $trial diverged from the model")
+      assert(expected.exists(_._3 > 0), s"trial $trial generated no boilerplate (weak trial)")
+    }
+  }
+
   test("lineDedup removes exactly the cross-doc boilerplate lines and reassembles in order") {
     val docs = Tables.documents(spark, sfDir)
     val out = SparkEntry.queries("q_line_dedup")(spark, sfDir)
