@@ -25,6 +25,7 @@ object GraftSession {
       .withExtensions { ext =>
         graft.functions.FingerprintExpr.register(ext)
         graft.functions.DotProductExpr.register(ext)
+        graft.functions.MinHashExpr.register(ext)
         ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
       }
       .config("spark.sql.shuffle.partitions", cores.toString)
