@@ -181,18 +181,27 @@ object Dedup {
     * is confined to docs that actually collide in a band.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    // Same hashed-shingle staging as jaccardPrefix: the signature agg and
-    // the verify subtrees reuse ONE materialized long-keyed index instead
-    // of re-scanning the corpus and shuffling shingle strings.
-    val sh = staged(
-      shingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
-      "shingle")
-    val minAggs = (0 until MinHashK).map(i => min(xxhash64(col("sg"), lit(i))).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // Staged as the per-doc shingle-hash ARRAY (not the exploded index):
+    // signatures then come from graft_minhash per row — one codegen pass,
+    // ZERO shuffle (the 32-way min groupBy this replaces re-shuffled the
+    // whole exploded index) — and the verify subtrees explode the same
+    // persisted frame without re-scanning the corpus. Hashing before
+    // array_distinct dedups the same set (xxhash64 collisions aside, the
+    // documented 1e-10 trade every hashed index here makes).
+    val arr = staged(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(
+          col("doc_id"),
+          expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3)))))")
+            .as("sh")),
+      "shingle_arr")
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val sig = arr.select(col("doc_id"), expr(s"graft_minhash(sh, $MinHashK)").as("sig"))
     val bandCols: Seq[Column] = (0 until NumBands).map { j =>
-      val rowCols = (j * BandRows until (j + 1) * BandRows).map(i => col(s"m$i"))
-      struct(lit(j).as("band"), xxhash64(rowCols :+ (lit(j): Column): _*).as("key"))
+      val rows = (j * BandRows until (j + 1) * BandRows).map(i => s"sig[$i]").mkString(", ")
+      struct(lit(j).as("band"), expr(s"xxhash64($rows, $j)").as("key"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
