@@ -90,7 +90,8 @@ object SparkEntry {
     "q_dedup_delta"         -> ((s, d) => Dedup.dedupDelta(s, d)),
     "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d)),
     "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d)),
-    "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d))
+    "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d)),
+    "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d))
   )
 
   private val NgramJaccardSql =
@@ -880,6 +881,7 @@ object SparkEntry {
            |  clean_text
            |FROM r ORDER BY doc_id""".stripMargin,
     "q_quality_gopher" -> QualityGopherSql,
+    "q_quality_sample" -> QualitySampleSql,
     "q_corpus_report" ->
       s"""WITH g AS (
          |$QualityGopherSql
@@ -892,6 +894,23 @@ object SparkEntry {
          |GROUP BY ROLLUP(d.lang, d.source)
          |ORDER BY lang, source""".stripMargin
   )
+
+  private lazy val QualitySampleSql =
+    s"""WITH g AS (
+       |$QualityGopherSql
+       |), p AS (
+       |  SELECT doc_id,
+       |    CAST(pass_wc AS INT) + CAST(pass_mwl AS INT) + CAST(pass_stop AS INT) + CAST(pass_rep AS INT) AS n_pass
+       |  FROM g
+       |), r AS (
+       |  SELECT doc_id, CAST(n_pass AS BIGINT) AS n_pass,
+       |    CAST(CASE n_pass WHEN 4 THEN 1000 WHEN 3 THEN 500 WHEN 2 THEN 200 ELSE 50 END AS BIGINT) AS rate_pm,
+       |    CAST(((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 1000 AS BIGINT) AS bucket
+       |  FROM p
+       |)
+       |SELECT doc_id, n_pass, rate_pm, bucket FROM r
+       |WHERE bucket < rate_pm
+       |ORDER BY doc_id""".stripMargin
 
   private lazy val QualityGopherSql =
       raw"""WITH t AS (

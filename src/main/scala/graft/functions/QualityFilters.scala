@@ -99,6 +99,30 @@ object QualityFilters {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted sampling: keep probability scales with how many
+    * Gopher rules a doc passes — clean docs survive whole, marginal
+    * docs are downweighted, junk keeps a trace for auditability (the
+    * curation move between a hard gate and no gate at all). Same
+    * engine-portable multiplicative hash as every sampler here: a doc's
+    * fate is a pure function of (doc_id, its own text), reproducible
+    * and joinable on every run — no RNG state to ship.
+    */
+  def qualitySample(spark: SparkSession, dir: String): DataFrame =
+    gopherQuality(spark, dir)
+      .withColumn("n_pass",
+        col("pass_wc").cast("int") + col("pass_mwl").cast("int") +
+          col("pass_stop").cast("int") + col("pass_rep").cast("int"))
+      .withColumn("rate_pm",
+        when(col("n_pass") === 4, 1000L)
+          .when(col("n_pass") === 3, 500L)
+          .when(col("n_pass") === 2, 200L)
+          .otherwise(50L))
+      .withColumn("bucket",
+        (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 1000L).cast("long"))
+      .filter(col("bucket") < col("rate_pm"))
+      .select(col("doc_id"), col("n_pass").cast("long").as("n_pass"), col("rate_pm"), col("bucket"))
+      .orderBy("doc_id")
+
   /** Corpus report card: docs / words / quality-gate keep rate per
     * (lang, source) with rollup subtotals — the one-pass summary a
     * curation run publishes before anyone trains on the corpus. Shares

@@ -63,6 +63,19 @@ class QualityFiltersSpec extends SparkSpec {
     assert(rep.filter(col("keep_rate") < 0 || col("keep_rate") > 1).count() == 0)
   }
 
+  test("qualitySample keeps clean docs whole and downweights by rule-pass count") {
+    val s = SparkEntry.queries("q_quality_sample")(spark, sfDir)
+    val q = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+    // every fully-passing doc survives (rate 1000 permille covers all buckets)
+    val clean = q.filter(col("keep")).select("doc_id")
+    assert(clean.exceptAll(s.select("doc_id")).count() == 0, "a keep=true doc was sampled out")
+    // kept rows carry consistent rate bands and in-rate buckets
+    assert(s.filter(col("bucket") >= col("rate_pm")).count() == 0)
+    assert(s.filter(col("n_pass") === 4 && col("rate_pm") =!= 1000).count() == 0)
+    // the sample is a strict subset when any doc fails a rule
+    assert(s.count() < q.count() || q.filter(!col("keep")).count() == 0)
+  }
+
   test("gopherQuality rules are internally consistent and keep is their conjunction") {
     val q = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
     assert(q.filter(col("stop_hits") > col("n_words")).count() == 0)
