@@ -107,6 +107,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(executedPlan("q_stats_history_composite").contains("windowspecdefinition(user_id"))
   }
 
+  test("corpus-scale join sides carry no forced broadcast hints") {
+    // The line-frequency and pair-verify sides grow with the corpus; a
+    // hint would force an executor-memory broadcast at 100 TB. AQE may
+    // still broadcast at toy SF — a runtime decision, which is the
+    // point: only true dims and bounded frames get hints.
+    for (name <- Seq("q_line_dedup", "q_dedup_delta", "q_semdedup")) {
+      val analyzed = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
+      val hints = "UnresolvedHint|ResolvedHint".r.findAllIn(analyzed).size
+      assert(hints == 0, s"$name forces $hints broadcast hint(s) on a corpus-scale side")
+    }
+  }
+
+  test("q_semdedup self-join is cell-keyed (equi), never all-pairs") {
+    val optimized = SparkEntry.queries("q_semdedup")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cell"), "cell key missing from the join")
+    val exec = SparkEntry.queries("q_semdedup")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      "semdedup fell back to an all-pairs join shape")
+  }
+
   test("whole-stage codegen covers the agg pipeline of q_agg_group") {
     // AQE shows codegen spans only in the final plan — execute THIS df
     // (a write would clone the plan and leave df's own unexecuted).

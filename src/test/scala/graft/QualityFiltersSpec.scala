@@ -42,6 +42,22 @@ class QualityFiltersSpec extends SparkSpec {
         s"residual PII matching $p")
   }
 
+  test("redact never throws and stays idempotent on adversarial inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab1.-@ \té世 :/%+_"
+    val fuzz = (1 to 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ Seq(
+      (900L, "@" * 50), (901L, "." * 50), (902L, "1" * 50),
+      (903L, "a@b.cd" * 20), (904L, "1.2.3.4" * 20), (905L, "555-123-4567555-123-4567"))
+    val df = fuzz.toDF("id", "raw")
+      .withColumn("once", QualityFilters.redact(col("raw")))
+      .withColumn("twice", QualityFilters.redact(QualityFilters.redact(col("raw"))))
+    assert(df.count() == fuzz.size.toLong)
+    assert(df.filter(col("once") =!= col("twice")).count() == 0, "redaction not idempotent under fuzz")
+  }
+
   test("redact is idempotent: markers never re-match any PII pattern") {
     val out = SparkEntry.queries("q_pii_redact")(spark, sfDir)
       .select(col("doc_id"), col("clean_text"))
