@@ -474,9 +474,9 @@ object SparkEntry {
         |  SELECT source, greatest((min_n * 1000) // n_s, 1) AS rate_pm FROM c, m
         |)
         |SELECT d.doc_id, d.source,
-        |  CAST(((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 1000 AS BIGINT) AS bucket
+        |  CAST(((d.doc_id % 1000003) * 1315423911 + 2038074743) % 1000000007 % 1000 AS BIGINT) AS bucket
         |FROM documents d JOIN r USING (source)
-        |WHERE ((d.doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 1000 < r.rate_pm
+        |WHERE ((d.doc_id % 1000003) * 1315423911 + 2038074743) % 1000000007 % 1000 < r.rate_pm
         |ORDER BY d.doc_id""".stripMargin,
     "q_seq_pack" ->
       raw"""WITH t AS (
@@ -905,7 +905,7 @@ object SparkEntry {
        |), r AS (
        |  SELECT doc_id, CAST(n_pass AS BIGINT) AS n_pass,
        |    CAST(CASE n_pass WHEN 4 THEN 1000 WHEN 3 THEN 500 WHEN 2 THEN 200 ELSE 50 END AS BIGINT) AS rate_pm,
-       |    CAST(((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 1000 AS BIGINT) AS bucket
+       |    CAST(((doc_id % 1000003) * 1315423911 + 32452843) % 1000000007 % 1000 AS BIGINT) AS bucket
        |  FROM p
        |)
        |SELECT doc_id, n_pass, rate_pm, bucket FROM r

@@ -175,6 +175,22 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = MinHashK / BandRows
 
+  /** Hashed 3-gram shingle ARRAY per doc (expects a `toks` array
+    * column) — the ONE definition both the batch and streaming MinHash
+    * paths derive signatures from; their spec-pinned parity depends on
+    * this staying single-sourced.
+    */
+  private[graft] val ShingleArraySql: String =
+    "array_distinct(transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3)))))"
+
+  /** LSH band-key struct columns over a `sig` array column — shared by
+    * the batch and streaming paths for the same reason.
+    */
+  private[graft] def bandKeyCols: Seq[Column] = (0 until NumBands).map { j =>
+    val rows = (j * BandRows until (j + 1) * BandRows).map(i => s"sig[$i]").mkString(", ")
+    struct(lit(j).as("band"), expr(s"xxhash64($rows, $j)").as("key"))
+  }
+
   /** MinHash+LSH near-dup: k seeded xxhash64 minhashes per doc → b band
     * keys → bucket equi-join for candidates → exact Jaccard verify on the
     * candidate set ONLY. All-pairs work never happens; the quadratic term
@@ -192,19 +208,12 @@ object Dedup {
       Tables.documents(spark, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(
-          col("doc_id"),
-          expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3)))))")
-            .as("sh")),
+        .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
       "shingle_arr")
     val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
     val sig = arr.select(col("doc_id"), expr(s"graft_minhash(sh, $MinHashK)").as("sig"))
-    val bandCols: Seq[Column] = (0 until NumBands).map { j =>
-      val rows = (j * BandRows until (j + 1) * BandRows).map(i => s"sig[$i]").mkString(", ")
-      struct(lit(j).as("band"), expr(s"xxhash64($rows, $j)").as("key"))
-    }
     val bands = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val candidates = bands
       .toDF("a", "band", "key")

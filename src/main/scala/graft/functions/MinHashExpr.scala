@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** k MinHash values of a hashed-shingle array in ONE pass, as a native
@@ -32,7 +32,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class MinHashExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // k sizes generated code — validate the literal at analysis, not
+      // with a per-row NegativeArraySize/NPE at runtime
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure("graft_minhash k must be a non-null literal")
+        case kv: Int if kv < 1 || kv > 4096 =>
+          TypeCheckResult.TypeCheckFailure(s"graft_minhash k out of range (1..4096): $kv")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"graft_minhash requires (array<bigint>, foldable int), got ${l.catalogString}, ${r.catalogString}")
   }
@@ -57,7 +64,7 @@ case class MinHashExpr(left: Expression, right: Expression) extends BinaryExpres
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,7 +87,7 @@ case class MinHashExpr(left: Expression, right: Expression) extends BinaryExpres
          |    if ($hi < $mins[$i]) $mins[$i] = $hi;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
        """.stripMargin
     })
 
@@ -94,7 +101,12 @@ object MinHashExpr {
       (
         FunctionIdentifier("graft_minhash"),
         new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"),
-        (children: Seq[Expression]) => MinHashExpr(children(0), children(1))
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_minhash takes exactly 2 arguments (shingles array, k), got ${children.size}")
+          MinHashExpr(children(0), children(1))
+        }
       )
     )
 }

@@ -117,8 +117,12 @@ object QualityFilters {
           .when(col("n_pass") === 3, 500L)
           .when(col("n_pass") === 2, 200L)
           .otherwise(50L))
+      // Salted differently from splitAssign/sourceMix: a shared hash
+      // would make every downweighted doc satisfy bucket%100 < rate,
+      // i.e. land in 'train' — samplers must thin independently of the
+      // split and of each other.
       .withColumn("bucket",
-        (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 1000L).cast("long"))
+        (((col("doc_id") % 1000003L) * 1315423911L + 32452843L) % 1000000007L % 1000L).cast("long"))
       .filter(col("bucket") < col("rate_pm"))
       .select(col("doc_id"), col("n_pass").cast("long").as("n_pass"), col("rate_pm"), col("bucket"))
       .orderBy("doc_id")

@@ -35,6 +35,38 @@ object SeqPack {
     */
   val BlockSize = 256L
 
+  /** Per-group packing: the same two-level prefix sum, computed
+    * independently WITHIN each value of `groupCol` (offsets and pack
+    * ids restart per group). This is what a split-partitioned training
+    * export needs — packing the whole corpus and then partitioning by
+    * split would tear packs across split directories. The group key
+    * joins every window/aggregate key, so the global-window stage stays
+    * metadata-scale per group.
+    */
+  def seqPackWithin(docs: DataFrame, groupCol: String): DataFrame = {
+    val blocked = docs.withColumn("blk", floor(col("doc_id") / BlockSize).cast("long"))
+    val wIn = Window.partitionBy(groupCol, "blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = blocked.withColumn("local_off", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+    val wBlk = Window.partitionBy(groupCol).orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockPrefix = blocked
+      .groupBy(col(groupCol), col("blk"))
+      .agg(sum("n_tokens").as("blk_total"))
+      .withColumn("blk_off", coalesce(sum("blk_total").over(wBlk), lit(0L)))
+      .select(col(groupCol), col("blk"), col("blk_off"))
+    local
+      .join(blockPrefix, Seq(groupCol, "blk"))
+      .withColumn("start_offset", col("blk_off") + col("local_off"))
+      .select(
+        col("doc_id"),
+        col(groupCol),
+        col("n_tokens"),
+        col("start_offset"),
+        floor(col("start_offset") / PackBudget).cast("long").as("pack_id"),
+        pmod(col("start_offset"), lit(PackBudget)).cast("long").as("pack_offset"))
+  }
+
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables
       .documents(spark, dir)

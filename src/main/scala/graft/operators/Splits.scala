@@ -75,8 +75,12 @@ object Splits {
       .select("source", "rate_pm")
     docs
       .join(broadcast(rates), "source")
+      // Distinct additive salt (vs splitAssign's 12345): the samplers
+      // and the splitter must decorrelate — with a shared hash, a doc
+      // kept at rate r also satisfies bucket%100 < r, so thinned
+      // sources would land exclusively in the train split.
       .withColumn("bucket",
-        (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 1000L).cast("long"))
+        (((col("doc_id") % 1000003L) * 1315423911L + 2038074743L) % 1000000007L % 1000L).cast("long"))
       .filter(col("bucket") < col("rate_pm"))
       .select("doc_id", "source", "bucket")
       .orderBy("doc_id")

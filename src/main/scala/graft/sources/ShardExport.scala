@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.Tables
 import graft.operators.{SeqPack, Splits}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-shard export: the terminal sink of the curation pipeline —
@@ -29,13 +29,19 @@ object ShardExport {
     */
   val DefaultMaxRecords = 1000
 
-  /** Join the packed sequence layout with leakage-safe split labels —
-    * the frame a training export ships.
+  /** The frame a training export ships: leakage-safe split labels
+    * (cluster-id hash, so near-duplicates never straddle train/test)
+    * assigned FIRST, then sequences packed independently WITHIN each
+    * split — packing before splitting would tear packs across split
+    * directories and leave every split's packs full of holes.
     */
-  def packedWithSplits(spark: SparkSession, dir: String): DataFrame =
-    SeqPack
-      .seqPack(spark, dir)
-      .join(Splits.splitAssign(spark, dir).select("doc_id", "split"), "doc_id")
+  def packedWithSplits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(Splits.leakageSafeSplit(spark, dir).select("doc_id", "split"), "doc_id")
+    SeqPack.seqPackWithin(docs, "split")
+  }
 
   def export(
       packed: DataFrame,

@@ -56,20 +56,17 @@ object StreamLshDedup {
     */
   private[graft] def withBands(docs: Dataset[DocEvent]): Dataset[BandArrival] = {
     implicit val enc = Encoders.product[BandArrival]
-    val bandCols: Seq[Column] = (0 until Dedup.NumBands).map { j =>
-      val rows = (j * Dedup.BandRows until (j + 1) * Dedup.BandRows).map(i => s"sig[$i]").mkString(", ")
-      struct(lit(j).as("band"), expr(s"xxhash64($rows, $j)").as("key"))
-    }
     docs
       .toDF()
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh",
-        expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3)))))"))
+      // shingle/band construction is single-sourced in Dedup — the
+      // batch/stream parity the specs pin depends on it
+      .withColumn("sh", expr(Dedup.ShingleArraySql))
       // one-pass codegen minhash (bit-exact with the k-HOF composition;
       // identity spec-pinned in MinHashExprSpec and the batch-parity test)
       .withColumn("sig", expr(s"graft_minhash(sh, ${Dedup.MinHashK})"))
-      .select(col("doc_id"), col("ts"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("ts"), col("sig"), explode(array(Dedup.bandKeyCols: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"), col("ts"), col("sig"))
       .as[BandArrival]
   }
