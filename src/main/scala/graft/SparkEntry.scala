@@ -91,7 +91,8 @@ object SparkEntry {
     "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d)),
     "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d)),
     "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d)),
-    "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d))
+    "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
+    "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d))
   )
 
   private val NgramJaccardSql =
@@ -882,6 +883,35 @@ object SparkEntry {
            |FROM r ORDER BY doc_id""".stripMargin,
     "q_quality_gopher" -> QualityGopherSql,
     "q_quality_sample" -> QualitySampleSql,
+    "q_quality_c4" ->
+      raw"""WITH p AS (
+           |  SELECT doc_id,
+           |    'http://' ||
+           |      CASE WHEN doc_id % 13 = 0 THEN '${graft.functions.QualityFilters.BadDomains.head}'
+           |           ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' END ||
+           |      '/page/' || CAST(doc_id AS VARCHAR) AS url,
+           |    text ||
+           |      CASE WHEN doc_id % 11 = 0 THEN ' function() { return 0 }' ELSE '' END ||
+           |      CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor sit' ELSE '' END ||
+           |      CASE WHEN doc_id % 17 = 0 THEN ' ${graft.functions.QualityFilters.BadWords.head}' ELSE '' END AS ptext
+           |  FROM documents
+           |), r AS (
+           |  SELECT doc_id, url, ptext,
+           |    regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+           |  FROM p
+           |)
+           |SELECT doc_id, url, domain,
+           |  NOT (domain IN (${graft.functions.QualityFilters.BadDomains.map(d => s"'$d'").mkString(", ")})) AS pass_url,
+           |  NOT contains(ptext, '{') AS pass_brace,
+           |  NOT contains(ptext, 'lorem ipsum') AS pass_lorem,
+           |  len(list_filter(string_split_regex(ptext, '\s+'),
+           |      t -> t IN (${graft.functions.QualityFilters.BadWords.map(w => s"'$w'").mkString(", ")}))) = 0 AS pass_badword,
+           |  NOT (domain IN (${graft.functions.QualityFilters.BadDomains.map(d => s"'$d'").mkString(", ")}))
+           |    AND NOT contains(ptext, '{')
+           |    AND NOT contains(ptext, 'lorem ipsum')
+           |    AND len(list_filter(string_split_regex(ptext, '\s+'),
+           |        t -> t IN (${graft.functions.QualityFilters.BadWords.map(w => s"'$w'").mkString(", ")}))) = 0 AS keep
+           |FROM r ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       s"""WITH g AS (
          |$QualityGopherSql

@@ -31,7 +31,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 case class MinHashExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+    case (ArrayType(LongType, true), _) =>
+      // A null slot would be read as an undefined raw long (0 for
+      // UnsafeArrayData) and silently hashed — diverging from the
+      // array_min(transform(xxhash64)) composition, which null-propagates.
+      // Reject at analysis so the bit-exactness contract holds for ANY input.
+      TypeCheckResult.TypeCheckFailure(
+        "graft_minhash requires array<bigint> with non-null elements (containsNull=false)")
+    case (ArrayType(LongType, false), IntegerType) if right.foldable =>
       // k sizes generated code — validate the literal at analysis, not
       // with a per-row NegativeArraySize/NPE at runtime
       right.eval() match {

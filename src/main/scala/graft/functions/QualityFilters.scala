@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators a training-data pipeline runs before any
   * model sees the text: PII redaction and rule-based quality gating
-  * (the Gopher/C4 filter family, Rae et al. 2021 §A1.1). Both are pure
-  * column expressions — zero UDFs, fully codegen'd, one corpus scan
-  * each (gopherQuality adds one token aggregation for the repetition
-  * rule) — so at 100 TB they run at parquet-read speed.
+  * (the Gopher/C4 filter family, Rae et al. 2021 §A1.1; C4 heuristics,
+  * Raffel et al. 2020 §2.2). All are pure column expressions — zero
+  * UDFs, one corpus scan each, no joins or shuffles (the modal-word
+  * rule included, via topWordRun) — so at 100 TB they run at
+  * parquet-read speed.
   */
 object QualityFilters {
 
@@ -57,45 +58,112 @@ object QualityFilters {
         redact(col("pii_text")).as("clean_text"))
       .orderBy("doc_id")
 
+  /** Modal-word count of a token array, SCAN-LOCALLY: sort the array,
+    * then the longest equal-run length is the top word's count — the
+    * same value the explode + (doc,word) + (doc) double-aggregate
+    * computes, with zero shuffles and zero extra corpus scans. The
+    * per-row sort of a ~10²-token array is trivia next to the two
+    * doc_id-keyed corpus shuffles it replaces; at 100 TB the rule runs
+    * at parquet-read speed like every other Gopher rule.
+    */
+  private def topWordRun(tk: String): Column = expr(
+    s"""aggregate(
+       |  array_sort($tk),
+       |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+       |  (a, t) -> named_struct(
+       |    'prev', t,
+       |    'run',  if(a.prev is not null and t = a.prev, a.run + 1L, 1L),
+       |    'best', greatest(a.best, if(a.prev is not null and t = a.prev, a.run + 1L, 1L))),
+       |  a -> a.best)""".stripMargin)
+
   /** Gopher-style rule gate: per-document booleans for each published
     * rule that is non-vacuous on this corpus, plus the conjunction.
     * Word-count bounds, mean-word-length band, minimum stopword hits,
     * and a top-word repetition cap (the intra-doc half of repetition;
-    * cross-doc repetition is LineDedup / docRepetition). The repetition
-    * rule needs each doc's modal word count — one explode + (doc, word)
-    * aggregate + (doc) aggregate, shuffling on doc_id both times; all
-    * other rules are scan-local expressions joined back on doc_id.
+    * cross-doc repetition is LineDedup / docRepetition). EVERY rule —
+    * including the modal-word repetition rule, via topWordRun — is a
+    * scan-local expression: the whole gate is ONE pass over the
+    * documents scan with no joins and no shuffles (plan-asserted in
+    * ScaleShapeSpec), and composes into corpusReport / qualitySample
+    * without multiplying corpus reads.
     */
-  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val base = docs
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherFrame(Tables.documents(spark, dir))
+      .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_n",
+        "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep")
+      .orderBy("doc_id")
+
+  /** The full single-scan gate frame, keeping every documents column
+    * (lang/source for the report card) alongside the rule booleans.
+    */
+  private[graft] def gopherFrame(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", split(col("text"), "\\s+"))
-      .select(
-        col("doc_id"),
-        size(col("tk")).cast("long").as("n_words"),
-        expr(s"size(filter(tk, t -> t IN (${TextFunctions.stopListSql})))")
-          .cast("long").as("stop_hits"),
-        // word chars = text minus ALL whitespace (multi-char runs would
-        // inflate a length-minus-(n-1) separator estimate and shift docs
-        // across the mwl band edges)
-        Num.round4(length(regexp_replace(col("text"), "\\s", "")) / size(col("tk")))
-          .as("mean_word_len"))
-    val topWord = docs
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
-      .groupBy("doc_id", "w")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("top_word_n"))
-    base
-      .join(topWord, "doc_id")
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(tk, t -> t IN (${TextFunctions.stopListSql})))").cast("long"))
+      // word chars = text minus ALL whitespace (multi-char runs would
+      // inflate a length-minus-(n-1) separator estimate and shift docs
+      // across the mwl band edges)
+      .withColumn("mean_word_len",
+        Num.round4(length(regexp_replace(col("text"), "\\s", "")) / size(col("tk"))))
+      .withColumn("top_word_n", topWordRun("tk"))
       .withColumn("top_word_ratio", Num.round4(col("top_word_n") / col("n_words")))
       .withColumn("pass_wc", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("pass_mwl", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
       .withColumn("pass_stop", col("stop_hits") >= 2)
       .withColumn("pass_rep", col("top_word_ratio") <= 0.2)
       .withColumn("keep", col("pass_wc") && col("pass_mwl") && col("pass_stop") && col("pass_rep"))
-      .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_n",
-        "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep")
+
+  /** C4 curation-filter blocklists (Raffel et al. 2020 §2.2): the
+    * published pipeline drops pages from blocklisted URLs, pages whose
+    * text contains a curly brace (code, not prose), placeholder "lorem
+    * ipsum" text, and pages containing a blocklisted word. Neutral
+    * placeholder tokens stand in for the published word list.
+    */
+  val BadDomains: Seq[String] = Seq("ads.tracker.example", "spam.mirror.example")
+  val BadWords: Seq[String]   = Seq("xxbadword", "xxspamtoken")
+
+  /** Per-document C4 rule booleans, all SCAN-LOCAL expressions (string
+    * containment, domain extraction, word-list membership over the
+    * token array — no joins, no shuffles, same one-pass shape as
+    * gopherFrame).
+    *
+    * The synthetic corpus is clean word salad with no URL column, so —
+    * exactly like piiRedact — the declared query deterministically
+    * plants the url and the violations from doc_id (identical
+    * arithmetic in the oracle SQL) and the gate must catch exactly
+    * those: every 13th doc a blocklisted domain, every 11th a code
+    * brace, every 7th a lorem-ipsum run, every 17th a blocklisted word.
+    */
+  def c4Quality(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables
+      .documents(spark, dir)
+      .withColumn("url",
+        concat(
+          lit("http://"),
+          when(col("doc_id") % 13 === 0, lit(BadDomains.head))
+            .otherwise(concat(lit("site"), (col("doc_id") % 97).cast("string"), lit(".example.com"))),
+          lit("/page/"), col("doc_id").cast("string")))
+      .withColumn("ptext",
+        concat(
+          col("text"),
+          when(col("doc_id") % 11 === 0, lit(" function() { return 0 }")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" lorem ipsum dolor sit")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, concat(lit(" "), lit(BadWords.head))).otherwise(lit(""))))
+    val badDomainList = BadDomains.map(d => s"'$d'").mkString(", ")
+    val badWordList   = BadWords.map(w => s"'$w'").mkString(", ")
+    planted
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("pass_url", !expr(s"domain IN ($badDomainList)"))
+      .withColumn("pass_brace", !col("ptext").contains("{"))
+      .withColumn("pass_lorem", !col("ptext").contains("lorem ipsum"))
+      .withColumn("pass_badword",
+        expr(s"size(filter(split(ptext, '\\\\s+'), t -> t IN ($badWordList)))") === 0)
+      .withColumn("keep",
+        col("pass_url") && col("pass_brace") && col("pass_lorem") && col("pass_badword"))
+      .select("doc_id", "url", "domain", "pass_url", "pass_brace", "pass_lorem",
+        "pass_badword", "keep")
       .orderBy("doc_id")
   }
 
@@ -108,7 +176,7 @@ object QualityFilters {
     * and joinable on every run — no RNG state to ship.
     */
   def qualitySample(spark: SparkSession, dir: String): DataFrame =
-    gopherQuality(spark, dir)
+    gopherFrame(Tables.documents(spark, dir))
       .withColumn("n_pass",
         col("pass_wc").cast("int") + col("pass_mwl").cast("int") +
           col("pass_stop").cast("int") + col("pass_rep").cast("int"))
@@ -129,17 +197,16 @@ object QualityFilters {
 
   /** Corpus report card: docs / words / quality-gate keep rate per
     * (lang, source) with rollup subtotals — the one-pass summary a
-    * curation run publishes before anyone trains on the corpus. Shares
-    * the gopherQuality shuffle shape; the rollup only expands the tiny
-    * aggregated frame. rollup gets untagged functions.col refs (the
-    * String overload's dataset-tagged refs trip DetectAmbiguousSelfJoin
-    * after Expand, see rollupAgg).
+    * curation run publishes before anyone trains on the corpus. Rides
+    * gopherFrame, so the whole report is literally one documents scan
+    * feeding one rollup aggregate (lang/source travel with the gate —
+    * no doc_id self-join); the rollup only expands the tiny aggregated
+    * frame. rollup gets untagged functions.col refs (the String
+    * overload's dataset-tagged refs trip DetectAmbiguousSelfJoin after
+    * Expand, see rollupAgg).
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .join(gopherQuality(spark, dir).select(col("doc_id"), col("n_words"), col("keep")), "doc_id")
+    gopherFrame(Tables.documents(spark, dir))
       .select(col("lang"), col("source"), col("n_words"), col("keep").cast("long").as("k"))
       .rollup(col("lang"), col("source"))
       .agg(

@@ -17,7 +17,13 @@ case class LshCandidate(a: Long, b: Long, band: Int, est_sim: Double)
 private[graft] case class BandArrival(
     band: Int, key: Long, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
 
-private case class BucketState(entries: List[(Long, Seq[Long], Long)])
+private case class BucketState(
+    entries: List[(Long, Seq[Long], Long)],
+    // (doc_id, arrival ms) of every id accepted within the horizon — ids
+    // only, no signatures, so it costs ~16 bytes/doc where entries cost
+    // k*8. Survives MaxPerBucket eviction of `entries`, so a re-delivered
+    // id stays suppressed even after its signature was capped out.
+    seen: List[(Long, Long)])
 
 /** Streaming MinHash-LSH near-dup detection at ingest: the incremental
   * twin of dedup.Dedup.minhashLsh, flagging each arriving document
@@ -41,13 +47,26 @@ private case class BucketState(entries: List[(Long, Seq[Long], Long)])
   * horizon are evicted (rate × horizon, like StreamDedup), and each
   * bucket retains at most MaxPerBucket newest entries — a viral bucket
   * (near-identical spam flood) degrades to comparing against the cap,
-  * not to an executor OOM. Re-deliveries of an id already in state are
-  * ignored (idempotent ingest, mirroring the reference's re-fetch
-  * tolerance).
+  * not to an executor OOM. Re-deliveries are suppressed by a separate
+  * ids-only `seen` set (~16 bytes/doc vs k·8 for a signature entry)
+  * that is NOT subject to MaxPerBucket, so idempotence survives cap
+  * eviction of the signature. The precise idempotence bound: a
+  * re-delivered doc_id emits nothing as long as its first arrival is
+  * within the watermark horizon AND the bucket has seen fewer than
+  * SeenCap distinct ids since — beyond either bound (very late replay
+  * or a flood past SeenCap) a re-delivery is indistinguishable from a
+  * new doc and re-emits candidates. Downstream consumers dedupe on
+  * (a, b, band) if exact-once matters past that horizon.
   */
 object StreamLshDedup {
 
   val MaxPerBucket = 64
+
+  /** Upper bound on the ids-only re-delivery suppression set, per bucket.
+    * 16× the signature cap: suppression outlives signature eviction by a
+    * wide margin while still bounding state under an adversarial flood.
+    */
+  val SeenCap = 1024
 
   /** Per-row band keys + signature, identical arithmetic to the batch
     * minhashLsh: shingles hash via xxhash64(string), minhash i is
@@ -93,23 +112,29 @@ object StreamLshDedup {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
     var entries = state.getOption.map(_.entries).getOrElse(Nil)
+    var seen = state.getOption.map(_.seen).getOrElse(Nil)
     val wm = state.getCurrentWatermarkMs()
     entries = entries.filter(_._3 >= wm)
+    seen = seen.filter(_._2 >= wm)
+    val seenIds = scala.collection.mutable.HashSet.empty[Long]
+    seenIds ++= seen.iterator.map(_._1)
     // Micro-batches are unordered; process the per-trigger slice in
     // event-time order so "earlier doc" is deterministic.
     for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))) {
-      if (!entries.exists(_._1 == r.doc_id)) {
+      if (!seenIds.contains(r.doc_id)) {
         for ((id, sig, _) <- entries) {
           val (a, b) = if (id < r.doc_id) (id, r.doc_id) else (r.doc_id, id)
           out += LshCandidate(a, b, key._1, estSim(sig, r.sig))
         }
         entries = ((r.doc_id, r.sig, r.ts.getTime) :: entries).take(MaxPerBucket)
+        seen = ((r.doc_id, r.ts.getTime) :: seen).take(SeenCap)
+        seenIds += r.doc_id
       }
     }
-    state.update(BucketState(entries))
+    state.update(BucketState(entries, seen))
     // Flush the bucket once the watermark passes its newest entry plus
     // the horizon (nothing inside the horizon can collide with it).
-    if (entries.nonEmpty) state.setTimeoutTimestamp(entries.map(_._3).max, horizon)
+    if (seen.nonEmpty) state.setTimeoutTimestamp(seen.map(_._2).max, horizon)
     out.iterator
   }
 }

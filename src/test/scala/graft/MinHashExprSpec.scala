@@ -22,16 +22,43 @@ class MinHashExprSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, Seq(7L, 8L, 9L)), (2L, Seq(7L))).toDF("id", "sh")
     val viaCodegen = df.withColumn("m", expr("graft_minhash(sh, 4)")).collect()
-    // force interpreted path
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // Force the TRUE interpreted path. Disabling wholeStage alone is not
+    // enough — projections are still compiled per-expression via
+    // GenerateUnsafeProjection, so nullSafeEval would stay uncovered.
+    // factoryMode=NO_CODEGEN makes the projection factory use
+    // InterpretedUnsafeProjection, which calls Expression#eval.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interpreted = df.withColumn("m", expr("graft_minhash(sh, 4)")).collect()
       assert(viaCodegen.map(_.toString).toSeq == interpreted.map(_.toString).toSeq)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // Belt and braces: exercise nullSafeEval directly, no planner involved.
+    val direct = graft.functions.MinHashExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(7L, 8L, 9L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)),
+      org.apache.spark.sql.catalyst.expressions.Literal(4))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(direct.toSeq == viaCodegen(0).getSeq[Long](2))
     // shared-element property: doc 2's single shingle appears in doc 1's
     // set, so doc 1's mins are elementwise <= doc 2's
     val m = viaCodegen.map(r => r.getSeq[Long](2)).toSeq
     assert(m(0).zip(m(1)).forall { case (a, b) => a <= b })
+  }
+
+  test("graft_minhash rejects nullable-element arrays at analysis") {
+    import spark.implicits._
+    // Option[Long] elements → ArrayType(LongType, containsNull=true); a null
+    // slot would otherwise be read as raw 0 and silently hashed, breaking
+    // the bit-exactness contract with the null-propagating HOF composition.
+    val df = Seq((1L, Seq(Some(7L), None))).toDF("id", "sh")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.withColumn("m", expr("graft_minhash(sh, 4)")).collect()
+    }
+    assert(e.getMessage.contains("containsNull=false") || e.getMessage.toLowerCase.contains("non-null"))
   }
 }

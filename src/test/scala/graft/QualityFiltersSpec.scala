@@ -66,6 +66,45 @@ class QualityFiltersSpec extends SparkSpec {
       "second redaction pass changed already-clean text")
   }
 
+  test("gopher gate and report card are single-scan: one documents read, no joins") {
+    // The modal-word rule is computed scan-locally (topWordRun), so the
+    // whole gate — and the report card riding it — must plan exactly ONE
+    // file scan and zero joins; a second scan or a doc_id self-join is a
+    // 2x corpus read at 100 TB.
+    for (name <- Seq("q_quality_gopher", "q_corpus_report", "q_quality_sample")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // AQE: the final plan (with scans) exists only after execution
+      val plan = finalPlanString(df)
+      val scans = plan.sliding("FileScan".length).count(_ == "FileScan")
+      assert(scans == 1, s"$name plans $scans file scans, expected 1:\n$plan")
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+    }
+  }
+
+  // AQE toString appends an "== Initial Plan ==" copy of every node;
+  // only the final section reflects what actually ran.
+  private def finalPlanString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  test("c4Quality catches exactly the planted violations") {
+    val out = SparkEntry.queries("q_quality_c4")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(out.count() == docs)
+    // each rule fails exactly on its planted residue class
+    assert(out.filter(col("pass_url") === (col("doc_id") % 13 === 0)).count() == 0)
+    assert(out.filter(col("pass_brace") === (col("doc_id") % 11 === 0)).count() == 0)
+    assert(out.filter(col("pass_lorem") === (col("doc_id") % 7 === 0)).count() == 0)
+    assert(out.filter(col("pass_badword") === (col("doc_id") % 17 === 0)).count() == 0)
+    assert(out.filter(col("keep") =!= (col("pass_url") && col("pass_brace") &&
+      col("pass_lorem") && col("pass_badword"))).count() == 0)
+    // and it is scan-local too
+    val df = SparkEntry.queries("q_quality_c4")(spark, sfDir)
+    df.collect()
+    val plan = finalPlanString(df)
+    assert(plan.sliding("FileScan".length).count(_ == "FileScan") == 1 &&
+      !plan.contains("Join"), s"q_quality_c4 is not single-scan scan-local:\n$plan")
+  }
+
   test("corpusReport subtotals are consistent with the per-doc gate") {
     val rep = SparkEntry.queries("q_corpus_report")(spark, sfDir)
     val grand = rep.filter(col("lang") === "ALL" && col("source") === "ALL").collect()
