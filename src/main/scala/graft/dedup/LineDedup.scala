@@ -23,13 +23,22 @@ import org.apache.spark.sql.functions._
   * frequency needs distinct lines PER DOC, and a doc's lines are
   * co-located by construction — `array_distinct` inside the row does
   * it for free, where a (doc,line).distinct() would shuffle the whole
-  * chunk frame first (the avoided exchange IS the corpus). The
-  * line-frequency frame is corpus-scale, so the join back is a
-  * shuffled equi-join on the line — never hint-broadcast (AQE may at
-  * toy SF). Reassembly sorts each doc's kept lines by line_no inside
-  * the aggregate (collect_list order is partition-dependent; the
-  * struct sort restores it), which is safe because a document's line
-  * count is bounded by doc length, not corpus size.
+  * chunk frame first (the avoided exchange IS the corpus).
+  *
+  * NO corpus shuffle ever carries a line STRING (the repo's
+  * shuffle-hygiene principle, see Dedup jaccardPrefix): frequency
+  * aggregates over xxhash64(line) longs, the boilerplate join keys
+  * occurrences as (doc_id, line_no, lh) 24-byte rows against the
+  * hash-only boilerplate set (corpus-scale, never hint-broadcast; AQE
+  * may at toy SF), and the surviving text never leaves its document
+  * row: removal reassembles SCAN-LOCALLY by filtering the in-row
+  * chunks array against the doc's removed line_no set — the one
+  * string-bearing exchange left is the doc_id equi-join of the tiny
+  * (doc_id, removed-line-nos) frame back to the staged chunk frame,
+  * and the in-order chunks array makes the old collect_list struct
+  * sort unnecessary. Same 1e-10/line-pair xxhash64 collision trade
+  * the shingle indexes accept (a collision can only merge two lines'
+  * document frequencies, over-removing, never corrupting text).
   */
 object LineDedup {
 
@@ -58,21 +67,33 @@ object LineDedup {
 
   /** Frame-level lineDedup: any (doc_id, text) frame. */
   def lineDedupOf(docs: DataFrame): DataFrame = {
-    val chunks = graft.Staging.staged(chunked(docs), "line_chunks")
-    val freq = chunks
-      .select(explode(array_distinct(col("chunks"))).as("line"))
-      .groupBy("line")
+    val chunks = graft.Staging.staged(
+      chunked(docs).withColumn("lhs", expr("transform(chunks, c -> xxhash64(c))")),
+      "line_chunks")
+    // document frequency over line HASHES — the shuffle carries longs
+    val boiler = chunks
+      .select(explode(array_distinct(col("lhs"))).as("lh"))
+      .groupBy("lh")
       .agg(count(lit(1)).as("df"))
-    chunks
-      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("line_no", "line")))
-      .join(freq, "line")
+      .filter(col("df") >= BoilerplateDf)
+      .select("lh")
+    // which of a doc's line slots are boilerplate: 24-byte occurrence
+    // rows against the hash-only set, grouped back to one small row/doc
+    val removed = chunks
+      .select(col("doc_id"), posexplode(col("lhs")).as(Seq("line_no", "lh")))
+      .join(boiler, "lh")
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        count(when(col("df") >= BoilerplateDf, 1)).as("n_removed"),
-        expr(
-          s"array_join(transform(array_sort(collect_list(CASE WHEN df < $BoilerplateDf THEN struct(line_no, line) END)), s -> s.line), ' ')")
-          .as("clean_text"))
+      .agg(collect_list("line_no").as("rm"))
+    // reassembly is scan-local: the in-row chunks array is already in
+    // line order, so filtering by removed slot index IS the clean text
+    chunks
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), array()))
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast("long").as("n_lines"),
+        size(col("rm")).cast("long").as("n_removed"),
+        expr("array_join(filter(chunks, (c, i) -> NOT array_contains(rm, i)), ' ')").as("clean_text"))
       .orderBy("doc_id")
   }
 }

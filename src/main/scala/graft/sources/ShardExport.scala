@@ -60,4 +60,31 @@ object ShardExport {
       .partitionBy("split")
       .mode("overwrite")
       .parquet(path)
+
+  /** Shard manifest: one row per written shard file — path, split, row
+    * count, packs touched, token total — the tiny table a data loader
+    * bootstraps from (assign shards to workers, budget epochs by token
+    * totals) without listing or opening the data files themselves.
+    *
+    * Derived from the WRITTEN files (`_metadata.file_path` on a
+    * read-back), not from the pre-write frame, so it can't drift from
+    * what actually landed; the aggregate is over file-local groups, so
+    * its cost is one read of the shard data and its output is
+    * O(files). `n_packs` counts packs intersecting the file —
+    * maxRecordsPerFile may cut a task's rows mid-pack, so a pack can
+    * span adjacent files of the same shard task and per-file counts
+    * can exceed the distinct-pack total when summed (the loader-visible
+    * truth: both files must be read to reassemble that pack).
+    */
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(
+        col("_metadata.file_path").as("shard_path"),
+        col("split"), col("pack_id"), col("n_tokens"))
+      .groupBy("shard_path", "split")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("shard_path")
 }

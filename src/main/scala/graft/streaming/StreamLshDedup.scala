@@ -90,11 +90,32 @@ object StreamLshDedup {
       .as[BandArrival]
   }
 
-  def candidates(docs: Dataset[DocEvent], horizon: String = "1 hour"): Dataset[LshCandidate] = {
+  /** Ingest-time quality gate: the full Gopher rule set — every rule is
+    * a scan-local column expression since the modal-word rule went
+    * per-row (QualityFilters.gopherFrame), so the gate is watermark-safe
+    * by construction (stateless, no event-time reasoning) and junk
+    * never reaches the LSH state store at all: the cheapest possible
+    * place to drop it. Batch remains the exact authority on the gated-IN
+    * corpus; gating changes which docs exist, not how they dedup
+    * (parity spec runs the batch pass over the same gated frame).
+    */
+  private[graft] def qualityGated(docs: Dataset[DocEvent]): Dataset[DocEvent] = {
+    implicit val enc = Encoders.product[DocEvent]
+    graft.functions.QualityFilters
+      .gopherFrame(docs.toDF())
+      .filter(col("keep"))
+      .select(col("doc_id"), col("ts"), col("text"))
+      .as[DocEvent]
+  }
+
+  def candidates(
+      docs: Dataset[DocEvent],
+      horizon: String = "1 hour",
+      qualityGate: Boolean = false): Dataset[LshCandidate] = {
     implicit val outEnc = Encoders.product[LshCandidate]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     implicit val stateEnc = Encoders.product[BucketState]
-    withBands(docs)
+    withBands(if (qualityGate) qualityGated(docs) else docs)
       .withWatermark("ts", horizon)
       .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

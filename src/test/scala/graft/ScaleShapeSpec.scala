@@ -72,6 +72,20 @@ class ScaleShapeSpec extends SparkSpec {
       "recurrent delta must evaluate delta2/3/4 over one shuffle")
   }
 
+  test("lineDedup never shuffles line strings: every exchange keys on hashes or ids") {
+    // The frequency agg and boilerplate join key on xxhash64(line) longs;
+    // the only string-bearing exchange is the doc_id join back to the
+    // staged chunk frame. An exchange partitioned on the raw `line`
+    // string would move ~LineWords x more bytes per row at 100 TB.
+    val df = SparkEntry.queries("q_line_dedup")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("hashpartitioning(line#") && !plan.contains("hashpartitioning(line,"),
+      s"a shuffle keys on the raw line string:\n$plan")
+    assert("hashpartitioning\\((lh|doc_id)#".r.findAllIn(plan).nonEmpty,
+      s"expected hash/doc_id-keyed exchanges:\n$plan")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val path = Files.createTempDirectory("graft_prune").toString + "/events"
     ParquetSink.writePartitioned(

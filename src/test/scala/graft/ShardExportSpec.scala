@@ -38,4 +38,28 @@ class ShardExportSpec extends SparkSpec {
       assert(rows.sameElements(rows.sortBy(identity)), s"$f is not internally sorted")
     }
   }
+
+  test("manifest totals equal the exported frame's totals, one row per shard file") {
+    val out = Files.createTempDirectory("shard_manifest").toString
+    val packed = ShardExport.packedWithSplits(spark, sfDir)
+    ShardExport.export(packed, out, shardsPerSplit = 4, maxRecordsPerFile = 50)
+    val man = ShardExport.manifest(spark, out).collect()
+    // one manifest row per physical parquet file
+    val files = Files.walk(Paths.get(out)).iterator()
+    var nFiles = 0
+    while (files.hasNext) if (files.next().toString.endsWith(".parquet")) nFiles += 1
+    assert(man.length == nFiles, s"${man.length} manifest rows for $nFiles files")
+    // a loader bootstrapping from the manifest sees exactly the corpus
+    assert(man.map(_.getAs[Long]("n_rows")).sum == packed.count())
+    val tokTotal = packed.agg(sum("n_tokens")).head.getLong(0)
+    assert(man.map(_.getAs[Long]("total_tokens")).sum == tokTotal)
+    // per-split rows agree too (the loader filters the manifest, not files)
+    val bySplit = man.groupBy(_.getAs[String]("split")).view.mapValues(_.map(_.getAs[Long]("n_rows")).sum)
+    for ((s, n) <- bySplit)
+      assert(n == packed.filter(col("split") === s).count(), s"split $s manifest rows drift")
+    // packs never straddle shards (only files within a shard task), so
+    // per-file pack counts are bounded below by the distinct total
+    assert(man.map(_.getAs[Long]("n_packs")).sum >=
+      packed.select("split", "pack_id").distinct().count())
+  }
 }

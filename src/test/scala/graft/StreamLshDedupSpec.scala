@@ -95,11 +95,60 @@ class StreamLshDedupSpec extends SparkSpec {
       assert(spark.table("lsh_redeliver")
         .filter(col("b") === 70L).select("a").distinct().count() == cap)
       // re-deliver an id still in state (the cap keeps the newest 64,
-      // ids 7-70): silence. An id the cap already evicted would
-      // legitimately re-pair — the documented pre-filter trade.
+      // ids 7-70): silence.
       input.addData(DocEvent(50L, ts(400), spam))
       query.processAllAvailable()
       assert(spark.table("lsh_redeliver").count() == afterFlood, "re-delivery emitted pairs")
+      // re-deliver an id the cap ALREADY EVICTED from the signature
+      // entries (ids 1-6): the ids-only seen set still suppresses it —
+      // idempotence survives cap eviction within the horizon/SeenCap.
+      input.addData(DocEvent(3L, ts(401), spam))
+      query.processAllAvailable()
+      assert(spark.table("lsh_redeliver").count() == afterFlood,
+        "re-delivery of a cap-evicted id emitted pairs")
     } finally query.stop()
+  }
+
+  test("quality-gated ingest: junk never enters bucket state, clean near-dups still surface") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // two near-identical CLEAN docs (pass every Gopher rule: 60 distinct
+    // words, stopwords present, mean word length in band) and two
+    // IDENTICAL junk docs (10 words, one repeated — fails wc and rep)
+    // that would otherwise be the strongest possible LSH pair
+    val cleanWords = (1 to 56).map(i => f"word$i%02d") ++ Seq("the", "a", "of", "and")
+    val clean1 = cleanWords.mkString(" ")
+    val clean2 = (cleanWords.dropRight(1) :+ "tail").mkString(" ")
+    val junk = Seq.fill(10)("spam").mkString(" ")
+    val events = Seq(
+      DocEvent(1L, ts(100), clean1), DocEvent(2L, ts(101), clean2),
+      DocEvent(8L, ts(102), junk), DocEvent(9L, ts(103), junk))
+    def run(gate: Boolean, name: String): (Long, Set[(Long, Long)]) = {
+      val input = MemoryStream[DocEvent]
+      val query = StreamLshDedup.candidates(input.toDS(), horizon = "10 days", qualityGate = gate)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(events: _*)
+        query.processAllAvailable()
+        val state = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        (state, spark.table(name).select("a", "b").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      } finally query.stop()
+    }
+    val (gatedState, gatedPairs) = run(gate = true, "lsh_gated")
+    val (openState, openPairs) = run(gate = false, "lsh_open")
+    // ungated: the identical junk pair floods through
+    assert(openPairs.contains((8L, 9L)), "ungated run should emit the junk pair")
+    // gated: junk emits nothing and holds NO state — the state row count
+    // equals exactly the clean docs' distinct (band, key) buckets
+    assert(!gatedPairs.exists(p => p._1 >= 8L || p._2 >= 8L), "junk leaked through the gate")
+    val cleanBuckets = StreamLshDedup
+      .withBands(events.filter(_.doc_id <= 2L).toDS())
+      .select("band", "key").distinct().count()
+    assert(gatedState == cleanBuckets,
+      s"gated state holds $gatedState rows, expected $cleanBuckets (clean buckets only)")
+    assert(gatedState < openState, "gating must shrink the state store")
+    // the clean near-dup pair still surfaces at ingest
+    assert(gatedPairs.contains((1L, 2L)), "gate dropped a clean near-dup pair")
   }
 }
