@@ -26,6 +26,7 @@ object GraftSession {
         graft.functions.FingerprintExpr.register(ext)
         graft.functions.DotProductExpr.register(ext)
         graft.functions.MinHashExpr.register(ext)
+        graft.functions.BpeExpr.register(ext)
         ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
       }
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -92,7 +92,8 @@ object SparkEntry {
     "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d)),
     "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d)),
     "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
-    "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d))
+    "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
+    "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d))
   )
 
   private val NgramJaccardSql =
@@ -883,6 +884,7 @@ object SparkEntry {
            |FROM r ORDER BY doc_id""".stripMargin,
     "q_quality_gopher" -> QualityGopherSql,
     "q_quality_sample" -> QualitySampleSql,
+    "q_tokenize_bpe" -> graft.functions.Bpe.oracleSql,
     "q_quality_c4" ->
       raw"""WITH p AS (
            |  SELECT doc_id,

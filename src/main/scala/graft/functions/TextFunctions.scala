@@ -111,6 +111,19 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** #29c real tokenization: apply the published BPE merge table and
+    * emit token-ID arrays (graft_bpe, a scan-local codegen Expression)
+    * — the computation q_token_count/q_token_count_bpe only estimate.
+    * n_tokens here is the REAL sequence length the packing/export
+    * operators budget on.
+    */
+  def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .orderBy("doc_id")
+
   /** Stopword list for quality/language heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

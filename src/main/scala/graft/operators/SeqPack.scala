@@ -55,16 +55,22 @@ object SeqPack {
       .agg(sum("n_tokens").as("blk_total"))
       .withColumn("blk_off", coalesce(sum("blk_total").over(wBlk), lit(0L)))
       .select(col(groupCol), col("blk"), col("blk_off"))
+    // passthrough columns (e.g. the token-id payload a shard export
+    // carries) ride along untouched — the packing layout only needs
+    // (doc_id, groupCol, n_tokens)
+    val extras = docs.columns.filterNot(Set("doc_id", groupCol, "n_tokens")).map(col)
     local
       .join(blockPrefix, Seq(groupCol, "blk"))
       .withColumn("start_offset", col("blk_off") + col("local_off"))
       .select(
-        col("doc_id"),
-        col(groupCol),
-        col("n_tokens"),
-        col("start_offset"),
-        floor(col("start_offset") / PackBudget).cast("long").as("pack_id"),
-        pmod(col("start_offset"), lit(PackBudget)).cast("long").as("pack_offset"))
+        Seq(
+          col("doc_id"),
+          col(groupCol),
+          col("n_tokens"),
+          col("start_offset"),
+          floor(col("start_offset") / PackBudget).cast("long").as("pack_id"),
+          pmod(col("start_offset"), lit(PackBudget)).cast("long").as("pack_offset")
+        ) ++ extras: _*)
   }
 
   def seqPack(spark: SparkSession, dir: String): DataFrame = {

@@ -34,11 +34,18 @@ object ShardExport {
     * assigned FIRST, then sequences packed independently WITHIN each
     * split — packing before splitting would tear packs across split
     * directories and leave every split's packs full of holes.
+    *
+    * Lengths are REAL tokenizer output, not whitespace estimates: the
+    * graft_bpe id array is both the `n_tokens` the packer budgets on
+    * and the payload the shards carry — what a dataloader actually
+    * consumes (BpeSpec pins decode(token_ids) == text, so the shards
+    * are a lossless representation of the corpus).
     */
   def packedWithSplits(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables
       .documents(spark, dir)
-      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
       .join(Splits.leakageSafeSplit(spark, dir).select("doc_id", "split"), "doc_id")
     SeqPack.seqPackWithin(docs, "split")
   }

@@ -62,4 +62,28 @@ class ShardExportSpec extends SparkSpec {
     assert(man.map(_.getAs[Long]("n_packs")).sum >=
       packed.select("split", "pack_id").distinct().count())
   }
+
+  test("shards carry real token-id payloads that decode back to the corpus") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("shard_ids").toString
+    val packed = ShardExport.packedWithSplits(spark, sfDir)
+    // n_tokens is the real tokenizer length, not a whitespace estimate
+    assert(packed.filter(size(col("token_ids")) =!= col("n_tokens")).count() == 0)
+    ShardExport.export(packed, out, shardsPerSplit = 4, maxRecordsPerFile = 50)
+    val back = spark.read.parquet(out)
+    assert(back.columns.contains("token_ids"), "exported shards lost the id payload")
+    // the lake's token grand total equals the manifest's
+    val lakeTok = back.agg(sum(size(col("token_ids")))).head.getLong(0)
+    val manTok = ShardExport.manifest(spark, out)
+      .agg(sum("total_tokens")).head.getLong(0)
+    assert(lakeTok == manTok, s"lake tokens $lakeTok != manifest tokens $manTok")
+    // and every exported doc's ids decode to its exact source text — the
+    // shards are a lossless representation of the corpus
+    val texts = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val sample = back.select($"doc_id", $"token_ids").as[(Long, Seq[Int])].collect()
+    assert(sample.nonEmpty)
+    for ((id, ids) <- sample)
+      assert(graft.functions.Bpe.decode(ids.toArray) == texts(id), s"doc $id payload corrupt")
+  }
 }
