@@ -116,4 +116,24 @@ object Clusters {
         (col("id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
   }
+
+  /** Version tag folded into the artifact fingerprint: bump whenever the
+    * clustering algorithm or its parameters change meaning, so stale
+    * published tables are never mistaken for fresh ones.
+    */
+  val ArtifactVersion = "jaccard3gram-tau0.8-minlabel-v1"
+
+  /** Artifact-aware accessor: the PUBLISHED cluster table when an
+    * artifacts root is configured (first consumer computes and
+    * publishes; every later consumer reads the committed parquet),
+    * inline `dedupClusters` otherwise. This is the deployment shape —
+    * the cluster table is the most expensive derived artifact in the
+    * pipeline and feeds leakage-safe splits, shard export, and corpus
+    * dedup; computing it once per consumer multiplies that cost by its
+    * fan-out.
+    */
+  def publishedClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.publishedOrCompute(
+      spark, "dedup_clusters", ArtifactVersion, Seq(s"$dir/documents.parquet"))(
+      dedupClusters(spark, dir))
 }

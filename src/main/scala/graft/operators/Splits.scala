@@ -37,11 +37,15 @@ object Splits {
     * near-duplicates, which is exactly what dedup clustering detects.
     * Same engine-portable multiplicative hash as splitAssign; cluster
     * ids come from graft.dedup.Clusters (Jaccard >= 0.8 components,
-    * singletons = their own cluster).
+    * singletons = their own cluster) — via the publish/consume contract,
+    * so a deployment that has materialized the cluster table pays a
+    * parquet read here instead of recomputing the whole near-dup
+    * pipeline (inline fallback when no artifacts root is configured
+    * keeps the query self-contained for the correctness gate).
     */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Clusters
-      .dedupClusters(spark, dir)
+      .publishedClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
       .withColumn("bucket",
         (((col("cluster_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))

@@ -134,13 +134,24 @@ object IvfAnn {
       .orderBy("q_id", "rn")
   }
 
+  /** The full assigned corpus frame (vec_id, e, norm, cell), built from
+    * the ONE staged embeddings scan the index build already pays — the
+    * frame SemDedup's within-cell exact pass consumes directly. Handing
+    * this out (instead of just (vec_id, cell)) is what keeps the
+    * embeddings table at exactly one scan across quantizer training,
+    * assignment, and downstream exact scoring: a consumer that re-reads
+    * the table to recover e/norm doubles the corpus read at 100 TB.
+    */
+  private[graft] def assignedVectors(spark: SparkSession, dir: String): DataFrame = {
+    val (v, model) = index(spark, dir)
+    model.transform(v).select(col("vec_id"), col("e"), col("norm"), col("cell"))
+  }
+
   /** Corpus cell assignment alone, exposed for the cell-balance spec —
     * same build as ivfTopK by construction.
     */
-  private[graft] def assignments(spark: SparkSession, dir: String): DataFrame = {
-    val (v, model) = index(spark, dir)
-    model.transform(v).select(col("vec_id"), col("cell"))
-  }
+  private[graft] def assignments(spark: SparkSession, dir: String): DataFrame =
+    assignedVectors(spark, dir).select(col("vec_id"), col("cell"))
 
   /** Cell assignment over an arbitrary (vec_id, e, norm) frame — the
     * two-corpus-sizes derivation spec drives this directly.

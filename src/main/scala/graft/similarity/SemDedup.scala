@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.{Num, Tables}
+import graft.Num
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,17 +21,15 @@ import org.apache.spark.sql.functions._
 object SemDedup {
 
   def semDedupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val assigned = IvfAnn.assignments(spark, dir)
-    // Staged: the self-join would otherwise run the embeddings scan,
-    // the double-cast/norm transform, and the assignment join TWICE —
-    // the re-scan cost the dedup staging pattern exists to kill.
+    // The IVF build already staged the normalized corpus frame; its
+    // assigned form (vec_id, e, norm, cell) is consumed here DIRECTLY —
+    // re-reading Tables.embeddings to recover e/norm would scan the
+    // corpus a second time (one full extra read at 100 TB; the
+    // SimilaritySpec single-scan test pins this at exactly one). Staged
+    // again post-assignment so the self-join below doesn't run the
+    // k-means assignment twice.
     val v = graft.Staging.staged(
-      Tables
-        .embeddings(spark, dir)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-        .withColumn("norm", sqrt(expr("graft_dot(e, e)")))
-        .join(assigned, "vec_id")
-        .select("vec_id", "e", "norm", "cell"),
+      IvfAnn.assignedVectors(spark, dir),
       "semdedup_cells")
     v.toDF("a", "ea", "na", "cell")
       .join(v.toDF("b", "eb", "nb", "cell2"), col("cell") === col("cell2") && col("a") < col("b"))

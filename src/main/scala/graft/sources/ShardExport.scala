@@ -40,6 +40,12 @@ object ShardExport {
     * and the payload the shards carry — what a dataloader actually
     * consumes (BpeSpec pins decode(token_ids) == text, so the shards
     * are a lossless representation of the corpus).
+    *
+    * The split labels ride leakageSafeSplit, which consumes the
+    * PUBLISHED cluster table when an artifacts root is configured
+    * (graft.sources.Artifacts) — an export run in a deployment that has
+    * materialized clusters pays a parquet read, not a second full
+    * near-dup pipeline.
     */
   def packedWithSplits(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables

@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.Artifacts
+import graft.operators.Splits
+import java.nio.file.{Files, Paths}
+
+/** The publish/consume contract for derived artifacts: gated on the
+  * artifacts root, fingerprint-fresh, crash-safe (marker-trusting), and
+  * row-identical to inline computation for its flagship consumer
+  * (leakage-safe splits over the published cluster table).
+  */
+class ArtifactsSpec extends SparkSpec {
+
+  private def withRoot[A](f: String => A): A = {
+    val dir = Files.createTempDirectory("graft_artifacts").toString
+    spark.conf.set("spark.graft.artifacts", dir)
+    try f(dir)
+    finally spark.conf.unset("spark.graft.artifacts")
+  }
+
+  test("no artifacts root: every consumer computes inline") {
+    import spark.implicits._
+    var computes = 0
+    def consume() =
+      Artifacts.publishedOrCompute(spark, "t", "v1", Seq(s"$sfDir/region.parquet")) {
+        computes += 1
+        Seq((1L, "a")).toDF("id", "s")
+      }
+    consume().collect()
+    consume().collect()
+    assert(computes == 2, "without a root the contract must stay self-contained")
+  }
+
+  test("published once, consumed thereafter, rows identical to inline") {
+    withRoot { root =>
+      import spark.implicits._
+      var computes = 0
+      def consume() =
+        Artifacts.publishedOrCompute(spark, "t", "v1", Seq(s"$sfDir/region.parquet")) {
+          computes += 1
+          Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        }
+      val first = consume().collect().map(_.toSeq).toSet
+      assert(computes == 1)
+      val second = consume().collect().map(_.toSeq).toSet
+      assert(computes == 1, "second consumer must read the published artifact, not recompute")
+      assert(first == second)
+      assert(new java.io.File(s"$root/t").exists(), "artifact dir missing under the root")
+    }
+  }
+
+  test("fingerprint tracks the input snapshot and the producer version") {
+    val in = Files.createTempDirectory("graft_fp_in").toString
+    Files.write(Paths.get(in, "part-0"), "aaaa".getBytes)
+    val fp1 = Artifacts.fingerprint(spark, "v1", Seq(in))
+    assert(fp1 == Artifacts.fingerprint(spark, "v1", Seq(in)), "fingerprint must be deterministic")
+    Files.write(Paths.get(in, "part-1"), "bbbb".getBytes)
+    val fp2 = Artifacts.fingerprint(spark, "v1", Seq(in))
+    assert(fp2 != fp1, "a changed input snapshot must change the key (freshness)")
+    val fp3 = Artifacts.fingerprint(spark, "v2", Seq(in))
+    assert(fp3 != fp2, "a changed algorithm version must change the key")
+  }
+
+  test("an uncommitted (crashed) publish is not trusted") {
+    withRoot { root =>
+      import spark.implicits._
+      var computes = 0
+      def consume() =
+        Artifacts.publishedOrCompute(spark, "t", "v1", Seq(s"$sfDir/region.parquet")) {
+          computes += 1
+          Seq((1L, "a")).toDF("id", "s")
+        }
+      consume().collect()
+      assert(computes == 1)
+      // Simulate a crash mid-publish: data files present, no commit marker.
+      val fp = Artifacts.fingerprint(spark, "v1", Seq(s"$sfDir/region.parquet"))
+      val marker = new java.io.File(Artifacts.artifactPath(root, "t", fp), "_SUCCESS")
+      assert(marker.exists())
+      marker.delete()
+      consume().collect()
+      assert(computes == 2, "a marker-less directory must be recomputed, never served")
+    }
+  }
+
+  test("prune retires stale fingerprints and keeps the current one") {
+    withRoot { root =>
+      import spark.implicits._
+      val df = Seq((1L, "a")).toDF("id", "s")
+      Artifacts.publishedOrCompute(spark, "t", "v1", Seq(s"$sfDir/region.parquet"))(df).collect()
+      Artifacts.publishedOrCompute(spark, "t", "v2", Seq(s"$sfDir/region.parquet"))(df).collect()
+      val keep = Artifacts.fingerprint(spark, "v2", Seq(s"$sfDir/region.parquet"))
+      assert(Artifacts.prune(spark, "t", keep) == 1)
+      val left = new java.io.File(s"$root/t").listFiles().map(_.getName).toSeq
+      assert(left == Seq(s"fp=$keep"))
+    }
+  }
+
+  test("leakageSafeSplit: published-cluster mode returns rows identical to inline mode") {
+    val inline = Splits.leakageSafeSplit(spark, sfDir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    withRoot { root =>
+      // First consumption computes and publishes the cluster table.
+      val rows1 = Splits.leakageSafeSplit(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(rows1 == inline, "publish pass changed leakageSafeSplit rows")
+      spark.catalog.clearCache()
+      // Second consumption must READ the published artifact: its leaf
+      // input files live under the artifacts root, not the corpus dir.
+      val again = Splits.leakageSafeSplit(spark, sfDir)
+      assert(again.inputFiles.nonEmpty && again.inputFiles.forall(_.contains("dedup_clusters")),
+        "consume pass still reads the corpus instead of the published cluster table")
+      assert(again.collect().map(_.toSeq).toSeq == inline, "consume pass changed leakageSafeSplit rows")
+    }
+    spark.catalog.clearCache()
+  }
+}

@@ -33,4 +33,43 @@ class DeltaSemSpec extends SparkSpec {
     val recall = sem.count().toDouble / exact.count().toDouble
     assert(recall >= 0.3, f"within-cell recall $recall%.2f collapsed (cells too fine or assignment broken)")
   }
+
+  test("semDedup plans exactly one embeddings scan across index build and scoring") {
+    spark.catalog.clearCache()
+    val sem = SemDedup.semDedupPairs(spark, sfDir)
+    val n = embeddingsScanCount(sem)
+    assert(n == 1, s"semDedupPairs plans $n embeddings scans; the staged IVF frame must be the only corpus read")
+    spark.catalog.clearCache()
+  }
+
+  /** Parquet scans of the embeddings table reachable from `df`,
+    * including those hidden INSIDE cached (staged) plans — a plain
+    * plan-string scan count stops at InMemoryTableScan nodes and would
+    * miss exactly the duplicate read this guards against. Shared cached
+    * plans are counted once (the self-join references one stage twice).
+    */
+  private def embeddingsScanCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def hit(paths: Seq[org.apache.hadoop.fs.Path]): Boolean =
+      paths.exists(_.toString.contains("embeddings.parquet"))
+    def phys(p: SparkPlan): Int = p.collect {
+      case f: FileSourceScanExec => if (hit(f.relation.location.rootPaths)) 1 else 0
+      case im: InMemoryTableScanExec =>
+        if (seen.add(System.identityHashCode(im.relation.cachedPlan))) phys(im.relation.cachedPlan) else 0
+    }.sum
+    def logi(p: LogicalPlan): Int = p.collect {
+      case im: InMemoryRelation =>
+        if (seen.add(System.identityHashCode(im.cachedPlan))) phys(im.cachedPlan) else 0
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case h: HadoopFsRelation if hit(h.location.rootPaths) => 1
+          case _ => 0
+        }
+    }.sum
+    logi(df.queryExecution.withCachedData)
+  }
 }
