@@ -50,6 +50,7 @@ object SparkEntry {
     "q_split_leakage_safe" -> (Splits.leakageSafeSplit _),
     "q_seq_pack"        -> (SeqPack.seqPack _),
     "q_source_mix"      -> (Splits.sourceMix _),
+    "q_source_temperature" -> (Splits.sourceTemperature _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
     "q_json_props"      -> (Relational.jsonProps _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
+    "q_cluster_delta"      -> ((s, d) => graft.dedup.Clusters.clusterDelta(s, d)),
     "q_decontaminate"      -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_doc_repetition"     -> ((s, d) => TextFunctions.docRepetition(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
@@ -480,6 +482,24 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE ((d.doc_id % 1000003) * 1315423911 + 2038074743) % 1000000007 % 1000 < r.rate_pm
         |ORDER BY d.doc_id""".stripMargin,
+    // Temperature (α = 1/2) mixing: floor(sqrt(exact integer)) is
+    // cross-engine deterministic because IEEE sqrt is correctly rounded
+    // (a fractional pow would not be).
+    "q_source_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT min(n_s) AS min_n FROM c
+        |), r AS (
+        |  SELECT source,
+        |    greatest(CAST(floor(sqrt(CAST((min_n * 1000000) // n_s AS DOUBLE))) AS BIGINT), 1) AS rate_pm
+        |  FROM c, m
+        |)
+        |SELECT d.doc_id, d.source,
+        |  CAST(((d.doc_id % 1000003) * 1315423911 + 1442695040) % 1000000007 % 1000 AS BIGINT) AS bucket
+        |FROM documents d JOIN r USING (source)
+        |WHERE ((d.doc_id % 1000003) * 1315423911 + 1442695040) % 1000000007 % 1000 < r.rate_pm
+        |ORDER BY d.doc_id""".stripMargin,
     "q_seq_pack" ->
       raw"""WITH t AS (
            |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents
@@ -529,6 +549,13 @@ object SparkEntry {
     // Transitive closure over the same >= 0.8 Jaccard edge set via a
     // recursive CTE: min reachable doc_id = cluster id.
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ClusterWalkCtes
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    // The incremental maintainer is held to the FULL-RECOMPUTE answer:
+    // identical oracle to q_dedup_clusters — merging standing components
+    // along batch-incident edges must reproduce corpus-wide CC exactly.
+    "q_cluster_delta" ->
       s"""WITH RECURSIVE $ClusterWalkCtes
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,

@@ -136,4 +136,74 @@ object Clusters {
     graft.sources.Artifacts.publishedOrCompute(
       spark, "dedup_clusters", ArtifactVersion, Seq(s"$dir/documents.parquet"))(
       dedupClusters(spark, dir))
+
+  /** Incremental cluster maintenance: merge a delta batch
+    * (doc_id % 10 == 7, the same stand-in as q_dedup_delta) into the
+    * standing cluster table WITHOUT recomputing corpus×corpus pairs —
+    * the daily-ingest shape of keeping a published cluster artifact
+    * fresh at 100 TB.
+    *
+    * The full-corpus edge set is (settled-settled edges, already folded
+    * into the standing labels) ∪ (batch-incident edges, exactly what
+    * `Dedup.dedupDelta` emits, lossless by the prefix theorem) — so
+    * connected components over the full corpus equal the standing
+    * components merged along delta edges. The merge runs on a
+    * SUPER-VERTEX graph: each settled endpoint is projected to its
+    * standing cluster id, each batch endpoint stands for itself, so the
+    * graph has one vertex per TOUCHED component or batch doc — its size
+    * scales with the batch, never the corpus. Because min-label CC makes
+    * every cluster id the minimum member id, the merged component's min
+    * super-vertex id IS the global min member id: labels come out
+    * identical to a full recompute, and the DuckDB oracle for this query
+    * is literally q_dedup_clusters' recursive CTE — an incremental
+    * algorithm held to the full-recompute answer.
+    *
+    * The standing state is recomputed inline over the settled slice for
+    * self-containment (in production it is the PUBLISHED artifact of
+    * yesterday's run — consumed via Artifacts when a root is configured,
+    * same contract as leakageSafeSplit; the batch-restricted delta join
+    * is the only corpus-touching work of the day).
+    */
+  def clusterDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val isBatch = (c: Column) => pmod(c, lit(Dedup.DeltaBatchMod)) === lit(Dedup.DeltaBatchRem)
+    val allDocs = Tables.documents(spark, dir)
+    val settled = allDocs.filter(!isBatch(col("doc_id")))
+    val standing = graft.sources.Artifacts.publishedOrCompute(
+      spark, "dedup_clusters_settled", ArtifactVersion, Seq(s"$dir/documents.parquet"))(
+      connectedComponents(
+        settled.select(col("doc_id").as("id")),
+        Dedup.jaccardPrefixOf(settled).select("a", "b"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id")))
+    val delta = Dedup.dedupDelta(spark, dir).select("a", "b")
+    // Super-vertex projection + merge over the touched subgraph only.
+    val mapped = delta
+      .join(standing.toDF("a", "ca"), Seq("a"), "left")
+      .join(standing.toDF("b", "cb"), Seq("b"), "left")
+      .select(
+        coalesce(col("ca"), col("a")).as("sa"),
+        coalesce(col("cb"), col("b")).as("sb"))
+      .filter(col("sa") =!= col("sb"))
+    val supEdges = mapped
+      .select(least(col("sa"), col("sb")).as("a"), greatest(col("sa"), col("sb")).as("b"))
+      .distinct()
+    val supVertices = supEdges.select(col("a").as("id"))
+      .union(supEdges.select(col("b").as("id"))).distinct()
+    val merged = connectedComponents(supVertices, supEdges)
+    val settledFinal = standing
+      .join(merged.toDF("cluster_id", "nl"), Seq("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
+    val batchFinal = allDocs
+      .filter(isBatch(col("doc_id")))
+      .select(col("doc_id"))
+      .join(merged.toDF("bid", "nl"), col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"), coalesce(col("nl"), col("doc_id")).as("cluster_id"))
+    settledFinal
+      .unionByName(batchFinal)
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
 }

@@ -153,9 +153,15 @@ object Dedup {
     * pair collide in 64 bits (P ~ m²/2⁶⁴ per doc — ~1e-10 at 10⁴
     * shingles/doc; the scale-appropriate trade).
     */
-  def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    jaccardPrefixOf(Tables.documents(spark, dir), threshold)
+
+  /** Frame-level jaccardPrefix over any (doc_id, text) frame — the
+    * incremental cluster maintainer runs it on the settled slice.
+    */
+  private[graft] def jaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sh = staged(
-      shingles(Tables.documents(spark, dir))
+      shingles(docs)
         .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
       "shingle")
     val prefix = staged(prefixIndex(sh, threshold), "prefix")

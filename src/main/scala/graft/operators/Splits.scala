@@ -90,6 +90,45 @@ object Splits {
       .orderBy("doc_id")
   }
 
+  /** Temperature-flattened source mixing (α = 1/2): keep rate
+    * (min_n/n_s)^α per source — the multilingual-training sampler
+    * (XLM-R-style p^(1/T)) sitting between `sourceMix`'s hard flatten
+    * (α = 1: every source cut to the smallest) and no mixing (α = 0).
+    * Over-represented sources are damped by the square root of their
+    * excess: a source 100× the smallest keeps 10% instead of 1%.
+    *
+    * α is REALIZED AS sqrt, not pow: IEEE-754 sqrt is correctly rounded
+    * in both engines, so floor(sqrt(exact integer)) is bit-deterministic
+    * cross-engine and the rate is oracle-exact — a libm pow(x, 0.5)
+    * carries no such guarantee and would make the oracle flaky at rate
+    * boundaries. rate_pm = max(1, floor(sqrt(min_n·10⁶ div n_s))): the
+    * div keeps the radicand an exact integer (< 2⁵³, exact as double),
+    * the per-mille floor of 1 keeps every source represented. Same
+    * shape as sourceMix: tiny per-source counts → scalar min via the
+    * 1-row keyless-aggregate join → rates broadcast to the scan; and a
+    * THIRD independent salt so the sampler stays decorrelated from both
+    * the splitter and the mix sampler.
+    */
+  def sourceTemperature(spark: SparkSession, dir: String): DataFrame =
+    sourceTemperatureOf(Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+
+  /** Frame-level sourceTemperature: any (doc_id, source) frame. */
+  def sourceTemperatureOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val rates = counts
+      .crossJoin(counts.agg(min(col("n_s")).as("min_n")))
+      .withColumn("rate_pm",
+        greatest(floor(sqrt(expr("min_n * 1000000 div n_s").cast("double"))).cast("long"), lit(1L)))
+      .select("source", "rate_pm")
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("bucket",
+        (((col("doc_id") % 1000003L) * 1315423911L + 1442695040L) % 1000000007L % 1000L).cast("long"))
+      .filter(col("bucket") < col("rate_pm"))
+      .select("doc_id", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified downsampling: keep a per-stratum rate of
     * rows, selected by the same engine-portable multiplicative hash —
     * same row kept on every run, no RNG state, joinable against any

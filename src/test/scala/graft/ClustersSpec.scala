@@ -78,4 +78,34 @@ class ClustersSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length == expected,
       "cluster count must equal the union-find component count (no over-merging)")
   }
+
+  test("clusterDelta (incremental merge) equals the full recompute exactly") {
+    spark.catalog.clearCache()
+    val full = Clusters.dedupClusters(spark, sfDir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val inc = Clusters.clusterDelta(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(inc == full,
+      "standing components merged along batch-incident edges must reproduce corpus-wide CC")
+    spark.catalog.clearCache()
+  }
+
+  test("clusterDelta in published mode consumes the standing artifact and stays exact") {
+    spark.catalog.clearCache()
+    val full = Clusters.dedupClusters(spark, sfDir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val root = java.nio.file.Files.createTempDirectory("graft_artifacts_cd").toString
+    spark.conf.set("spark.graft.artifacts", root)
+    try {
+      // First run publishes the standing (settled-slice) cluster table...
+      assert(Clusters.clusterDelta(spark, sfDir).collect().map(_.toSeq).toSeq == full)
+      assert(new java.io.File(s"$root/dedup_clusters_settled").exists(),
+        "standing state was not published")
+      spark.catalog.clearCache()
+      // ...the daily re-run consumes it (only delta work recomputed).
+      assert(Clusters.clusterDelta(spark, sfDir).collect().map(_.toSeq).toSeq == full)
+    } finally {
+      spark.conf.unset("spark.graft.artifacts")
+      spark.catalog.clearCache()
+    }
+  }
 }

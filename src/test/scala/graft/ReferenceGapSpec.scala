@@ -131,6 +131,23 @@ class ReferenceGapSpec extends SparkSpec {
     assert(kept("books") == 50, s"books must keep all rows, kept ${kept("books")}")
   }
 
+  test("temperature mixing damps by sqrt: between hard flatten and no mixing") {
+    import spark.implicits._
+    // Same 20000:50 skew as the hard-flatten test: α=1/2 keeps
+    // sqrt(50/20000) = 5% of the giant source (~1000 rows) where the
+    // hard flatten keeps 2 permille (~40) — damped, not crushed.
+    val docs = ((1L to 20000L).map(i => (i, "crawl")) ++ (1L to 50L).map(i => (100000L + i, "books")))
+      .toDF("doc_id", "source")
+    val kept = graft.operators.Splits.sourceTemperatureOf(docs)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("books") == 50, s"smallest source must keep ALL rows (rate 1000 permille), kept ${kept("books")}")
+    assert(kept("crawl") >= 700 && kept("crawl") <= 1300,
+      s"crawl kept ${kept("crawl")} rows, expected ~1000 (50 permille = sqrt damping)")
+    val again = graft.operators.Splits.sourceTemperatureOf(docs)
+    assert(graft.operators.Splits.sourceTemperatureOf(docs).exceptAll(again).count() == 0,
+      "temperature mix must be deterministic")
+  }
+
   test("stats availability: counters are consistent subsets, zero for no-history players") {
     val a = SparkEntry.queries("q_stats_availability")(spark, sfDir)
     assert(a.count() == Tables.events(spark, sfDir).count(), "one availability row per event")
