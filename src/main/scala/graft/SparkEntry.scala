@@ -95,6 +95,7 @@ object SparkEntry {
     "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d)),
     "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
     "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
+    "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d))
   )
 

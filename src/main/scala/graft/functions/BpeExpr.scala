@@ -81,7 +81,7 @@ object Bpe {
     m
   }
 
-  private def toSymbols(pre: String): Array[String] = {
+  private[graft] def toSymbols(pre: String): Array[String] = {
     val out = new Array[String](pre.codePointCount(0, pre.length))
     var i = 0
     var j = 0

@@ -52,6 +52,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("BpeTrain reproduces the frozen published merge table from its training corpus") {
+    // Provenance, checked rather than claimed: Bpe.Merges is the
+    // trainer's EXACT output on the sf0.01 documents table under the
+    // documented rule (most frequent pair first, ties to the
+    // lexicographically smallest) — train → publish → apply is a closed
+    // loop, and swapping either side breaks this spec loudly.
+    val trained = graft.functions.BpeTrain.train(
+      Tables.documents(spark, "/root/testdata/sf0.01"), Bpe.Merges.length)
+    assert(trained == Bpe.Merges,
+      "trainer no longer reproduces the published table — retrain and republish, or fix the trainer")
+  }
+
+  test("training on another corpus slice yields a monotone, collision-free, deterministic table") {
+    val docs = Tables.documents(spark, sfDir)
+    val trained = graft.functions.BpeTrain.train(docs, 48)
+    assert(trained.length == 48, "corpus exhausted before requested merges")
+    val produced = scala.collection.mutable.Set.empty[String]
+    for (((l, r), k) <- trained.zipWithIndex) {
+      for (op <- Seq(l, r))
+        assert(op.codePointCount(0, op.length) == 1 || produced.contains(op),
+          s"merge $k operand '$op' does not exist yet — trained table not monotone")
+      assert(!produced.contains(l + r), s"merge $k re-produces '${l + r}'")
+      produced += (l + r)
+    }
+    assert(graft.functions.BpeTrain.train(docs, 48) == trained, "training must be deterministic")
+  }
+
   test("graft_bpe equals the leftmost-single-merge reference on corpus and fuzz inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
