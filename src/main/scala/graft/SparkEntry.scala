@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
     "q_cluster_delta"      -> ((s, d) => graft.dedup.Clusters.clusterDelta(s, d)),
+    "q_substr_dedup"       -> ((s, d) => graft.dedup.SubstrDedup.substrDedup(s, d)),
     "q_decontaminate"      -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_doc_repetition"     -> ((s, d) => TextFunctions.docRepetition(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
@@ -888,6 +889,33 @@ object SparkEntry {
         |FROM l JOIN f USING (line)
         |GROUP BY l.doc_id
         |ORDER BY l.doc_id""".stripMargin,
+    // ExactSubstr-style: the oracle keys on gram STRINGS where the plan
+    // keys on xxhash64 longs — identical output modulo the documented
+    // 1e-10 collision trade.
+    "q_substr_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, s, array_to_string(w[s + 1 : s + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS s FROM t)
+        |), rep AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT doc_id, list_distinct(flatten(list(range(s, s + 8)))) AS covered
+        |  FROM g JOIN rep USING (gram) GROUP BY doc_id
+        |), fin AS (
+        |  SELECT t.doc_id, w, coalesce(cov.covered, CAST([] AS BIGINT[])) AS covered
+        |  FROM t LEFT JOIN cov USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - len(clean) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(clean, ' '), '') AS clean_text
+        |FROM (
+        |  SELECT doc_id, w,
+        |    list_where(w, list_transform(range(0, len(w)), i -> NOT list_contains(covered, i))) AS clean
+        |  FROM fin
+        |) ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       raw"""WITH p AS (
            |  SELECT doc_id,

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-document exact-substring dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better",
+  * ExactSubstr): remove every token span that appears verbatim in
+  * multiple documents — the unaligned, token-granular member of the
+  * dedup family. Distinct from `LineDedup` (fixed chunk grid, df >= 3
+  * boilerplate) and from doc-level near-dup: two docs sharing one
+  * copied paragraph are NOT near-dups and share no aligned line, but
+  * the paragraph still memorizes — this pass is what catches it.
+  *
+  * The paper's suffix-array machinery finds maximal repeats >= 50
+  * tokens; the lake-native equivalent marks every sliding
+  * `WindowTokens`-gram occurring in >= `MinDocs` distinct docs and
+  * removes the union of covered spans — the same fixed-width-window
+  * reduction the MinHash/shingle family already applies to its own
+  * problem (a repeat of length L >= W is exactly a run of L-W+1
+  * flagged windows, so removal coverage is identical to the
+  * maximal-repeat formulation for repeats >= W; W stands in for the
+  * paper's 50 at toy document lengths).
+  *
+  * Scale shape, per the repo's shuffle-hygiene principle: the window
+  * frame is (doc_id, start, xxhash64(gram)) 24-byte rows — gram TEXT
+  * never crosses the wire; repeated-window detection is a count of
+  * DISTINCT docs per hash (partial-agg friendly); coverage returns to
+  * each doc as a tiny (doc_id, starts) row; and removal is SCAN-LOCAL —
+  * the covered-index set expands per row from the starts array and the
+  * clean text is an in-row indexed filter, never a token explode. Same
+  * 1e-10 hash-collision trade as the shingle indexes (a collision can
+  * only over-remove a span, never corrupt text).
+  */
+object SubstrDedup {
+
+  /** Sliding window width in tokens (stands in for the paper's
+    * 50-token minimal-repeat threshold at synthetic doc lengths).
+    */
+  val WindowTokens = 8
+
+  /** A window seen in >= this many DISTINCT docs is a repeat. */
+  val MinDocs = 2
+
+  def substrDedup(spark: SparkSession, dir: String): DataFrame =
+    substrDedupOf(Tables.documents(spark, dir))
+
+  /** Frame-level substrDedup: any (doc_id, text) frame. */
+  def substrDedupOf(docs: DataFrame): DataFrame = {
+    val w = WindowTokens
+    val toks = graft.Staging.staged(
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("ghs",
+          when(size(col("w")) >= w,
+            expr(s"transform(sequence(0, size(w) - $w), s -> xxhash64(array_join(slice(w, s + 1, $w), ' ')))"))
+            .otherwise(expr("cast(array() as array<bigint>)"))),
+      "substr_windows")
+    val occurrences = toks.select(col("doc_id"), posexplode(col("ghs")).as(Seq("s", "gh")))
+    val repeated = occurrences
+      .groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= MinDocs)
+      .select("gh")
+    val covered = occurrences
+      .join(repeated, "gh")
+      .groupBy("doc_id")
+      .agg(collect_list(col("s")).as("starts"))
+    toks
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), expr("cast(array() as array<int>)")))
+      .withColumn("cov",
+        expr(s"array_distinct(flatten(transform(starts, s -> sequence(s, s + $w - 1))))"))
+      .withColumn("clean", expr("filter(w, (t, i) -> NOT array_contains(cov, i))"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("clean"))).cast("long").as("n_removed"),
+        expr("array_join(clean, ' ')").as("clean_text"))
+      .orderBy("doc_id")
+  }
+}

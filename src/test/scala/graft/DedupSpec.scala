@@ -101,6 +101,27 @@ class DedupSpec extends SparkSpec {
     assert(out(24L) == (0L, false), "short docs carry no 8-gram")
   }
 
+  test("substrDedup removes exactly cross-doc repeated spans; unique and intra-doc-only text survives") {
+    import spark.implicits._
+    // 10 shared tokens > W=8: the repeated-window union must cover the
+    // shared phrase EXACTLY (its 3 interior windows), nothing else.
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six seven eight $shared"),
+      (3L, "unique words only here nothing repeats across documents at all"),
+      (4L, "intra intra intra intra intra intra intra intra intra intra")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.SubstrDedup.substrDedupOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      s"doc 1 must lose exactly the shared phrase: ${out(1L)}")
+    assert(out(2L) == (10L, "one two three four five six seven eight"),
+      s"doc 2 must lose exactly the shared phrase: ${out(2L)}")
+    assert(out(3L)._1 == 0L && out(3L)._2.startsWith("unique"), "unique text must survive whole")
+    assert(out(4L)._1 == 0L, "a repeat WITHIN one doc is not cross-doc — MinDocs counts distinct docs")
+  }
+
   test("shingling produces distinct 3-gram shingles per doc") {
     val sh = Dedup.shingles(Tables.documents(spark, sfDir))
     val dup = sh.groupBy("doc_id", "sg").count().filter(col("count") > 1).count()
