@@ -49,12 +49,20 @@ object SubstrDedup {
   /** Frame-level substrDedup: any (doc_id, text) frame. */
   def substrDedupOf(docs: DataFrame): DataFrame = {
     val w = WindowTokens
+    // Window key = xxhash64 of the window's 8 TOKEN-HASHES, not of a
+    // rebuilt window string: windows overlap W-fold, so string keys
+    // would materialize ~W× the corpus bytes before hashing them; each
+    // token is hashed once and every window key then touches 8 longs.
+    // (Hashing the hash array is as collision-bounded as hashing the
+    // text: distinct windows get distinct hash arrays up to the same
+    // 64-bit collision trade already accepted.)
     val toks = graft.Staging.staged(
       docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("th", expr("transform(w, t -> xxhash64(t))"))
         .withColumn("ghs",
           when(size(col("w")) >= w,
-            expr(s"transform(sequence(0, size(w) - $w), s -> xxhash64(array_join(slice(w, s + 1, $w), ' ')))"))
+            expr(s"transform(sequence(0, size(w) - $w), s -> xxhash64(slice(th, s + 1, $w)))"))
             .otherwise(expr("cast(array() as array<bigint>)"))),
       "substr_windows")
     val occurrences = toks.select(col("doc_id"), posexplode(col("ghs")).as(Seq("s", "gh")))
