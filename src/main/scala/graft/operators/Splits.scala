@@ -72,7 +72,11 @@ object Splits {
 
   /** Frame-level sourceMix: any (doc_id, source) frame. */
   def sourceMixOf(docs: DataFrame): DataFrame = {
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    // Staged: the crossJoin against its own min would otherwise plan
+    // the per-source count subtree TWICE — two corpus scans for one
+    // tiny aggregate (the frame itself is source-cardinality rows).
+    val counts = graft.Staging.staged(
+      docs.groupBy("source").agg(count(lit(1)).as("n_s")), "mix_counts")
     val rates = counts
       .crossJoin(counts.agg(min(col("n_s")).as("min_n")))
       .withColumn("rate_pm", greatest(expr("min_n * 1000 div n_s"), lit(1L)))
@@ -114,7 +118,10 @@ object Splits {
 
   /** Frame-level sourceTemperature: any (doc_id, source) frame. */
   def sourceTemperatureOf(docs: DataFrame): DataFrame = {
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    // Staged for the same reason as sourceMixOf: one corpus scan for
+    // the counts, not one per subtree of the rate derivation.
+    val counts = graft.Staging.staged(
+      docs.groupBy("source").agg(count(lit(1)).as("n_s")), "temp_counts")
     val rates = counts
       .crossJoin(counts.agg(min(col("n_s")).as("min_n")))
       .withColumn("rate_pm",
