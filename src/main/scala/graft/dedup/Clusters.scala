@@ -168,14 +168,39 @@ object Clusters {
     import org.apache.spark.sql.Column
     val isBatch = (c: Column) => pmod(c, lit(Dedup.DeltaBatchMod)) === lit(Dedup.DeltaBatchRem)
     val allDocs = Tables.documents(spark, dir)
-    val settled = allDocs.filter(!isBatch(col("doc_id")))
+    // ONE staged shingle + prefix index serves BOTH halves (the r8 scan
+    // audit found the standing and delta computations each staging
+    // their own — 11 documents scans inline). The prefix theorem only
+    // needs a total shingle order COMMON to a pair, so full-corpus df
+    // ranks are a valid order for the settled-only join too (the same
+    // frozen-rank argument q_dedup_delta already relies on), and the
+    // exact verify makes the pair sets identical either way. This also
+    // models production truthfully: there is one lake-resident index,
+    // not one per consumer.
+    val sh = graft.Staging.staged(
+      Dedup.shingles(allDocs).select(col("doc_id"), xxhash64(col("sg")).as("sg")),
+      "shingle_cd")
+    val prefix = graft.Staging.staged(Dedup.prefixIndex(sh, 0.8), "prefix_cd")
+    val settledPrefix = prefix.filter(!isBatch(col("doc_id")))
+    val settledPairs = Dedup.verifyJaccard(
+      settledPrefix.toDF("a", "sg")
+        .join(settledPrefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
+        .select("a", "b").distinct(),
+      sh, 0.8)
     val standing = graft.sources.Artifacts.publishedOrCompute(
       spark, "dedup_clusters_settled", ArtifactVersion, Seq(s"$dir/documents.parquet"))(
       connectedComponents(
-        settled.select(col("doc_id").as("id")),
-        Dedup.jaccardPrefixOf(settled).select("a", "b"))
+        allDocs.filter(!isBatch(col("doc_id"))).select(col("doc_id").as("id")),
+        settledPairs.select("a", "b"))
         .select(col("id").as("doc_id"), col("label").as("cluster_id")))
-    val delta = Dedup.dedupDelta(spark, dir).select("a", "b")
+    // Batch-incident pairs from the SAME index (the dedupDelta shape).
+    val batchPrefix = prefix.filter(isBatch(col("doc_id")))
+    val delta = Dedup.verifyJaccard(
+      batchPrefix.toDF("x", "sg")
+        .join(prefix.toDF("y", "sg2"), col("sg") === col("sg2") && col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct(),
+      sh, 0.8).select("a", "b")
     // Super-vertex projection + merge over the touched subgraph only.
     val mapped = delta
       .join(standing.toDF("a", "ca"), Seq("a"), "left")

@@ -269,7 +269,11 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     require(SimHashBlocks > maxHamming, "need more blocks than the hamming budget")
-    val fps = simhashFingerprints(Tables.documents(spark, dir))
+    // Staged: the fingerprint frame feeds FOUR subtrees (both band
+    // sides + both verify joins), and each would otherwise replay the
+    // explode + 64-way vote aggregation — four corpus scans for one
+    // fingerprint pass (the r8 scan audit caught this).
+    val fps = staged(simhashFingerprints(Tables.documents(spark, dir)), "simhash_fp")
     val blockMask = (1L << SimHashBlockBits) - 1
     val blockCols = (0 until SimHashBlocks).map { j =>
       struct(lit(j).as("band"), shiftright(col("fp"), j * SimHashBlockBits).bitwiseAND(lit(blockMask)).as("key"))
