@@ -74,6 +74,51 @@ object ShardExport {
       .mode("overwrite")
       .parquet(path)
 
+  /** One micro-batch of the STREAMING export: tokenize, pack within
+    * the batch, write shards under an epoch-scoped directory. Pack ids
+    * restart per epoch by construction — each epoch dir is a
+    * self-contained shard group a continuously-training consumer can
+    * pick up the moment it commits; global repacking across epochs is
+    * the nightly batch job's business (`packedWithSplits`).
+    */
+  def exportEpoch(
+      batch: DataFrame,
+      epochId: Long,
+      path: String,
+      shardsPerSplit: Int = 8,
+      maxRecordsPerFile: Int = DefaultMaxRecords): Unit = {
+    val packed = SeqPack.seqPackWithin(
+      batch
+        .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids"))
+        .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+        .withColumn("split", lit("train")),
+      "split")
+    export(packed, s"$path/epoch=$epochId", shardsPerSplit, maxRecordsPerFile)
+  }
+
+  /** Streaming shard export: the ingest-time twin of `export`, via
+    * foreachBatch. EXACTLY-ONCE without a transaction log: Structured
+    * Streaming re-runs a failed epoch under the SAME epochId, and
+    * `exportEpoch` writes each epoch to its own directory with
+    * overwrite — a retry is a byte-identical replacement, never a
+    * duplicate append (the standard idempotent-file-sink recipe; the
+    * checkpoint dir carries the offsets that make epoch replay
+    * deterministic).
+    */
+  def streamExport(
+      docs: DataFrame,
+      path: String,
+      checkpointDir: String,
+      shardsPerSplit: Int = 8,
+      maxRecordsPerFile: Int = DefaultMaxRecords): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, e: Long) =>
+        exportEpoch(b, e, path, shardsPerSplit, maxRecordsPerFile)
+      }
+      .start()
+
   /** Shard manifest: one row per written shard file — path, split, row
     * count, packs touched, token total — the tiny table a data loader
     * bootstraps from (assign shards to workers, budget epochs by token
