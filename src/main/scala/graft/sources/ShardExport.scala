@@ -48,9 +48,21 @@ object ShardExport {
     * near-dup pipeline.
     */
   def packedWithSplits(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids"))
+    // The tokenized corpus is itself a published artifact when a root
+    // is configured: tokenization is the most-executed computation in
+    // the pipeline, and every export/repack run re-paying it is the
+    // same fan-out waste the cluster-table publication kills. The
+    // version tag carries the merge table's identity, so swapping the
+    // published vocab invalidates the artifact structurally.
+    val tokenized = Artifacts.publishedOrCompute(
+      spark,
+      "tokenized_corpus",
+      s"graft_bpe-merges-${graft.functions.Bpe.Merges.hashCode}",
+      Seq(s"$dir/documents.parquet"))(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids")))
+    val docs = tokenized
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
       .join(Splits.leakageSafeSplit(spark, dir).select("doc_id", "split"), "doc_id")
     SeqPack.seqPackWithin(docs, "split")

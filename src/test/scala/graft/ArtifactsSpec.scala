@@ -95,6 +95,24 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("packedWithSplits: published tokenized corpus + clusters reproduce inline rows") {
+    spark.catalog.clearCache()
+    val inline = graft.sources.ShardExport.packedWithSplits(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    withRoot { root =>
+      val pub = graft.sources.ShardExport.packedWithSplits(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      assert(pub == inline, "published-artifact export frame differs from inline")
+      assert(new java.io.File(s"$root/tokenized_corpus").exists(), "tokenized corpus not published")
+      spark.catalog.clearCache()
+      // consume pass: same rows again, now from the published tables
+      assert(graft.sources.ShardExport.packedWithSplits(spark, sfDir)
+        .collect().map(_.toSeq).toSet == inline)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("leakageSafeSplit: published-cluster mode returns rows identical to inline mode") {
     val inline = Splits.leakageSafeSplit(spark, sfDir).collect().map(_.toSeq).toSeq
     spark.catalog.clearCache()
