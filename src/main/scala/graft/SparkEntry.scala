@@ -96,6 +96,7 @@ object SparkEntry {
     "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d)),
     "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
     "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
+    "q_quality_freqrank"    -> ((s, d) => graft.functions.QualityFilters.freqRankQuality(s, d)),
     "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d))
   )
@@ -970,6 +971,25 @@ object SparkEntry {
            |    AND len(list_filter(string_split_regex(ptext, '\s+'),
            |        t -> t IN (${graft.functions.QualityFilters.BadWords.map(w => s"'$w'").mkString(", ")}))) = 0 AS keep
            |FROM r ORDER BY doc_id""".stripMargin,
+    // dense_rank over counts is a pure integer ordering (ties share a
+    // rank), the per-doc sum is an exact BIGINT, and both engines
+    // divide the same exact integers — fully hash-comparable.
+    "q_quality_freqrank" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), f AS (
+         |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+         |), r AS (
+         |  SELECT tok, dense_rank() OVER (ORDER BY cnt DESC) AS rnk FROM f
+         |), s AS (
+         |  SELECT doc_id, count(*) AS n_toks, sum(rnk) AS rank_sum
+         |  FROM tk JOIN r USING (tok) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_toks,
+         |  floor(rank_sum * 1.0 / n_toks * 10000 + 0.5) / 10000 AS mean_rank,
+         |  (floor(rank_sum * 1.0 / n_toks * 10000 + 0.5) / 10000
+         |    <= ${graft.functions.QualityFilters.FreqRankKeepMax}) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       s"""WITH g AS (
          |$QualityGopherSql

@@ -215,4 +215,52 @@ object QualityFilters {
         Num.round4(avg(col("k"))).as("keep_rate"))
       .na.fill("ALL", Seq("lang", "source"))
       .orderBy("lang", "source")
+
+  /** Frequency-profile quality scoring — the CCNet-family LM filter
+    * (Wenzek et al. 2020 filter by KenLM perplexity; docs made of
+    * improbable tokens are gibberish) with a corpus-derived UNIGRAM
+    * stand-in: score every doc by the mean corpus-frequency RANK of its
+    * tokens. Rank, not probability, keeps the oracle exact — dense_rank
+    * over counts is pure integer ordering (ties share a rank, so the
+    * result is a function of the counts alone, engine-independent),
+    * the per-doc sum is an exact BIGINT, and the single division at the
+    * end rounds identically in both engines. A real KenLM slot-in
+    * changes only the vocab frame (token → logprob instead of rank).
+    *
+    * Scale shape: the vocab build is the same explode + groupBy(token)
+    * aggregate q_vocab_topk pays (vocabulary-scale output). The rank
+    * assignment NEVER windows over the vocab: dense_rank by count
+    * equals (# distinct counts greater) + 1, so the only global window
+    * runs over the DISTINCT-count frame (Zipf: ~O(√corpus-tokens)
+    * rows), joined back to vocab on the count value. Scoring joins the
+    * token stream against the vocab frame (AQE broadcasts
+    * vocabulary-scale sides) and shuffles only (doc_id, rank) longs to
+    * the per-doc aggregate.
+    *
+    * The keep band is a fixed constant sitting mid-distribution for the
+    * synthetic corpus (word salad clusters mean ranks at ~10-18, so the
+    * gate actually discriminates); a production deployment calibrates
+    * it per corpus from the score distribution, exactly as CCNet picks
+    * per-language perplexity buckets.
+    */
+  val FreqRankKeepMax = 13.0
+
+  def freqRankQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val cntRanks = vocab
+      .select("cnt").distinct()
+      .withColumn("rnk",
+        dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc)))
+    val ranked = vocab.join(cntRanks, "cnt").select("tok", "rnk")
+    toks
+      .join(ranked, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("rnk").as("rank_sum"))
+      .withColumn("mean_rank", Num.round4(col("rank_sum") / col("n_toks")))
+      .withColumn("keep", col("mean_rank") <= FreqRankKeepMax)
+      .select("doc_id", "n_toks", "mean_rank", "keep")
+      .orderBy("doc_id")
+  }
 }

@@ -210,4 +210,22 @@ class QualityFiltersSpec extends SparkSpec {
       assert(r.getString(2) == expected, s"doc ${r.getLong(0)} reassembled wrong")
     }
   }
+
+  test("freqRankQuality scores by corpus-frequency rank and the band discriminates") {
+    import org.apache.spark.sql.functions._
+    val q = QualityFilters.freqRankQuality(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count(), "every doc gets a score")
+    // a doc of globally common tokens must outrank (lower mean rank)
+    // a doc of rare ones — sanity of the rank direction: the min- and
+    // max-scored docs differ, and the band actually splits the corpus
+    val keeps = rows.map(_.getBoolean(3)).toSet
+    assert(keeps == Set(true, false),
+      s"keep band vacuous at ${QualityFilters.FreqRankKeepMax}: all ${rows.head.getBoolean(3)}")
+    // rank floor: mean rank can never go below 1 (the modal token)
+    assert(rows.forall(_.getDouble(2) >= 1.0))
+    // determinism (dense_rank ties share ranks — no order dependence)
+    val again = QualityFilters.freqRankQuality(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
