@@ -106,16 +106,19 @@ object Clusters {
     * (min doc_id) per cluster. Downstream corpus dedup is then
     * `filter(is_keeper)`.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
-    val pairs = Dedup.jaccardPrefix(spark, dir).select("a", "b")
-    connectedComponents(docs, pairs)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(Tables.documents(spark, dir))
+
+  /** Frame-level dedupClusters: any (doc_id, text) frame. */
+  private[graft] def dedupClustersOf(docs: DataFrame): DataFrame =
+    connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      Dedup.jaccardPrefixOf(docs).select("a", "b"))
       .select(
         col("id").as("doc_id"),
         col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
-  }
 
   /** Version tag folded into the artifact fingerprint: bump whenever the
     * clustering algorithm or its parameters change meaning, so stale
@@ -164,10 +167,21 @@ object Clusters {
     * same contract as leakageSafeSplit; the batch-restricted delta join
     * is the only corpus-touching work of the day).
     */
-  def clusterDelta(spark: SparkSession, dir: String): DataFrame = {
+  def clusterDelta(spark: SparkSession, dir: String): DataFrame =
+    clusterDeltaOf(
+      Tables.documents(spark, dir),
+      standing => graft.sources.Artifacts.publishedOrCompute(
+        spark, "dedup_clusters_settled", ArtifactVersion, Seq(s"$dir/documents.parquet"))(standing))
+
+  /** Frame-level clusterDelta. `viaArtifact` wraps the standing-state
+    * computation (the declared query routes it through the Artifacts
+    * contract; property tests pass identity to stay self-contained).
+    */
+  private[graft] def clusterDeltaOf(
+      allDocs: DataFrame,
+      viaArtifact: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.Column
     val isBatch = (c: Column) => pmod(c, lit(Dedup.DeltaBatchMod)) === lit(Dedup.DeltaBatchRem)
-    val allDocs = Tables.documents(spark, dir)
     // ONE staged shingle + prefix index serves BOTH halves (the r8 scan
     // audit found the standing and delta computations each staging
     // their own — 11 documents scans inline). The prefix theorem only
@@ -187,8 +201,7 @@ object Clusters {
         .join(settledPrefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
         .select("a", "b").distinct(),
       sh, 0.8)
-    val standing = graft.sources.Artifacts.publishedOrCompute(
-      spark, "dedup_clusters_settled", ArtifactVersion, Seq(s"$dir/documents.parquet"))(
+    val standing = viaArtifact(
       connectedComponents(
         allDocs.filter(!isBatch(col("doc_id"))).select(col("doc_id").as("id")),
         settledPairs.select("a", "b"))

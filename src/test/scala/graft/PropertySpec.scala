@@ -151,4 +151,45 @@ class PropertySpec extends SparkSpec {
     assert(out.size == cases.size, "every fuzzed payload must yield a feature row")
     assert(out.forall(f => f.n_bytes >= 0), "sane output for every input")
   }
+
+  test("incremental cluster merge equals full reclustering on random near-dup corpora") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val docs = randomCorpus(60).toDF("doc_id", "text")
+      spark.catalog.clearCache()
+      val full = graft.dedup.Clusters.dedupClustersOf(docs)
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      val inc = graft.dedup.Clusters.clusterDeltaOf(docs)
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      assert(inc == full, s"trial $trial: incremental merge diverged from full recompute")
+    }
+  }
+
+  test("substring dedup matches a plain-Scala model on random near-dup corpora") {
+    import spark.implicits._
+    val W = graft.dedup.SubstrDedup.WindowTokens
+    for (trial <- 1 to 3) {
+      val corpus = randomCorpus(40)
+      // reference model: string grams, distinct-doc counts, covered union
+      val grams = corpus.flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        (0 to w.length - W).map(s => (w.slice(s, s + W).mkString(" "), id, s))
+      }
+      val repeated = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = corpus.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val covered = (0 to w.length - W)
+          .filter(s => repeated.contains(w.slice(s, s + W).mkString(" ")))
+          .flatMap(s => s until s + W).toSet
+        val clean = w.indices.filterNot(covered).map(w)
+        (id, w.length.toLong, (w.length - clean.length).toLong, clean.mkString(" "))
+      }.toSet
+      val got = graft.dedup.SubstrDedup.substrDedupOf(corpus.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      spark.catalog.clearCache()
+      assert(got == expected, s"trial $trial: diff=${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
+    }
+  }
 }
