@@ -49,6 +49,7 @@ object SparkEntry {
     "q_split_assign"    -> (Splits.splitAssign _),
     "q_split_leakage_safe" -> (Splits.leakageSafeSplit _),
     "q_seq_pack"        -> (SeqPack.seqPack _),
+    "q_doc_shuffle"     -> (SeqPack.docShuffle _),
     "q_source_mix"      -> (Splits.sourceMix _),
     "q_source_temperature" -> (Splits.sourceTemperature _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
@@ -518,6 +519,14 @@ object SparkEntry {
            |  CAST(off // 2048 AS BIGINT) AS pack_id,
            |  CAST(off % 2048 AS BIGINT) AS pack_offset
            |FROM c ORDER BY doc_id""".stripMargin,
+    "q_doc_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, ((doc_id % 1000003) * 1315423911 + 69069) % 1000000007 AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, shuffle_key,
+        |  ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_doc_chunk" ->
       raw"""WITH t AS (
            |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents

@@ -28,17 +28,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * nulls — callers filter empty docs (both paths already do).
   *
   * `k` must be a foldable integer (it sizes generated code).
+  *
+  * Null-slot semantics mirror the composition EXACTLY: Spark's
+  * `xxhash64(s, i)` folds fields left-to-right and SKIPS null fields,
+  * so `xxhash64(null, i)` = `hashInt(i, 42)` — a null slot therefore
+  * contributes `h0 = 42` (the bare seed) here, not an undefined raw
+  * read. This matters because the scratch-staging mode re-reads staged
+  * arrays from parquet, which always reports elements as nullable.
   */
 case class MinHashExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, true), _) =>
-      // A null slot would be read as an undefined raw long (0 for
-      // UnsafeArrayData) and silently hashed — diverging from the
-      // array_min(transform(xxhash64)) composition, which null-propagates.
-      // Reject at analysis so the bit-exactness contract holds for ANY input.
-      TypeCheckResult.TypeCheckFailure(
-        "graft_minhash requires array<bigint> with non-null elements (containsNull=false)")
-    case (ArrayType(LongType, false), IntegerType) if right.foldable =>
+    // containsNull=true is ACCEPTED and handled explicitly (see the
+    // null-slot note above): rejecting it looked safe but broke the
+    // scratch-staging mode — a parquet round-trip re-reads every array
+    // as nullable-element regardless of how it was written, so the
+    // staged 100 TB path would fail analysis while the persist path
+    // sailed through (caught by the r8 scratch-mode re-verification).
+    case (ArrayType(LongType, _), IntegerType) if right.foldable =>
       // k sizes generated code — validate the literal at analysis, not
       // with a per-row NegativeArraySize/NPE at runtime
       right.eval() match {
@@ -62,7 +68,7 @@ case class MinHashExpr(left: Expression, right: Expression) extends BinaryExpres
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h0 = XXH64.hashLong(arr.getLong(j), 42L)
+      val h0 = if (arr.isNullAt(j)) 42L else XXH64.hashLong(arr.getLong(j), 42L)
       var i = 0
       while (i < k) {
         val hi = XXH64.hashInt(i, h0)
@@ -88,7 +94,7 @@ case class MinHashExpr(left: Expression, right: Expression) extends BinaryExpres
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
-         |  long $h0 = $xxh.hashLong($a.getLong($j), 42L);
+         |  long $h0 = $a.isNullAt($j) ? 42L : $xxh.hashLong($a.getLong($j), 42L);
          |  for (int $i = 0; $i < $k; $i++) {
          |    long $hi = $xxh.hashInt($i, $h0);
          |    if ($hi < $mins[$i]) $mins[$i] = $hi;

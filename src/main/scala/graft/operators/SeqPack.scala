@@ -73,6 +73,53 @@ object SeqPack {
         ) ++ extras: _*)
   }
 
+  /** Shuffle-key buckets for docShuffle: the hash range [0, 1e9+7)
+    * splits into 1024 equal slices, so bucket index is monotone in the
+    * key and per-bucket windows stay ~n/1024 rows.
+    */
+  val ShuffleBuckets = 1024L
+  private val ShuffleBucketWidth = 1000000007L / ShuffleBuckets + 1
+  private val ShuffleSalt = 69069L
+
+  /** Deterministic global SHUFFLE order: each doc's position in a
+    * hash-shuffled total order — the "shuffle before packing" step a
+    * training pipeline runs between curation and `seqPack`. Packing in
+    * doc_id order puts correlated neighbors (crawl order, near-dup
+    * clusters, same-source runs) into the same context windows;
+    * training wants a decorrelated order that is still reproducible
+    * run-to-run and joinable (same engine-portable multiplicative hash
+    * as the splitters, its own salt). An epoch reshuffle is the same
+    * query with a different salt.
+    *
+    * Scale shape: position = rank in (shuffle_key, doc_id) order,
+    * computed WITHOUT a corpus-scale global window — the key range
+    * splits into `ShuffleBuckets` equal slices (bucket index monotone
+    * in key, so bucket-major order IS key order), per-bucket
+    * row_numbers run over bounded partitions, and the only global
+    * window is the cum-sum over the ≤1024-row bucket-count frame —
+    * seqPack's two-level prefix-sum trick applied to ranking.
+    */
+  def docShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("shuffle_key",
+        ((col("doc_id") % 1000003L) * 1315423911L + ShuffleSalt) % 1000000007L)
+      .withColumn("blk", expr(s"shuffle_key div $ShuffleBucketWidth"))
+    val wIn = Window.partitionBy("blk").orderBy("shuffle_key", "doc_id")
+    val local = blocked.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wBlk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = blocked
+      .groupBy("blk")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wBlk), lit(0L)))
+      .select("blk", "off")
+    local
+      .join(blkOff, "blk")
+      .select(col("doc_id"), col("shuffle_key"), (col("off") + col("rn") - 1L).as("pos"))
+      .orderBy("doc_id")
+  }
+
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables
       .documents(spark, dir)

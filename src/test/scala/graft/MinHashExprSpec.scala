@@ -50,15 +50,42 @@ class MinHashExprSpec extends SparkSpec {
     assert(m(0).zip(m(1)).forall { case (a, b) => a <= b })
   }
 
-  test("graft_minhash rejects nullable-element arrays at analysis") {
+  test("graft_minhash stays bit-exact with the HOF composition on nullable-element arrays") {
     import spark.implicits._
-    // Option[Long] elements → ArrayType(LongType, containsNull=true); a null
-    // slot would otherwise be read as raw 0 and silently hashed, breaking
-    // the bit-exactness contract with the null-propagating HOF composition.
-    val df = Seq((1L, Seq(Some(7L), None))).toDF("id", "sh")
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      df.withColumn("m", expr("graft_minhash(sh, 4)")).collect()
-    }
-    assert(e.getMessage.contains("containsNull=false") || e.getMessage.toLowerCase.contains("non-null"))
+    // Option[Long] elements → ArrayType(LongType, containsNull=true) — the
+    // schema EVERY parquet read reports, so the scratch-staging mode feeds
+    // exactly this shape (an analysis-time rejection here broke scratch
+    // Verify in r8). Spark's xxhash64 skips null fields in its fold, so
+    // xxhash64(null, i) = hashInt(i, seed) — the Expression must match
+    // that, not read an undefined raw slot.
+    val df = Seq(
+      (1L, Seq(Some(7L), None, Some(9L))),
+      (2L, Seq[Option[Long]](None)),
+      (3L, Seq(Some(7L)))).toDF("id", "sh")
+    val k = 4
+    val hof = (0 until k).map(i => expr(s"array_min(transform(sh, s -> xxhash64(s, $i)))"))
+    val both = df
+      .withColumn("fast", expr(s"graft_minhash(sh, $k)"))
+      .withColumn("slow", array(hof: _*))
+      .collect()
+    for (r <- both)
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+        s"row ${r.getLong(0)}: codegen ${r.getSeq[Long](2)} != composition ${r.getSeq[Long](3)}")
+  }
+
+  test("graft_minhash accepts a parquet-round-tripped (nullable-schema) staged frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("minhash_rt").toString
+    Seq((1L, Seq(7L, 8L, 9L)), (2L, Seq(7L))).toDF("id", "sh")
+      .write.mode("overwrite").parquet(dir)
+    // parquet read-back always reports array elements nullable — this is
+    // the exact shape scratch staging hands to graft_minhash
+    val back = spark.read.parquet(dir)
+    val direct = Seq((1L, Seq(7L, 8L, 9L)), (2L, Seq(7L))).toDF("id", "sh")
+    val a = back.withColumn("m", expr("graft_minhash(sh, 8)")).select("id", "m")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = direct.withColumn("m", expr("graft_minhash(sh, 8)")).select("id", "m")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b, "round-tripped schema must not change minhash values")
   }
 }

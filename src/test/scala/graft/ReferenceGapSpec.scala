@@ -131,6 +131,20 @@ class ReferenceGapSpec extends SparkSpec {
     assert(kept("books") == 50, s"books must keep all rows, kept ${kept("books")}")
   }
 
+  test("docShuffle is a permutation in exact hash order, decorrelated from doc_id order") {
+    val s = SparkEntry.queries("q_doc_shuffle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = s.length
+    assert(s.map(_._3).sorted.sameElements(0L until n), "positions must be a 0..n-1 permutation")
+    // position order IS (shuffle_key, doc_id) order — the two-level
+    // bucket ranking must equal the naive global sort
+    val expected = s.sortBy(r => (r._2, r._1)).map(_._1)
+    val got = s.sortBy(_._3).map(_._1)
+    assert(got.sameElements(expected), "bucketed ranking diverged from global hash order")
+    // and the shuffle actually decorrelates: doc_id order != position order
+    assert(!got.sameElements(got.sorted), "shuffled order degenerated to doc_id order")
+  }
+
   test("temperature mixing damps by sqrt: between hard flatten and no mixing") {
     import spark.implicits._
     // Same 20000:50 skew as the hard-flatten test: α=1/2 keeps
