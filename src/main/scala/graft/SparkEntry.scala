@@ -50,6 +50,7 @@ object SparkEntry {
     "q_split_leakage_safe" -> (Splits.leakageSafeSplit _),
     "q_seq_pack"        -> (SeqPack.seqPack _),
     "q_doc_shuffle"     -> (SeqPack.docShuffle _),
+    "q_pack_boundaries" -> (SeqPack.packBoundaries _),
     "q_source_mix"      -> (Splits.sourceMix _),
     "q_source_temperature" -> (Splits.sourceTemperature _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
@@ -101,6 +102,22 @@ object SparkEntry {
     "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d))
   )
+
+  private val SeqPackSql =
+    raw"""WITH t AS (
+         |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(off AS BIGINT) AS start_offset,
+         |  CAST(off // 2048 AS BIGINT) AS pack_id,
+         |  CAST(off % 2048 AS BIGINT) AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin
 
   private val NgramJaccardSql =
     """WITH tok AS (
@@ -504,21 +521,16 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE ((d.doc_id % 1000003) * 1315423911 + 1442695040) % 1000000007 % 1000 < r.rate_pm
         |ORDER BY d.doc_id""".stripMargin,
-    "q_seq_pack" ->
-      raw"""WITH t AS (
-           |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents
-           |), c AS (
-           |  SELECT doc_id, n_tokens,
-           |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-           |  FROM t
-           |)
-           |SELECT doc_id,
-           |  CAST(n_tokens AS BIGINT) AS n_tokens,
-           |  CAST(off AS BIGINT) AS start_offset,
-           |  CAST(off // 2048 AS BIGINT) AS pack_id,
-           |  CAST(off % 2048 AS BIGINT) AS pack_offset
-           |FROM c ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" -> SeqPackSql,
+    // boundaries ride the same layout: embed the seq-pack derivation as
+    // a subquery and aggregate per pack (aligned primitive lists, both
+    // engines ordering by (pack_offset, doc_id)).
+    "q_pack_boundaries" ->
+      s"""WITH sp AS ($SeqPackSql)
+         |SELECT pack_id, count(*) AS n_docs,
+         |  list(pack_offset ORDER BY pack_offset, doc_id) AS boundary_offsets,
+         |  list(doc_id ORDER BY pack_offset, doc_id) AS boundary_docs
+         |FROM sp GROUP BY pack_id ORDER BY pack_id""".stripMargin,
     "q_doc_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, ((doc_id % 1000003) * 1315423911 + 69069) % 1000000007 AS shuffle_key

@@ -120,6 +120,32 @@ object SeqPack {
       .orderBy("doc_id")
   }
 
+  /** Per-pack document boundaries: for each pack, the offset-sorted
+    * lists of where documents BEGIN and which doc begins there — the
+    * attention-reset metadata a dataloader needs to mask cross-document
+    * attention inside a packed context window (packing concatenates
+    * unrelated docs; boundary-aware training resets attention at every
+    * document start). A doc that straddles packs begins in exactly one
+    * pack — the loader carries its continuation into the next pack,
+    * which is why start boundaries are the complete signal. One
+    * pack_id-keyed aggregate over the seqPack layout; output is
+    * pack-cardinality (corpus_tokens / 2048), aligned offset/doc arrays
+    * rather than structs so the cross-engine compare stays on primitive
+    * lists.
+    */
+  def packBoundaries(spark: SparkSession, dir: String): DataFrame =
+    seqPack(spark, dir)
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sort_array(collect_list(struct(col("pack_offset"), col("doc_id")))).as("bounds"))
+      .select(
+        col("pack_id"),
+        col("n_docs"),
+        expr("transform(bounds, b -> b.pack_offset)").as("boundary_offsets"),
+        expr("transform(bounds, b -> b.doc_id)").as("boundary_docs"))
+      .orderBy("pack_id")
+
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables
       .documents(spark, dir)

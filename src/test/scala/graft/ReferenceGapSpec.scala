@@ -96,6 +96,22 @@ class ReferenceGapSpec extends SparkSpec {
       "per-doc running sum must be partitioned by block")
   }
 
+  test("pack boundaries list every doc exactly once, aligned with the packed layout") {
+    val packed = SparkEntry.queries("q_seq_pack")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))) // doc, pack, off
+    val bounds = SparkEntry.queries("q_pack_boundaries")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+    assert(bounds.map(_._2).sum == packed.length, "boundary lists must cover every doc once")
+    val expected = packed.groupBy(_._2)
+    for ((pack, n, offs, docs) <- bounds) {
+      assert(offs.length == n && docs.length == n, s"pack $pack arrays misaligned")
+      assert(offs.forall(o => o >= 0 && o < graft.operators.SeqPack.PackBudget))
+      assert(offs == offs.sorted, s"pack $pack offsets unsorted")
+      val exp = expected(pack).map(p => (p._3, p._1)).sorted
+      assert(offs.zip(docs) == exp.toSeq, s"pack $pack boundaries diverge from the layout")
+    }
+  }
+
   test("source mix balances every source to roughly the smallest source's size") {
     val mix = SparkEntry.queries("q_source_mix")(spark, sfDir)
     val perSource = mix.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -143,6 +159,12 @@ class ReferenceGapSpec extends SparkSpec {
     assert(got.sameElements(expected), "bucketed ranking diverged from global hash order")
     // and the shuffle actually decorrelates: doc_id order != position order
     assert(!got.sameElements(got.sorted), "shuffled order degenerated to doc_id order")
+    // plan shape: the corpus-scale window must be partitioned by the
+    // key bucket; only the tiny bucket-count frame gets a global window
+    val plan = SparkEntry.queries("q_doc_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(blk"),
+      "per-bucket ranking must be partitioned by blk")
   }
 
   test("temperature mixing damps by sqrt: between hard flatten and no mixing") {
