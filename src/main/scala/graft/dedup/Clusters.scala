@@ -171,15 +171,18 @@ object Clusters {
     clusterDeltaOf(
       Tables.documents(spark, dir),
       standing => graft.sources.Artifacts.publishedOrCompute(
-        spark, "dedup_clusters_settled", ArtifactVersion, Seq(s"$dir/documents.parquet"))(standing))
+        spark, "dedup_clusters_settled", ArtifactVersion, Seq(s"$dir/documents.parquet"))(standing),
+      Some(Dedup.standingIndex(spark, dir)))
 
   /** Frame-level clusterDelta. `viaArtifact` wraps the standing-state
-    * computation (the declared query routes it through the Artifacts
-    * contract; property tests pass identity to stay self-contained).
+    * computation and `index` supplies the standing shingle+prefix index
+    * (the declared query routes both through the Artifacts contract;
+    * property tests pass the defaults to stay self-contained).
     */
   private[graft] def clusterDeltaOf(
       allDocs: DataFrame,
-      viaArtifact: DataFrame => DataFrame = identity): DataFrame = {
+      viaArtifact: DataFrame => DataFrame = identity,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.sql.Column
     val isBatch = (c: Column) => pmod(c, lit(Dedup.DeltaBatchMod)) === lit(Dedup.DeltaBatchRem)
     // ONE staged shingle + prefix index serves BOTH halves (the r8 scan
@@ -191,10 +194,12 @@ object Clusters {
     // exact verify makes the pair sets identical either way. This also
     // models production truthfully: there is one lake-resident index,
     // not one per consumer.
-    val sh = graft.Staging.staged(
-      Dedup.shingles(allDocs).select(col("doc_id"), xxhash64(col("sg")).as("sg")),
-      "shingle_cd")
-    val prefix = graft.Staging.staged(Dedup.prefixIndex(sh, 0.8), "prefix_cd")
+    val (sh, prefix) = index.getOrElse {
+      val s = graft.Staging.staged(
+        Dedup.shingles(allDocs).select(col("doc_id"), xxhash64(col("sg")).as("sg")),
+        "shingle_cd")
+      (s, graft.Staging.staged(Dedup.prefixIndex(s, 0.8), "prefix_cd"))
+    }
     val settledPrefix = prefix.filter(!isBatch(col("doc_id")))
     val settledPairs = Dedup.verifyJaccard(
       settledPrefix.toDF("a", "sg")

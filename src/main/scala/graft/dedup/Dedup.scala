@@ -340,15 +340,50 @@ object Dedup {
   val DeltaBatchMod = 10
   val DeltaBatchRem = 7
 
+  /** Version tag for the published standing index (bump on any change
+    * to shingling width, hashing, or the prefix rule).
+    */
+  val IndexArtifactVersion = "3gram-xxhash64-prefix-tau0.8-v1"
+
+  /** The STANDING shingle + prefix index of the corpus, via the
+    * Artifacts contract: the lake-resident index every incremental
+    * operator (dedupDelta, Clusters.clusterDelta) is defined AGAINST.
+    * With an artifacts root configured it is published once and every
+    * consumer reads the committed parquet (rebuilding it inline per
+    * consumer is the same fan-out waste the cluster-table publication
+    * kills — and at 100 TB the index build is the dominant cost of a
+    * delta run that should only pay Σ p·p_batch); without a root each
+    * query stays self-contained (Verify). `q_dedup_jaccard_prefix`
+    * deliberately does NOT consume it: that query is the index-build
+    * authority whose timing keeps the build cost visible.
+    */
+  private[graft] def standingIndex(
+      spark: SparkSession, dir: String, threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val sh = staged(
+      graft.sources.Artifacts.publishedOrCompute(
+        spark, "shingle_index_sh", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
+        shingles(Tables.documents(spark, dir))
+          .select(col("doc_id"), xxhash64(col("sg")).as("sg"))),
+      "shingle_standing")
+    val prefix = staged(
+      graft.sources.Artifacts.publishedOrCompute(
+        spark, "shingle_index_prefix", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
+        prefixIndex(sh, threshold)),
+      "prefix_standing")
+    (sh, prefix)
+  }
+
   /** Incremental near-dup: pairs with jac >= τ that TOUCH the new
     * batch — (new, corpus) and (new, new) — without recomputing the
     * corpus×corpus pairs a standing index already settled. This is the
     * daily-ingest shape of corpus dedup: at 100 TB the full pair set is
     * recomputed never, only the delta joins against the lake-resident
-    * shingle + prefix indexes (staged here; incrementally appended in
-    * production — the prefix theorem needs only a CONSISTENT total
-    * shingle order, so frozen df ranks stay valid as the corpus grows,
-    * at worst lengthening prefixes until a periodic re-rank).
+    * shingle + prefix indexes — consumed from the PUBLISHED standing
+    * index when an artifacts root is configured (r8, `standingIndex`),
+    * rebuilt inline otherwise; incrementally appended in production —
+    * the prefix theorem needs only a CONSISTENT total shingle order, so
+    * frozen df ranks stay valid as the corpus grows, at worst
+    * lengthening prefixes until a periodic re-rank.
     *
     * Lossless for batch-incident pairs: a qualifying pair shares a
     * prefix shingle in BOTH prefixes, so restricting one join side to
@@ -357,11 +392,7 @@ object Dedup {
     * jaccardPrefix; the full-recompute parity is spec-pinned.
     */
   def dedupDelta(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = staged(
-      shingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
-      "shingle_delta")
-    val prefix = staged(prefixIndex(sh, threshold), "prefix_delta")
+    val (sh, prefix) = standingIndex(spark, dir, threshold)
     val batchPrefix = prefix.filter(pmod(col("doc_id"), lit(DeltaBatchMod)) === DeltaBatchRem)
     val candidates = batchPrefix
       .toDF("x", "sg")

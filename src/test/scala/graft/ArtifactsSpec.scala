@@ -113,6 +113,22 @@ class ArtifactsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedupDelta consumes the published standing index and stays exact") {
+    spark.catalog.clearCache()
+    val inline = graft.dedup.Dedup.dedupDelta(spark, sfDir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    withRoot { root =>
+      // publish pass builds + publishes the standing shingle/prefix index
+      assert(graft.dedup.Dedup.dedupDelta(spark, sfDir).collect().map(_.toSeq).toSeq == inline)
+      assert(new java.io.File(s"$root/shingle_index_sh").exists(), "shingle artifact missing")
+      assert(new java.io.File(s"$root/shingle_index_prefix").exists(), "prefix artifact missing")
+      spark.catalog.clearCache()
+      // the daily re-run reads the lake-resident index
+      assert(graft.dedup.Dedup.dedupDelta(spark, sfDir).collect().map(_.toSeq).toSeq == inline)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("leakageSafeSplit: published-cluster mode returns rows identical to inline mode") {
     val inline = Splits.leakageSafeSplit(spark, sfDir).collect().map(_.toSeq).toSeq
     spark.catalog.clearCache()
