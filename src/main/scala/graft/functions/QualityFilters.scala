@@ -246,8 +246,13 @@ object QualityFilters {
   val FreqRankKeepMax = 13.0
 
   def freqRankQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // Staged token-array frame: the vocab build and the scoring join
+    // would otherwise each re-scan and re-split the corpus (explode is
+    // narrow, so both subtrees explode from the one staged frame).
+    val split_docs = graft.Staging.staged(
+      Tables.documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk")),
+      "freqrank_tokens")
+    val toks = split_docs.select(col("doc_id"), explode(col("tk")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val cntRanks = vocab
       .select("cnt").distinct()
