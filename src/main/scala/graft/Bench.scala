@@ -20,6 +20,16 @@ object Bench {
     "q_dedup_ngram_jaccard" -> "q_dedup_jaccard_prefix"
   )
 
+  /** Queries whose timed pass READS a warmup-published artifact instead
+    * of recomputing it inline. The r3/DuckDB baselines were measured
+    * inline, so these lines would flatter the shared-set ratios without
+    * any plan improvement — they are excluded from the vs_r3/vs_duckdb
+    * shared sets (their absolute timings still print under `queries`,
+    * and the exclusion is disclosed via `ratio_excluded`).
+    */
+  val ArtifactConsumers: Set[String] =
+    Set("q_split_leakage_safe", "q_dedup_delta", "q_cluster_delta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -65,10 +75,11 @@ object Bench {
       val (a, b) = (p1(name), p2(name))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
-    // Most-expensive first: the driver truncates long BENCH lines, and a
-    // map-ordered dump hides exactly the heavy queries a reader needs;
-    // descending order means truncation clips the cheap tail instead.
-    val qs = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // Cheapest first: the driver keeps the TAIL of a long BENCH line, so
+    // ascending order puts the expensive queries — the ones a reader
+    // actually needs — in the surviving suffix (r8 sorted descending and
+    // the record lost every query above 0.81 s).
+    val qs = results.toSeq.sortBy { case (k, v) => (v, k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val al = Aliases.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -77,7 +88,8 @@ object Bench {
     // survivors would let a round "speed up" by breaking a slow query.
     val total = if (results.values.exists(_ < 0)) -1.0 else results.values.sum
     val baseline = baselineRatios(sfDir, results)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"aliases":$al$baseline,"artifacts":"published","sf":"$sfDir"}""")
+    val excl = ArtifactConsumers.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"aliases":$al$baseline,"artifacts":"published","ratio_excluded":$excl,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -100,7 +112,9 @@ object Bench {
           .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     def ratio(base: Map[String, Double]): Option[(Double, Double, Int)] = {
-      val shared = results.keySet.intersect(base.keySet).filter(k => results(k) > 0 && base(k) > 0)
+      val shared = results.keySet.intersect(base.keySet)
+        .diff(ArtifactConsumers)
+        .filter(k => results(k) > 0 && base(k) > 0)
       if (shared.isEmpty) None
       else {
         val cur = shared.toSeq.map(results).sum

@@ -49,7 +49,7 @@ object SparkEntry {
     "q_split_assign"    -> (Splits.splitAssign _),
     "q_split_leakage_safe" -> (Splits.leakageSafeSplit _),
     "q_seq_pack"        -> (SeqPack.seqPack _),
-    "q_doc_shuffle"     -> (SeqPack.docShuffle _),
+    "q_doc_shuffle"     -> ((s, d) => SeqPack.docShuffle(s, d)),
     "q_pack_boundaries" -> (SeqPack.packBoundaries _),
     "q_source_mix"      -> (Splits.sourceMix _),
     "q_source_temperature" -> (Splits.sourceTemperature _),
@@ -99,8 +99,11 @@ object SparkEntry {
     "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
     "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
     "q_quality_freqrank"    -> ((s, d) => graft.functions.QualityFilters.freqRankQuality(s, d)),
+    "q_quality_bigramlm"    -> ((s, d) => graft.functions.QualityFilters.bigramLmQuality(s, d)),
     "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
-    "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d))
+    "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d)),
+    "q_html_extract"        -> ((s, d) => graft.functions.HtmlExtract.htmlExtract(s, d)),
+    "q_html_corpus_report"  -> ((s, d) => graft.functions.HtmlExtract.htmlCorpusReport(s, d))
   )
 
   private val SeqPackSql =
@@ -528,13 +531,19 @@ object SparkEntry {
     "q_pack_boundaries" ->
       s"""WITH sp AS ($SeqPackSql)
          |SELECT pack_id, count(*) AS n_docs,
-         |  list(pack_offset ORDER BY pack_offset, doc_id) AS boundary_offsets,
-         |  list(doc_id ORDER BY pack_offset, doc_id) AS boundary_docs
+         |  coalesce(array_to_string(list(pack_offset ORDER BY pack_offset, doc_id), ' '), '') AS boundary_offsets,
+         |  coalesce(array_to_string(list(doc_id ORDER BY pack_offset, doc_id), ' '), '') AS boundary_docs
          |FROM sp GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    // salt enters via the MULTIPLIER (1315423911 + 2*69069) and the
+    // product is SQUARED mod p: an additive salt would only rotate the
+    // order, and one multiply under-mixes small doc_id ranges (epochs
+    // would rank-correlate)
     "q_doc_shuffle" ->
-      """WITH h AS (
-        |  SELECT doc_id, ((doc_id % 1000003) * 1315423911 + 69069) % 1000000007 AS shuffle_key
+      """WITH h0 AS (
+        |  SELECT doc_id, ((doc_id % 1000003) * 1315562049) % 1000000007 AS k1
         |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, (k1 * k1) % 1000000007 AS shuffle_key FROM h0
         |)
         |SELECT doc_id, shuffle_key,
         |  ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
@@ -1011,6 +1020,32 @@ object SparkEntry {
          |  (floor(rank_sum * 1.0 / n_toks * 10000 + 0.5) / 10000
          |    <= ${graft.functions.QualityFilters.FreqRankKeepMax}) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    // same exactness scheme as q_quality_freqrank: integer dense-ranks,
+    // exact BIGINT sums, one final round4 division; the bounded table is
+    // a count-threshold (no top-K tie-break needed), OOV rank is
+    // (#distinct kept counts)+1 in both engines
+    "q_quality_bigramlm" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM tk
+         |), f AS (
+         |  SELECT bg, count(*) AS cnt FROM bg GROUP BY bg
+         |  HAVING count(*) >= ${graft.functions.QualityFilters.BigramMinCount}
+         |), r AS (
+         |  SELECT bg, dense_rank() OVER (ORDER BY cnt DESC) AS rnk FROM f
+         |), m AS (
+         |  SELECT count(DISTINCT cnt) + 1 AS oov_rnk FROM f
+         |), s AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(coalesce(r.rnk, m.oov_rnk)) AS rank_sum
+         |  FROM bg LEFT JOIN r USING (bg) CROSS JOIN m GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_bigrams,
+         |  floor(rank_sum * 1.0 / n_bigrams * 10000 + 0.5) / 10000 AS mean_rank,
+         |  (floor(rank_sum * 1.0 / n_bigrams * 10000 + 0.5) / 10000
+         |    <= ${graft.functions.QualityFilters.BigramKeepMax}) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       s"""WITH g AS (
          |$QualityGopherSql
@@ -1020,6 +1055,32 @@ object SparkEntry {
          |  CAST(sum(g.n_words) AS BIGINT) AS total_words,
          |  floor(avg(CAST(g.keep AS INT)) * 10000 + 0.5) / 10000 AS keep_rate
          |FROM g JOIN documents d ON g.doc_id = d.doc_id
+         |GROUP BY ROLLUP(d.lang, d.source)
+         |ORDER BY lang, source""".stripMargin,
+    "q_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $HtmlPlantSql AS html FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+         |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+         |  ${htmlStripSql("html")} AS clean_text
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // the composed pipeline front: plant -> extract -> Gopher gate ->
+    // rollup report, the same report query over extracted text
+    "q_html_corpus_report" ->
+      s"""WITH hdocs AS (
+         |  SELECT doc_id, lang, source,
+         |    ${htmlStripSql(HtmlPlantSql)} AS text
+         |  FROM documents
+         |), g AS (
+         |${qualityGopherSqlOver("hdocs")}
+         |)
+         |SELECT coalesce(d.lang, 'ALL') AS lang, coalesce(d.source, 'ALL') AS source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(g.n_words) AS BIGINT) AS total_words,
+         |  floor(avg(CAST(g.keep AS INT)) * 10000 + 0.5) / 10000 AS keep_rate
+         |FROM g JOIN hdocs d ON g.doc_id = d.doc_id
          |GROUP BY ROLLUP(d.lang, d.source)
          |ORDER BY lang, source""".stripMargin
   )
@@ -1041,9 +1102,13 @@ object SparkEntry {
        |WHERE bucket < rate_pm
        |ORDER BY doc_id""".stripMargin
 
-  private lazy val QualityGopherSql =
+  /** The Gopher-gate oracle over any (doc_id, text) relation `src` —
+    * "documents" for the declared query, the html-extraction CTE for
+    * the composed report variant.
+    */
+  private def qualityGopherSqlOver(src: String) =
       raw"""WITH t AS (
-           |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM documents
+           |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM $src
            |), b AS (
            |  SELECT doc_id,
            |    len(tk) AS n_words,
@@ -1051,7 +1116,7 @@ object SparkEntry {
            |    floor(length(regexp_replace(text, '\s', '', 'g')) / len(tk) * 10000 + 0.5) / 10000 AS mean_word_len
            |  FROM t
            |), w AS (
-           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM $src
            |), tw AS (
            |  SELECT doc_id, max(c) AS top_word_n FROM (
            |    SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
@@ -1069,4 +1134,30 @@ object SparkEntry {
            |    AND floor(tw.top_word_n / b.n_words * 10000 + 0.5) / 10000 <= 0.2 AS keep
            |FROM b JOIN tw USING (doc_id)
            |ORDER BY b.doc_id""".stripMargin
+
+  private lazy val QualityGopherSql = qualityGopherSqlOver("documents")
+
+  /** The planted page + extraction pipeline, DuckDB side — the same
+    * doc_id arithmetic as HtmlExtract.plantHtml / extractText, in the
+    * shared Java∩RE2 regex subset (no backrefs: one replace per block
+    * tag).
+    */
+  private lazy val HtmlPlantSql =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style>body{font-size:12px;}</style></head><body>' ||
+      |'<nav>home | about | section' || CAST(doc_id % 7 AS VARCHAR) || '</nav>' ||
+      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+      |'<p>' || text || '</p>' ||
+      |'<p>More about item ' || CAST(doc_id % 13 AS VARCHAR) || '.</p>' ||
+      |'<script>var x=' || CAST(doc_id % 97 AS VARCHAR) || ';</script>' ||
+      |'<footer>(c) 2026 example.com</footer></body></html>'""".stripMargin
+
+  private def htmlStripSql(c: String) =
+    raw"""trim(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
+         |    '<head[^>]*>.*?</head>', ' ', 'gs'),
+         |    '<script[^>]*>.*?</script>', ' ', 'gs'),
+         |    '<nav[^>]*>.*?</nav>', ' ', 'gs'),
+         |    '<footer[^>]*>.*?</footer>', ' ', 'gs'),
+         |  '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))""".stripMargin
 }

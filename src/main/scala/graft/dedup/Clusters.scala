@@ -171,7 +171,13 @@ object Clusters {
     clusterDeltaOf(
       Tables.documents(spark, dir),
       standing => graft.sources.Artifacts.publishedOrCompute(
-        spark, "dedup_clusters_settled", ArtifactVersion, Seq(s"$dir/documents.parquet"))(standing),
+        spark, "dedup_clusters_settled",
+        // The settled slice's CONTENT depends on the batch definition
+        // (settled = NOT in the delta batch), so the batch parameters
+        // join the version key — changing them must invalidate the
+        // artifact, not silently serve yesterday's slice.
+        s"$ArtifactVersion-batch${Dedup.DeltaBatchMod}r${Dedup.DeltaBatchRem}",
+        Seq(s"$dir/documents.parquet"))(standing),
       Some(Dedup.standingIndex(spark, dir)))
 
   /** Frame-level clusterDelta. `viaArtifact` wraps the standing-state

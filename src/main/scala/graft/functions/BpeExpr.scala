@@ -66,6 +66,22 @@ object Bpe {
     (" c", "ustomer"), ("in", "e"), ("l", "ine"), ("a", "b"), ("ab", "l"),
     ("abl", "e"), ("at", "a"), ("u", "p"))
 
+  /** Content digest of the merge table — the artifact version key for
+    * anything derived from this vocabulary (tokenized_corpus). A full
+    * SHA-256 over the rendered rank-ordered pairs: unlike a JVM
+    * collection hashCode it is stable across Scala/JVM versions and
+    * collision-free for practical purposes, so swapping the published
+    * vocab always invalidates derived artifacts.
+    */
+  lazy val MergesDigest: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Merges.foreach { case (l, r) =>
+      md.update(l.getBytes("UTF-8")); md.update(1.toByte)
+      md.update(r.getBytes("UTF-8")); md.update(2.toByte)
+    }
+    md.digest().take(12).map("%02x".format(_)).mkString
+  }
+
   private val rankOf: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     Merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + '\u0001' + r, i) }
@@ -198,7 +214,7 @@ object Bpe {
          |  WHERE len(list_filter(ranks, x -> x IS NOT NULL)) = 0
          |)
          |SELECT doc_id,
-         |  flatten(list(fin.ids ORDER BY word_no)) AS token_ids,
+         |  coalesce(array_to_string(flatten(list(fin.ids ORDER BY word_no)), ' '), '') AS token_ids,
          |  CAST(len(flatten(list(fin.ids ORDER BY word_no))) AS BIGINT) AS n_tokens
          |FROM pre JOIN fin ON pre.p = fin.p
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -206,7 +206,14 @@ object QualityFilters {
     * Expand, see rollupAgg).
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
-    gopherFrame(Tables.documents(spark, dir))
+    corpusReportOver(Tables.documents(spark, dir))
+
+  /** The report over any (doc_id, text, lang, source) frame — the
+    * composition point HtmlExtract.htmlCorpusReport feeds with
+    * extracted text.
+    */
+  def corpusReportOver(docs: DataFrame): DataFrame =
+    gopherFrame(docs)
       .select(col("lang"), col("source"), col("n_words"), col("keep").cast("long").as("k"))
       .rollup(col("lang"), col("source"))
       .agg(
@@ -245,6 +252,68 @@ object QualityFilters {
     */
   val FreqRankKeepMax = 13.0
 
+  /** Bigram heavy-hitter floor: bigrams seen at least this often enter
+    * the LM table. Zipf-bounds the table at corpus_bigrams/floor rows —
+    * the same bounded-table contract as BpeTrain.lexicon, which is what
+    * makes the scoring side broadcastable at any corpus size (a real
+    * KenLM ships a fixed-size table for the same reason).
+    */
+  val BigramMinCount = 3L
+
+  /** Keep band for the bigram score (see FreqRankKeepMax — fixed
+    * mid-distribution constant for the synthetic corpus, measured
+    * 13.1-21.5 with median ~17.5 at the test SFs; production
+    * calibrates per corpus).
+    */
+  val BigramKeepMax = 17.5
+
+  /** Second freq-family gate (r8 verdict item 9): score docs by their
+    * adjacent-token BIGRAM ranks — the n-gram LM upgrade over
+    * freqRankQuality's unigram profile (CCNet shape: fluent text is
+    * made of common token TRANSITIONS, not merely common tokens;
+    * shuffled common words score well on unigrams and badly here).
+    * Stays oracle-exact the same way: integer dense-ranks instead of
+    * log-probabilities, one exact BIGINT sum per doc, one final
+    * division. Out-of-table bigrams score the penalty rank
+    * (max rank + 1) — the OOV backoff of a bounded-table LM.
+    *
+    * Scale shape: bigram construction is scan-local (zip_with over the
+    * token array); every corpus-scale exchange keys on xxhash64(bigram)
+    * longs; the count-threshold table is Zipf-bounded so the scoring
+    * join's build side broadcasts; the only global window runs over the
+    * DISTINCT-count frame; the OOV rank is a 1-row broadcast.
+    */
+  def bigramLmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val split_docs = graft.Staging.staged(
+      Tables.documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk")),
+      "bigramlm_tokens")
+    val bgs = split_docs
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .select(col("doc_id"), xxhash64(col("bg")).as("bgh"))
+    val table = bgs.groupBy("bgh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= BigramMinCount)
+    val cntRanks = table
+      .select("cnt").distinct()
+      .withColumn("rnk",
+        dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc)))
+    val ranked = table.join(cntRanks, "cnt").select("bgh", "rnk")
+    val oov = cntRanks.agg((count(lit(1)) + 1L).as("oov_rnk"))
+    bgs
+      .join(ranked, Seq("bgh"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), coalesce(col("rnk"), col("oov_rnk")).as("r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("r").as("rank_sum"))
+      .withColumn("mean_rank", Num.round4(col("rank_sum") / col("n_bigrams")))
+      .withColumn("keep", col("mean_rank") <= BigramKeepMax)
+      .select("doc_id", "n_bigrams", "mean_rank", "keep")
+      .orderBy("doc_id")
+  }
+
   def freqRankQuality(spark: SparkSession, dir: String): DataFrame = {
     // Staged token-array frame: the vocab build and the scoring join
     // would otherwise each re-scan and re-split the corpus (explode is
@@ -252,15 +321,22 @@ object QualityFilters {
     val split_docs = graft.Staging.staged(
       Tables.documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk")),
       "freqrank_tokens")
-    val toks = split_docs.select(col("doc_id"), explode(col("tk")).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // Shuffle hygiene (the repo-wide principle from Dedup/LineDedup):
+    // every corpus-scale exchange keys on xxhash64(token) longs — the
+    // raw strings never leave their scan stage. The vocab groupBy and
+    // the scoring join both run on 8-byte keys; outputs equal the
+    // string-keyed oracle modulo the documented ~1e-10 collision trade.
+    val toks = split_docs
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("tokh"))
+    val vocab = toks.groupBy("tokh").agg(count(lit(1)).as("cnt"))
     val cntRanks = vocab
       .select("cnt").distinct()
       .withColumn("rnk",
         dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc)))
-    val ranked = vocab.join(cntRanks, "cnt").select("tok", "rnk")
+    val ranked = vocab.join(cntRanks, "cnt").select("tokh", "rnk")
     toks
-      .join(ranked, "tok")
+      .join(ranked, "tokh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum("rnk").as("rank_sum"))
       .withColumn("mean_rank", Num.round4(col("rank_sum") / col("n_toks")))

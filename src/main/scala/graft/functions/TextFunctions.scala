@@ -115,13 +115,19 @@ object TextFunctions {
     * emit token-ID arrays (graft_bpe, a scan-local codegen Expression)
     * — the computation q_token_count/q_token_count_bpe only estimate.
     * n_tokens here is the REAL sequence length the packing/export
-    * operators budget on.
+    * operators budget on. The id array is serialized to a space-joined
+    * string for the cross-engine gate (nested columns crash the
+    * driver's pandas sort); consumers wanting the array apply
+    * graft_bpe directly (ShardExport does).
     */
   def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids"))
-      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .select(col("doc_id"), expr("graft_bpe(text)").as("ids"))
+      .select(
+        col("doc_id"),
+        array_join(col("ids"), " ").as("token_ids"),
+        size(col("ids")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
   /** Stopword list for quality/language heuristics. */

@@ -42,10 +42,22 @@ object SeqPack {
     * split would tear packs across split directories. The group key
     * joins every window/aggregate key, so the global-window stage stays
     * metadata-scale per group.
+    *
+    * `orderCols`/`blkOf` generalize the PACK ORDER: by default docs
+    * concatenate in doc_id order with doc_id-range blocks; the shard
+    * export passes hash-shuffle order (see `docShuffle`) with key-range
+    * blocks instead, so context windows hold decorrelated neighbors.
+    * The only requirement is that `blkOf` is monotone in `orderCols`
+    * order (block-major order == total order) with bounded-fan blocks.
     */
-  def seqPackWithin(docs: DataFrame, groupCol: String): DataFrame = {
-    val blocked = docs.withColumn("blk", floor(col("doc_id") / BlockSize).cast("long"))
-    val wIn = Window.partitionBy(groupCol, "blk").orderBy("doc_id")
+  def seqPackWithin(
+      docs: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String] = Seq("doc_id"),
+      blkOf: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val blocked = docs.withColumn(
+      "blk", blkOf.getOrElse(floor(col("doc_id") / BlockSize).cast("long")))
+    val wIn = Window.partitionBy(groupCol, "blk").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = blocked.withColumn("local_off", coalesce(sum("n_tokens").over(wIn), lit(0L)))
     val wBlk = Window.partitionBy(groupCol).orderBy("blk")
@@ -57,8 +69,11 @@ object SeqPack {
       .select(col(groupCol), col("blk"), col("blk_off"))
     // passthrough columns (e.g. the token-id payload a shard export
     // carries) ride along untouched — the packing layout only needs
-    // (doc_id, groupCol, n_tokens)
-    val extras = docs.columns.filterNot(Set("doc_id", groupCol, "n_tokens")).map(col)
+    // (doc_id, groupCol, n_tokens); auxiliary order keys are layout
+    // machinery and are dropped with blk
+    val extras = docs.columns
+      .filterNot(Set("doc_id", groupCol, "n_tokens") ++ orderCols.filterNot(_ == "doc_id"))
+      .map(col)
     local
       .join(blockPrefix, Seq(groupCol, "blk"))
       .withColumn("start_offset", col("blk_off") + col("local_off"))
@@ -79,7 +94,41 @@ object SeqPack {
     */
   val ShuffleBuckets = 1024L
   private val ShuffleBucketWidth = 1000000007L / ShuffleBuckets + 1
-  private val ShuffleSalt = 69069L
+
+  /** The declared query's epoch salt; an epoch reshuffle passes a
+    * different salt to `docShuffle`/`packedWithSplits`.
+    */
+  val ShuffleSalt = 69069L
+
+  /** The engine-portable shuffle hash: deterministic, joinable, and a
+    * GENUINELY different permutation per `salt`. The salt must perturb
+    * the MULTIPLIER, not add a constant: any affine salt (…*A + salt)
+    * only rotates the order mod p — two "epochs" would rank-correlate
+    * at ~1.0 and feed the model the same context neighborhoods again
+    * (the salt-decorrelation spec pins this). Distinct salts give
+    * distinct multipliers mod the prime, i.e. independent multiplicative
+    * hashes; 2*salt keeps the multiplier odd.
+    */
+  def shuffleKey(docId: org.apache.spark.sql.Column, salt: Long): org.apache.spark.sql.Column = {
+    // One multiply is NOT enough for small doc_ids: keys under two
+    // salts differ by doc_id*(2Δsalt) mod p, which stays sub-p over a
+    // small id range — partially preserving order (measured rho 0.45).
+    // Squaring mod p adds the cross-term 2·k·Δ·doc_id, which wraps
+    // pseudo-randomly — the salt-decorrelation spec pins rho < 0.1.
+    // Squares can collide (±k share one); (key, doc_id) ordering keeps
+    // every consumer deterministic. All intermediates < 2^60.
+    val k = ((docId % 1000003L) * ((1315423911L + 2L * salt) % 1000000007L)) % 1000000007L
+    (k * k) % 1000000007L
+  }
+
+  /** Key-range bucket of a shuffle key: monotone in the key, ≤
+    * `ShuffleBuckets` values — the block column for packing or ranking
+    * in shuffle order. floor of the double division is exact here:
+    * keys < 2^30 divide with a fractional part either 0 or ≥ ~1e-6,
+    * both far outside double rounding error.
+    */
+  def shuffleBlk(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(key / lit(ShuffleBucketWidth)).cast("long")
 
   /** Deterministic global SHUFFLE order: each doc's position in a
     * hash-shuffled total order — the "shuffle before packing" step a
@@ -99,13 +148,12 @@ object SeqPack {
     * window is the cum-sum over the ≤1024-row bucket-count frame —
     * seqPack's two-level prefix-sum trick applied to ranking.
     */
-  def docShuffle(spark: SparkSession, dir: String): DataFrame = {
+  def docShuffle(spark: SparkSession, dir: String, salt: Long = ShuffleSalt): DataFrame = {
     val blocked = Tables
       .documents(spark, dir)
       .select(col("doc_id"))
-      .withColumn("shuffle_key",
-        ((col("doc_id") % 1000003L) * 1315423911L + ShuffleSalt) % 1000000007L)
-      .withColumn("blk", expr(s"shuffle_key div $ShuffleBucketWidth"))
+      .withColumn("shuffle_key", shuffleKey(col("doc_id"), salt))
+      .withColumn("blk", shuffleBlk(col("shuffle_key")))
     val wIn = Window.partitionBy("blk").orderBy("shuffle_key", "doc_id")
     val local = blocked.withColumn("rn", row_number().over(wIn).cast("long"))
     val wBlk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -129,9 +177,10 @@ object SeqPack {
     * pack — the loader carries its continuation into the next pack,
     * which is why start boundaries are the complete signal. One
     * pack_id-keyed aggregate over the seqPack layout; output is
-    * pack-cardinality (corpus_tokens / 2048), aligned offset/doc arrays
-    * rather than structs so the cross-engine compare stays on primitive
-    * lists.
+    * pack-cardinality (corpus_tokens / 2048), the aligned offset/doc
+    * lists serialized to space-joined strings — the driver's compare
+    * cannot sort rows holding nested cells, so oracle-backed outputs
+    * stay on primitive columns.
     */
   def packBoundaries(spark: SparkSession, dir: String): DataFrame =
     seqPack(spark, dir)
@@ -142,8 +191,8 @@ object SeqPack {
       .select(
         col("pack_id"),
         col("n_docs"),
-        expr("transform(bounds, b -> b.pack_offset)").as("boundary_offsets"),
-        expr("transform(bounds, b -> b.doc_id)").as("boundary_docs"))
+        array_join(expr("transform(bounds, b -> b.pack_offset)"), " ").as("boundary_offsets"),
+        array_join(expr("transform(bounds, b -> b.doc_id)"), " ").as("boundary_docs"))
       .orderBy("pack_id")
 
   def seqPack(spark: SparkSession, dir: String): DataFrame = {

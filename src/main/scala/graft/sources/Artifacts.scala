@@ -31,9 +31,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * - IDEMPOTENCE / crash-safety: consumers only trust a directory whose
   *   `_SUCCESS` marker exists (parquet's commit protocol writes it
   *   last), so a crashed publish is invisible and the next consumer
-  *   recomputes. Re-publishing the same key rewrites identical content
-  *   (producing plans are deterministic), so a lost publish race is
-  *   benign — last writer wins with the same bytes.
+  *   recomputes. A publish writes to a session-private staging directory
+  *   and RENAMEs it into `fp=<hash>` — a committed artifact directory is
+  *   therefore never deleted or partially overwritten in place, so a
+  *   concurrent reader can never observe a mixed directory. If two
+  *   producers race, the loser's rename fails against the existing
+  *   committed directory and its staging output is discarded — content
+  *   under the same key is identical by construction (deterministic
+  *   plans), so which writer wins is immaterial.
+  * - KNOWN LIMIT: the fingerprint keys on (path, length, mtime). A
+  *   same-length rewrite of an input within the filesystem's mtime
+  *   granularity is indistinguishable from the original — the lake-less
+  *   stand-in accepts this; a real table format's snapshot id does not
+  *   have the gap. Input tables here are immutable test fixtures.
   */
 object Artifacts {
 
@@ -96,8 +106,21 @@ object Artifacts {
       case Some(root) =>
         val fp = fingerprint(spark, version, inputPaths)
         val path = artifactPath(root, name, fp)
-        if (!committed(spark, path))
-          compute.write.mode("overwrite").parquet(path)
+        if (!committed(spark, path)) {
+          // Stage under a session-private name, then atomically rename
+          // into place: a committed fp= directory is never mutated, so
+          // concurrent readers can't see a mixed directory and a lost
+          // race just discards the loser's identical bytes.
+          val staging = s"$root/$name/.staging-$fp-${java.util.UUID.randomUUID().toString.take(8)}"
+          compute.write.mode("overwrite").parquet(staging)
+          val conf = spark.sparkContext.hadoopConfiguration
+          val dst = new org.apache.hadoop.fs.Path(path)
+          val src = new org.apache.hadoop.fs.Path(staging)
+          val fs = dst.getFileSystem(conf)
+          // exists-check first: Hadoop local-FS rename into an existing
+          // directory would NEST src inside it rather than fail.
+          if (fs.exists(dst) || !fs.rename(src, dst)) fs.delete(src, true): Unit
+        }
         spark.read.parquet(path)
     }
 

@@ -47,7 +47,8 @@ object ShardExport {
     * materialized clusters pays a parquet read, not a second full
     * near-dup pipeline.
     */
-  def packedWithSplits(spark: SparkSession, dir: String): DataFrame = {
+  def packedWithSplits(spark: SparkSession, dir: String,
+      epochSalt: Long = SeqPack.ShuffleSalt): DataFrame = {
     // The tokenized corpus is itself a published artifact when a root
     // is configured: tokenization is the most-executed computation in
     // the pipeline, and every export/repack run re-paying it is the
@@ -57,15 +58,23 @@ object ShardExport {
     val tokenized = Artifacts.publishedOrCompute(
       spark,
       "tokenized_corpus",
-      s"graft_bpe-merges-${graft.functions.Bpe.Merges.hashCode}",
+      s"graft_bpe-merges-${graft.functions.Bpe.MergesDigest}",
       Seq(s"$dir/documents.parquet"))(
       Tables
         .documents(spark, dir)
         .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids")))
+    // Pack in hash-SHUFFLED order, not doc_id order: doc_id-order
+    // packing puts crawl-order / near-dup / same-source neighbors into
+    // the same context windows (the correlation docShuffle exists to
+    // break). The shuffle key is computed scan-local and rides as the
+    // pack order; a new epoch re-packs with a different salt.
     val docs = tokenized
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
       .join(Splits.leakageSafeSplit(spark, dir).select("doc_id", "split"), "doc_id")
-    SeqPack.seqPackWithin(docs, "split")
+      .withColumn("shuffle_key", SeqPack.shuffleKey(col("doc_id"), epochSalt))
+    SeqPack.seqPackWithin(docs, "split",
+      orderCols = Seq("shuffle_key", "doc_id"),
+      blkOf = Some(SeqPack.shuffleBlk(col("shuffle_key"))))
   }
 
   def export(

@@ -100,12 +100,16 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"text").as[String].collect()
     for (t <- docs) assert(Bpe.decode(Bpe.encode(t)) == t)
-    // and the declared query's arrays decode too
+    // and the declared query's serialized ids decode too (the gate
+    // contract space-joins the array; split it back before decoding)
     val q = SparkEntry.queries("q_tokenize_bpe")(spark, sfDir)
-      .select($"doc_id", $"token_ids").as[(Long, Seq[Int])].collect()
+      .select($"doc_id", $"token_ids").as[(Long, String)].collect()
     val byId = Tables.documents(spark, sfDir).select($"doc_id", $"text")
       .as[(Long, String)].collect().toMap
-    for ((id, ids) <- q) assert(Bpe.decode(ids.toArray) == byId(id), s"doc $id does not round-trip")
+    for ((id, idsStr) <- q) {
+      val ids = if (idsStr.isEmpty) Array.empty[Int] else idsStr.split(" ").map(_.toInt)
+      assert(Bpe.decode(ids) == byId(id), s"doc $id does not round-trip")
+    }
   }
 
   test("graft_bpe codegen and interpreted paths agree") {

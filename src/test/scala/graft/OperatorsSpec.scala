@@ -119,6 +119,25 @@ class OperatorsSpec extends SparkSpec {
       s"rows-only drift: extra=${rowsOnly.diff(documented)} missing=${documented.diff(rowsOnly)}")
   }
 
+  test("driver contract: no oracle-backed query emits nested (array/map/struct) columns") {
+    // The driver's compare sorts rows via pandas sort_values over ALL
+    // columns; ndarray cells are unhashable and the row ERRs (r8:
+    // q_tokenize_bpe, q_pack_boundaries). Nested outputs must be
+    // serialized (array_join / array_to_string) on both engine sides.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, sfDir).schema
+      val nested = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (nested.nonEmpty) Some(s"$name(${nested.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"oracle-backed queries with nested output columns (driver gate would ERR): $offenders")
+  }
+
   test("bench aliases really share their target's plan") {
     for ((alias, target) <- Bench.Aliases) {
       assert(SparkEntry.queries.contains(alias) && SparkEntry.queries.contains(target),

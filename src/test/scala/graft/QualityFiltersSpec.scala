@@ -227,5 +227,48 @@ class QualityFiltersSpec extends SparkSpec {
     // determinism (dense_rank ties share ranks — no order dependence)
     val again = QualityFilters.freqRankQuality(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // shuffle hygiene: no corpus-scale exchange carries raw token
+    // strings — every shuffle in the plan moves hashed longs / doc
+    // aggregates only (strings stay inside their scan stage)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    def stringShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val self = p match {
+        case e: ShuffleExchangeExec if e.output.exists(_.dataType == StringType) => Seq(e)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _                        => p.children ++ p.subqueries
+      }
+      self ++ kids.flatMap(stringShuffles)
+    }
+    val offending = stringShuffles(q.queryExecution.executedPlan)
+    assert(offending.isEmpty,
+      s"exchanges carrying strings: ${offending.map(_.output.map(_.name).mkString(","))}")
+  }
+
+  test("bigramLmQuality: per-doc bigram coverage, OOV penalty bound, discriminating band") {
+    import org.apache.spark.sql.functions._
+    val q = QualityFilters.bigramLmQuality(spark, sfDir)
+    val rows = q.collect()
+    // every doc with ≥2 tokens scores, with exactly n_tokens-1 bigrams
+    val nToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == nToks.count(_._2 >= 2), "every multi-token doc must score")
+    for (r <- rows)
+      assert(r.getLong(1) == nToks(r.getLong(0)) - 1L, s"doc ${r.getLong(0)} bigram count")
+    // mean rank is bounded by the worst case: every bigram OOV
+    assert(rows.forall(_.getDouble(2) >= 1.0))
+    // the band discriminates on this corpus (mid-distribution constant)
+    val keeps = rows.map(_.getBoolean(3)).toSet
+    assert(keeps == Set(true, false),
+      s"keep band vacuous at ${QualityFilters.BigramKeepMax}")
+    // determinism
+    val again = QualityFilters.bigramLmQuality(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 }

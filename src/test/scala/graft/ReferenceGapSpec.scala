@@ -99,8 +99,10 @@ class ReferenceGapSpec extends SparkSpec {
   test("pack boundaries list every doc exactly once, aligned with the packed layout") {
     val packed = SparkEntry.queries("q_seq_pack")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))) // doc, pack, off
+    def nums(s: String): Seq[Long] =
+      if (s.isEmpty) Seq.empty else s.split(" ").toSeq.map(_.toLong)
     val bounds = SparkEntry.queries("q_pack_boundaries")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), nums(r.getString(2)), nums(r.getString(3))))
     assert(bounds.map(_._2).sum == packed.length, "boundary lists must cover every doc once")
     val expected = packed.groupBy(_._2)
     for ((pack, n, offs, docs) <- bounds) {
@@ -165,6 +167,30 @@ class ReferenceGapSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(blk"),
       "per-bucket ranking must be partitioned by blk")
+  }
+
+  test("docShuffle epoch salts produce decorrelated orders (rank correlation ~0)") {
+    import graft.operators.SeqPack
+    // Two epochs = two salts: the permutations must be mutually
+    // decorrelated, or "reshuffling" between epochs would feed the
+    // model nearly the same context-window neighborhoods again.
+    val a = SeqPack.docShuffle(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = SeqPack.docShuffle(spark, sfDir, salt = 271828L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a.keySet == b.keySet)
+    val n = a.size.toDouble
+    val ranks = a.keys.toSeq.map(k => (a(k).toDouble, b(k).toDouble))
+    val (ma, mb) = (ranks.map(_._1).sum / n, ranks.map(_._2).sum / n)
+    val cov = ranks.map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val (va, vb) = (ranks.map(r => math.pow(r._1 - ma, 2)).sum,
+      ranks.map(r => math.pow(r._2 - mb, 2)).sum)
+    val rho = cov / math.sqrt(va * vb)
+    assert(math.abs(rho) < 0.1, s"salted orders correlate: spearman rho = $rho")
+    // same salt, same order: the shuffle is reproducible run-to-run
+    val a2 = SeqPack.docShuffle(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a2 == a, "docShuffle must be deterministic for a fixed salt")
   }
 
   test("temperature mixing damps by sqrt: between hard flatten and no mixing") {

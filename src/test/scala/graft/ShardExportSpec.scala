@@ -39,6 +39,32 @@ class ShardExportSpec extends SparkSpec {
     }
   }
 
+  test("packing concatenates docs in hash-shuffle order, not doc_id order") {
+    import graft.operators.SeqPack
+    val packed = ShardExport.packedWithSplits(spark, sfDir)
+    // Walking a split's packs in (pack_id, pack_offset) order visits
+    // docs in shuffle-hash order — crawl-order neighbors must NOT share
+    // context windows (r8 shipped docShuffle but the export ignored it).
+    val trainSeq = packed.filter(col("split") === "train")
+      .orderBy("pack_id", "pack_offset").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(trainSeq.length > 10)
+    assert(!trainSeq.sameElements(trainSeq.sorted), "export still packs in doc_id order")
+    def key(d: Long) = {
+      val k = ((d % 1000003L) * ((1315423911L + 2L * SeqPack.ShuffleSalt) % 1000000007L)) % 1000000007L
+      (k * k) % 1000000007L
+    }
+    assert(trainSeq.sameElements(trainSeq.sortBy(d => (key(d), d))),
+      "pack order must equal the declared (shuffle_key, doc_id) order")
+    // an epoch reshuffle (different salt) reorders the same docs
+    val other = ShardExport.packedWithSplits(spark, sfDir, epochSalt = 9001L)
+      .filter(col("split") === "train")
+      .orderBy("pack_id", "pack_offset").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(other.toSet == trainSeq.toSet, "reshuffle must keep the same doc set")
+    assert(!other.sameElements(trainSeq), "a new epoch salt must produce a new order")
+  }
+
   test("manifest totals equal the exported frame's totals, one row per shard file") {
     val out = Files.createTempDirectory("shard_manifest").toString
     val packed = ShardExport.packedWithSplits(spark, sfDir)
