@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
     "q_cluster_delta"      -> ((s, d) => graft.dedup.Clusters.clusterDelta(s, d)),
+    "q_dedup_keep_best"    -> ((s, d) => graft.dedup.Clusters.keepBest(s, d)),
     "q_substr_dedup"       -> ((s, d) => graft.dedup.SubstrDedup.substrDedup(s, d)),
     "q_decontaminate"      -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_doc_repetition"     -> ((s, d) => TextFunctions.docRepetition(s, d)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
     "q_quality_freqrank"    -> ((s, d) => graft.functions.QualityFilters.freqRankQuality(s, d)),
     "q_quality_bigramlm"    -> ((s, d) => graft.functions.QualityFilters.bigramLmQuality(s, d)),
+    "q_quality_calibrate"   -> ((s, d) => graft.functions.QualityFilters.calibratedQuality(s, d)),
     "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d)),
     "q_html_extract"        -> ((s, d) => graft.functions.HtmlExtract.htmlExtract(s, d)),
@@ -592,6 +594,20 @@ object SparkEntry {
       s"""WITH RECURSIVE $ClusterWalkCtes
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Same closure joined to the freq-rank score: per cluster the
+    // winner is argmin (mean_rank, doc_id) — row_number in both engines
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ClusterWalkCtes, cl AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+        |), fr AS (
+        |$FreqRankSql
+        |), ranked AS (
+        |  SELECT cl.cluster_id, f.doc_id, f.mean_rank,
+        |    row_number() OVER (PARTITION BY cl.cluster_id ORDER BY f.mean_rank ASC, f.doc_id ASC) AS rn
+        |  FROM cl JOIN fr f ON cl.doc_id = f.doc_id
+        |)
+        |SELECT cluster_id, doc_id AS keep_doc, mean_rank
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // Same closure, split assigned by hashing the CLUSTER id so near-dup
     // members can never straddle train/test.
     "q_split_leakage_safe" ->
@@ -1004,22 +1020,30 @@ object SparkEntry {
     // dense_rank over counts is a pure integer ordering (ties share a
     // rank), the per-doc sum is an exact BIGINT, and both engines
     // divide the same exact integers — fully hash-comparable.
-    "q_quality_freqrank" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), f AS (
-         |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
-         |), r AS (
-         |  SELECT tok, dense_rank() OVER (ORDER BY cnt DESC) AS rnk FROM f
+    "q_quality_freqrank" -> FreqRankSql,
+    // calibration: per-source keep of the best 60.0% by freq-rank
+    // score, tie groups in-or-out together — pure integer band logic
+    // over the exact ×10000 score (floor(x*10000+0.5) is exact where a
+    // bare double→int cast rounds DIFFERENTLY across engines)
+    "q_quality_calibrate" ->
+      s"""WITH fr AS (
+         |$FreqRankSql
          |), s AS (
-         |  SELECT doc_id, count(*) AS n_toks, sum(rnk) AS rank_sum
-         |  FROM tk JOIN r USING (tok) GROUP BY doc_id
+         |  SELECT f.doc_id, d.source, f.mean_rank,
+         |    CAST(floor(f.mean_rank * 10000 + 0.5) AS BIGINT) AS score4
+         |  FROM fr f JOIN documents d USING (doc_id)
+         |), c AS (
+         |  SELECT source, score4, count(*) AS cnt FROM s GROUP BY source, score4
+         |), cc AS (
+         |  SELECT source, score4, sum(cnt) OVER (PARTITION BY source ORDER BY score4
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c
+         |), t AS (
+         |  SELECT source, count(*) AS n_source FROM s GROUP BY source
          |)
-         |SELECT doc_id, n_toks,
-         |  floor(rank_sum * 1.0 / n_toks * 10000 + 0.5) / 10000 AS mean_rank,
-         |  (floor(rank_sum * 1.0 / n_toks * 10000 + 0.5) / 10000
-         |    <= ${graft.functions.QualityFilters.FreqRankKeepMax}) AS keep
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |SELECT s.doc_id, s.source, s.mean_rank,
+         |  (cc.cum * 1000 <= t.n_source * ${graft.functions.QualityFilters.CalibrateKeepPermille}) AS keep
+         |FROM s JOIN cc USING (source, score4) JOIN t USING (source)
+         |ORDER BY s.doc_id""".stripMargin,
     // same exactness scheme as q_quality_freqrank: integer dense-ranks,
     // exact BIGINT sums, one final round4 division; the bounded table is
     // a count-threshold (no top-K tie-break needed), OOV rank is
@@ -1136,6 +1160,23 @@ object SparkEntry {
            |ORDER BY b.doc_id""".stripMargin
 
   private lazy val QualityGopherSql = qualityGopherSqlOver("documents")
+
+  private lazy val FreqRankSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), f AS (
+       |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+       |), r AS (
+       |  SELECT tok, dense_rank() OVER (ORDER BY cnt DESC) AS rnk FROM f
+       |), s AS (
+       |  SELECT doc_id, count(*) AS n_toks, sum(rnk) AS rank_sum
+       |  FROM tk JOIN r USING (tok) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_toks,
+       |  floor(rank_sum * 1.0 / n_toks * 10000 + 0.5) / 10000 AS mean_rank,
+       |  (floor(rank_sum * 1.0 / n_toks * 10000 + 0.5) / 10000
+       |    <= ${graft.functions.QualityFilters.FreqRankKeepMax}) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
 
   /** The planted page + extraction pipeline, DuckDB side — the same
     * doc_id arithmetic as HtmlExtract.plantHtml / extractText, in the

@@ -255,4 +255,35 @@ object Clusters {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy("doc_id")
   }
+
+  /** Quality-aware cluster representative selection: per near-dup
+    * cluster, keep the HIGHEST-QUALITY member (lowest freq-rank score,
+    * doc_id tie-break) instead of `dedupClusters`' arbitrary min-id
+    * keeper — the practice real curation pipelines run, because
+    * near-duplicates differ exactly in the junk (boilerplate variants,
+    * OCR noise) that the quality score measures. Composes the two
+    * published artifacts of the pipeline: the cluster table (consumed
+    * via the Artifacts contract when a root is configured, same as
+    * leakageSafeSplit) and the freq-rank scorer.
+    *
+    * Scale shape: the only new work over its two inputs is a window
+    * partitioned by cluster_id — near-dup clusters are small by
+    * construction (bounded member counts), so partitions are bounded;
+    * the join is doc_id-keyed. Output is cluster-cardinality.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("mean_rank").asc, col("doc_id").asc)
+    publishedClusters(spark, dir)
+      .select("doc_id", "cluster_id")
+      .join(
+        graft.functions.QualityFilters.freqRankQuality(spark, dir)
+          .select("doc_id", "mean_rank"),
+        "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc"), col("mean_rank"))
+      .orderBy("cluster_id")
+  }
 }

@@ -344,4 +344,58 @@ object QualityFilters {
       .select("doc_id", "n_toks", "mean_rank", "keep")
       .orderBy("doc_id")
   }
+
+  /** Keep the best `CalibrateKeepPermille`/1000 of each source by
+    * quality score — the CALIBRATION step the fixed-constant gates
+    * (FreqRankKeepMax, BigramKeepMax) document as "production
+    * calibrates per corpus": CCNet picks per-language perplexity
+    * buckets from the score distribution, not a universal constant, so
+    * a clean source keeps most of itself while a noisy source is cut
+    * hard AT THE SAME quantile.
+    */
+  val CalibrateKeepPermille = 600L
+
+  /** #32o per-source quantile calibration of the freq-rank score.
+    * Engine-exact by integer construction — no percentile function of
+    * either engine is trusted across engines (continuous quantiles
+    * interpolate in floats; discrete ones round boundaries
+    * differently). keep(doc) ⇔ 1000 · (#docs in the source with
+    * score4 ≤ mine) ≤ permille · n_source, where score4 is the round4
+    * score scaled to an exact integer (×10000): a whole tie-group is
+    * in or out together, and both sides of the inequality are exact
+    * BIGINTs.
+    *
+    * Scale shape: NO corpus-scale window. Per-(source, score4) counts
+    * form a BOUNDED frame (round4 quantizes the score range to ≤ ~10^6
+    * cells per source); the cumulative count runs over that frame
+    * partitioned by source; docs join back on (source, score4) — an
+    * AQE-broadcast of the calibration table, the same shape as the
+    * freq-rank vocab join. Adding a source never moves another
+    * source's threshold.
+    */
+  def calibratedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.Staging.staged(
+      freqRankQuality(spark, dir)
+        .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+        // floor(x*10000+0.5) — NOT a bare double→long cast: v*10000 of a
+        // round4 value lands ε away from the integer, and Spark's cast
+        // truncates where DuckDB's rounds; the +0.5-floor is exact in
+        // both engines for any ε < 0.5
+        .withColumn("score4", floor(col("mean_rank") * 10000 + 0.5).cast("long")),
+      "calibrate_scored")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("score4")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val calib = scored
+      .groupBy("source", "score4").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("n_source"))
+    scored
+      .join(broadcast(calib.select("source", "score4", "cum")), Seq("source", "score4"))
+      .join(broadcast(totals), "source")
+      .select(
+        col("doc_id"), col("source"), col("mean_rank"),
+        (col("cum") * 1000L <= col("n_source") * CalibrateKeepPermille).as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -100,7 +100,10 @@ object ShardExport {
     * restart per epoch by construction — each epoch dir is a
     * self-contained shard group a continuously-training consumer can
     * pick up the moment it commits; global repacking across epochs is
-    * the nightly batch job's business (`packedWithSplits`).
+    * the nightly batch job's business (`packedWithSplits`). The EPOCH
+    * ID is the shuffle salt, so each epoch's packs hold a differently
+    * decorrelated order — and a retried epoch (same id) reproduces the
+    * identical layout, preserving idempotence.
     */
   def exportEpoch(
       batch: DataFrame,
@@ -112,8 +115,11 @@ object ShardExport {
       batch
         .select(col("doc_id"), expr("graft_bpe(text)").as("token_ids"))
         .withColumn("n_tokens", size(col("token_ids")).cast("long"))
-        .withColumn("split", lit("train")),
-      "split")
+        .withColumn("split", lit("train"))
+        .withColumn("shuffle_key", SeqPack.shuffleKey(col("doc_id"), SeqPack.ShuffleSalt + epochId)),
+      "split",
+      orderCols = Seq("shuffle_key", "doc_id"),
+      blkOf = Some(SeqPack.shuffleBlk(col("shuffle_key"))))
     export(packed, s"$path/epoch=$epochId", shardsPerSplit, maxRecordsPerFile)
   }
 

@@ -108,4 +108,25 @@ class ClustersSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("keepBest picks exactly one member per cluster: the (quality, id) argmin") {
+    val clusters = Clusters.dedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val scores = graft.functions.QualityFilters.freqRankQuality(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val best = Clusters.keepBest(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // one row per cluster, covering every cluster
+    val clusterIds = clusters.map(_._2).toSet
+    assert(best.map(_._1).toSet == clusterIds, "every cluster gets a representative")
+    assert(best.length == clusterIds.size, "exactly one representative per cluster")
+    // the representative is the cluster's (mean_rank, doc_id) argmin
+    val members = clusters.groupBy(_._2)
+    for ((cid, keepDoc, rank) <- best) {
+      val expected = members(cid).map(_._1).minBy(d => (scores(d), d))
+      assert(keepDoc == expected, s"cluster $cid kept $keepDoc, expected $expected")
+      assert(rank == scores(keepDoc), s"cluster $cid carries a stale score")
+      assert(members(cid).exists(_._1 == keepDoc), s"cluster $cid keeper not a member")
+    }
+  }
 }

@@ -37,6 +37,20 @@ class HtmlExtractSpec extends SparkSpec {
     assert(exchanges <= 1, s"extraction plans $exchanges exchanges:\n$plan")
   }
 
+  test("htmlCorpusReport plans exactly one documents scan") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = HtmlExtract.htmlCorpusReport(spark, sfDir)
+    val scans = df.queryExecution.withCachedData.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation
+          if h.location.rootPaths.exists(_.toString.contains("documents.parquet")) => 1
+        case _ => 0
+      }
+    }.sum
+    assert(scans == 1,
+      s"plant+extract+gate+report must compose into ONE documents scan, planned $scans")
+  }
+
   test("htmlCorpusReport: the gate consumes extracted text in one composed pass") {
     val rep = HtmlExtract.htmlCorpusReport(spark, sfDir).collect()
     val grand = rep.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")

@@ -192,4 +192,34 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"trial $trial: diff=${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
     }
   }
+
+  test("shuffle-key formula: random salt pairs give decorrelated orders over small id ranges") {
+    // The epoch-reshuffle contract, checked on the FORMULA across many
+    // salt pairs (the Spark-level spec covers one pair): for any two
+    // distinct salts, the induced permutations of a small doc_id range
+    // — the adversarial case, where an affine salt preserves order —
+    // must be near-independent. Pure arithmetic, mirrors
+    // SeqPack.shuffleKey exactly.
+    def key(d: Long, salt: Long): Long = {
+      val k = ((d % 1000003L) * ((1315423911L + 2L * salt) % 1000000007L)) % 1000000007L
+      (k * k) % 1000000007L
+    }
+    val n = 1000
+    def positions(salt: Long): Map[Long, Int] =
+      (0L until n).sortBy(d => (key(d, salt), d)).zipWithIndex.toMap
+    for (trial <- 1 to 20) {
+      val s1 = rnd.nextLong(1L << 40)
+      val s2 = s1 + 1 + rnd.nextLong(1L << 20) // include adjacent-salt cases
+      val (p1, p2) = (positions(s1), positions(s2))
+      val mean = (n - 1) / 2.0
+      var cov = 0.0; var v1 = 0.0; var v2 = 0.0
+      for (d <- 0L until n) {
+        val (a, b) = (p1(d) - mean, p2(d) - mean)
+        cov += a * b; v1 += a * a; v2 += b * b
+      }
+      val rho = cov / math.sqrt(v1 * v2)
+      assert(math.abs(rho) < 0.15,
+        s"trial $trial: salts $s1/$s2 correlate, spearman rho = $rho")
+    }
+  }
 }

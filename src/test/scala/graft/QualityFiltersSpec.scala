@@ -230,6 +230,14 @@ class QualityFiltersSpec extends SparkSpec {
     // shuffle hygiene: no corpus-scale exchange carries raw token
     // strings — every shuffle in the plan moves hashed longs / doc
     // aggregates only (strings stay inside their scan stage)
+    assertNoStringShuffles(q, "freqRankQuality")
+  }
+
+  /** Walks the executed plan (through AQE wrappers and subqueries) and
+    * fails on any shuffle exchange whose output carries a StringType
+    * column — the repo's shuffle-hygiene gate for token-keyed plans.
+    */
+  private def assertNoStringShuffles(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -245,9 +253,9 @@ class QualityFiltersSpec extends SparkSpec {
       }
       self ++ kids.flatMap(stringShuffles)
     }
-    val offending = stringShuffles(q.queryExecution.executedPlan)
+    val offending = stringShuffles(df.queryExecution.executedPlan)
     assert(offending.isEmpty,
-      s"exchanges carrying strings: ${offending.map(_.output.map(_.name).mkString(","))}")
+      s"$what exchanges carrying strings: ${offending.map(_.output.map(_.name).mkString(","))}")
   }
 
   test("bigramLmQuality: per-doc bigram coverage, OOV penalty bound, discriminating band") {
@@ -270,5 +278,37 @@ class QualityFiltersSpec extends SparkSpec {
     // determinism
     val again = QualityFilters.bigramLmQuality(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // same shuffle-hygiene gate as the unigram filter: bigram strings
+    // never leave their scan stage
+    assertNoStringShuffles(q, "bigramLmQuality")
+  }
+
+  test("calibratedQuality keeps ~the target permille of EVERY source, ties in-or-out together") {
+    import org.apache.spark.sql.functions._
+    val q = QualityFilters.calibratedQuality(spark, sfDir)
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val target = QualityFilters.CalibrateKeepPermille / 1000.0
+    for ((src, grp) <- rows.groupBy(_._2)) {
+      val n = grp.length
+      val kept = grp.count(_._4)
+      // never above the quantile; below only by at most the boundary
+      // tie group (which drops whole)
+      assert(kept <= target * n + 1e-9, s"$src kept $kept of $n — above the quantile")
+      val boundaryTie = grp.groupBy(_._3).values.map(_.length).max
+      assert(kept >= target * n - boundaryTie,
+        s"$src kept $kept of $n with max tie group $boundaryTie — below the quantile band")
+      // calibration is per-source: every kept doc scores ≤ every
+      // dropped doc within the SAME source
+      val keptMax = grp.filter(_._4).map(_._3).maxOption.getOrElse(Double.MinValue)
+      val dropMin = grp.filterNot(_._4).map(_._3).minOption.getOrElse(Double.MaxValue)
+      assert(keptMax <= dropMin, s"$src: kept score $keptMax above dropped score $dropMin")
+    }
+    // the per-source thresholds actually differ (this is what a fixed
+    // global constant cannot do)
+    val thresholds = rows.groupBy(_._2).view.mapValues(g =>
+      g.filter(_._4).map(_._3).maxOption.getOrElse(-1.0)).values.toSet
+    assert(thresholds.size > 1, "all sources calibrated to one threshold — vacuous")
   }
 }
