@@ -117,6 +117,13 @@ object Artifacts {
           val dst = new org.apache.hadoop.fs.Path(path)
           val src = new org.apache.hadoop.fs.Path(staging)
           val fs = dst.getFileSystem(conf)
+          // A marker-less destination is a CRASHED publish: clear it so
+          // the repaired artifact can land (left in place it would block
+          // the rename forever — every consumer recomputing and
+          // discarding while reading uncommitted data). A committed
+          // destination only appears if a concurrent producer won the
+          // race; its bytes are identical, so the loser discards.
+          if (fs.exists(dst) && !committed(spark, path)) fs.delete(dst, true): Unit
           // exists-check first: Hadoop local-FS rename into an existing
           // directory would NEST src inside it rather than fail.
           if (fs.exists(dst) || !fs.rename(src, dst)) fs.delete(src, true): Unit

@@ -79,6 +79,26 @@ class ArtifactsSpec extends SparkSpec {
       marker.delete()
       consume().collect()
       assert(computes == 2, "a marker-less directory must be recomputed, never served")
+      // the repair RE-COMMITS: the recompute replaces the crashed dir
+      // (an uncleared crash would block the atomic rename forever and
+      // leave every future consumer recomputing)
+      assert(marker.exists(), "recompute must re-publish over the crashed directory")
+      consume().collect()
+      assert(computes == 2, "the repaired artifact must serve without recomputing")
+    }
+  }
+
+  test("publish is atomic: no staging residue, every artifact dir is committed") {
+    withRoot { root =>
+      import spark.implicits._
+      Artifacts.publishedOrCompute(spark, "t", "v1", Seq(s"$sfDir/region.parquet")) {
+        Seq((1L, "a")).toDF("id", "s")
+      }.collect()
+      val entries = new java.io.File(s"$root/t").listFiles().map(_.getName).toSeq
+      assert(entries.forall(_.startsWith("fp=")), s"staging residue left behind: $entries")
+      for (e <- entries)
+        assert(new java.io.File(s"$root/t/$e", "_SUCCESS").exists(),
+          s"$e visible but not committed — readers could see a partial publish")
     }
   }
 
