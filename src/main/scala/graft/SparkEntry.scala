@@ -53,6 +53,7 @@ object SparkEntry {
     "q_pack_boundaries" -> (SeqPack.packBoundaries _),
     "q_source_mix"      -> (Splits.sourceMix _),
     "q_source_temperature" -> (Splits.sourceTemperature _),
+    "q_source_upsample"    -> (Splits.sourceUpsample _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
     "q_json_props"      -> (Relational.jsonProps _),
@@ -526,6 +527,27 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE ((d.doc_id % 1000003) * 1315423911 + 1442695040) % 1000000007 % 1000 < r.rate_pm
         |ORDER BY d.doc_id""".stripMargin,
+    // upsampling mirrors temperature's floor-sqrt rate as EPOCHS: the
+    // integer part repeats every doc, the fractional per-mille selects
+    // docs by hash, the cap bounds the explode — all exact integers
+    "q_source_upsample" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+         |), m AS (
+         |  SELECT max(n_s) AS max_n FROM c
+         |), r AS (
+         |  SELECT source,
+         |    least(CAST(floor(sqrt(CAST((max_n * 1000000) // n_s AS DOUBLE))) AS BIGINT), ${graft.operators.Splits.UpsampleMaxEpochs * 1000}) AS epochs_pm
+         |  FROM c, m
+         |), e AS (
+         |  SELECT d.doc_id, d.source,
+         |    epochs_pm // 1000 +
+         |      CASE WHEN ((d.doc_id % 1000003) * 1315423911 + 824633720) % 1000000007 % 1000 < epochs_pm % 1000
+         |           THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents d JOIN r USING (source)
+         |)
+         |SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_id
+         |FROM e ORDER BY doc_id, copy_id""".stripMargin,
     "q_seq_pack" -> SeqPackSql,
     // boundaries ride the same layout: embed the seq-pack derivation as
     // a subquery and aggregate per pack (aligned primitive lists, both

@@ -136,6 +136,56 @@ object Splits {
       .orderBy("doc_id")
   }
 
+  /** Epoch cap for upsampling: repeating a small source more than this
+    * many times degrades models faster than the extra share helps
+    * (the standard multi-epoch repetition bound).
+    */
+  val UpsampleMaxEpochs = 4L
+
+  /** Epoch UPsampling — the other half of temperature mixing: where
+    * `sourceTemperature` thins over-represented sources,
+    * `sourceUpsample` REPEATS under-represented ones toward the same
+    * √-damped share, materializing copy rows (doc_id, copy_id) a
+    * packing/export stage consumes — "epochs per source" made explicit,
+    * the way multilingual and code corpora are actually balanced.
+    * Epochs per source = min(cap, sqrt(max_n/n_s)) as a per-mille rate:
+    * every doc gets the integer part; the fractional part selects docs
+    * by the engine-portable hash (its own salt, decorrelated from the
+    * splitter and both samplers). The largest source keeps exactly one
+    * copy; no source exceeds `UpsampleMaxEpochs` copies.
+    *
+    * Oracle-exact by the floor-sqrt trick (see sourceTemperature) and
+    * pure integer copy logic; scale shape identical to the samplers:
+    * source-cardinality counts, 1-row max via keyless aggregate,
+    * broadcast rates, scan-local explode of at most cap copies.
+    */
+  def sourceUpsample(spark: SparkSession, dir: String): DataFrame =
+    sourceUpsampleOf(Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+
+  /** Frame-level sourceUpsample: any (doc_id, source) frame. */
+  def sourceUpsampleOf(docs: DataFrame): DataFrame = {
+    val counts = graft.Staging.staged(
+      docs.groupBy("source").agg(count(lit(1)).as("n_s")), "upsample_counts")
+    val rates = counts
+      .crossJoin(counts.agg(max(col("n_s")).as("max_n")))
+      .withColumn("epochs_pm",
+        least(
+          floor(sqrt(expr("max_n * 1000000 div n_s").cast("double"))).cast("long"),
+          lit(UpsampleMaxEpochs * 1000L)))
+      .select("source", "epochs_pm")
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("frac_bucket",
+        (((col("doc_id") % 1000003L) * 1315423911L + 824633720L) % 1000000007L % 1000L).cast("long"))
+      .withColumn("n_copies",
+        expr("epochs_pm div 1000") +
+          when(col("frac_bucket") < col("epochs_pm") % 1000L, 1L).otherwise(0L))
+      .select(
+        col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+
   /** Deterministic stratified downsampling: keep a per-stratum rate of
     * rows, selected by the same engine-portable multiplicative hash —
     * same row kept on every run, no RNG state, joinable against any

@@ -210,6 +210,35 @@ class ReferenceGapSpec extends SparkSpec {
       "temperature mix must be deterministic")
   }
 
+  test("source upsampling repeats small sources toward the sqrt share, capped, largest untouched") {
+    import spark.implicits._
+    // 20000:50 skew: target epochs for books = sqrt(20000/50) = 20,
+    // capped at UpsampleMaxEpochs; crawl (the largest) stays at 1 copy.
+    val docs = ((1L to 20000L).map(i => (i, "crawl")) ++ (1L to 50L).map(i => (100000L + i, "books")))
+      .toDF("doc_id", "source")
+    val up = graft.operators.Splits.sourceUpsampleOf(docs)
+    val copies = up.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(copies("crawl") == 20000,
+      s"largest source must keep exactly one copy per doc, got ${copies("crawl")}")
+    assert(copies("books") == 50 * graft.operators.Splits.UpsampleMaxEpochs,
+      s"books wants 20 epochs, cap is ${graft.operators.Splits.UpsampleMaxEpochs}, got ${copies("books")}")
+    // copy ids are dense per doc: 0..n_copies-1
+    val perDoc = up.groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_id").as("mx"))
+    assert(perDoc.filter(col("mx") =!= col("n") - 1).count() == 0, "copy ids must be dense from 0")
+    // a mild 300:100 skew exercises the FRACTIONAL path: sqrt(3) ≈ 1.732
+    // epochs → mean copies between the floor and ceil, not at either
+    val mild = ((1L to 300L).map(i => (i, "big")) ++ (1L to 100L).map(i => (10000L + i, "small")))
+      .toDF("doc_id", "source")
+    val mildUp = graft.operators.Splits.sourceUpsampleOf(mild)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mildUp("big") == 300)
+    assert(mildUp("small") > 100 && mildUp("small") < 200,
+      s"fractional epochs must land strictly between 1x and 2x, got ${mildUp("small")}")
+    // determinism
+    val again = graft.operators.Splits.sourceUpsampleOf(docs)
+    assert(up.exceptAll(again).count() == 0 && again.exceptAll(up).count() == 0)
+  }
+
   test("stats availability: counters are consistent subsets, zero for no-history players") {
     val a = SparkEntry.queries("q_stats_availability")(spark, sfDir)
     assert(a.count() == Tables.events(spark, sfDir).count(), "one availability row per event")

@@ -86,6 +86,32 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected hash/doc_id-keyed exchanges:\n$plan")
   }
 
+  test("calibratedQuality: calibration windows run on the bounded score frame, never the corpus") {
+    // The cum-sum window must be partitioned by source OVER THE
+    // (source, score4) COUNT frame — a window over corpus rows
+    // partitioned only by a handful of sources would funnel whole
+    // sources through single tasks at 100 TB.
+    // pre-execution plan: AQE's final rendering elides subtrees behind
+    // query-stage nodes, hiding the window from the string
+    val plan = SparkEntry.queries("q_quality_calibrate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(source"),
+      s"calibration window must partition by source:\n$plan")
+    // the window's input is the aggregated count frame, so the plan has
+    // an aggregate on (source, score4) feeding it
+    assert(plan.contains("score4"), s"score quantization missing:\n$plan")
+    // both calibration-side joins broadcast back to the doc stream
+    assert("BroadcastHashJoin|BroadcastExchange".r.findAllIn(plan).nonEmpty,
+      s"calibration tables must broadcast:\n$plan")
+  }
+
+  test("keepBest: the representative window partitions by cluster_id (bounded groups)") {
+    val plan = SparkEntry.queries("q_dedup_keep_best")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(cluster_id"),
+      s"keeper selection must window within clusters, not globally:\n$plan")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val path = Files.createTempDirectory("graft_prune").toString + "/events"
     ParquetSink.writePartitioned(
