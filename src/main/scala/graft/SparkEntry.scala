@@ -103,6 +103,7 @@ object SparkEntry {
     "q_quality_freqrank"    -> ((s, d) => graft.functions.QualityFilters.freqRankQuality(s, d)),
     "q_quality_bigramlm"    -> ((s, d) => graft.functions.QualityFilters.bigramLmQuality(s, d)),
     "q_quality_calibrate"   -> ((s, d) => graft.functions.QualityFilters.calibratedQuality(s, d)),
+    "q_quality_tiers"       -> ((s, d) => graft.functions.QualityFilters.scoreTiers(s, d)),
     "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d)),
     "q_html_extract"        -> ((s, d) => graft.functions.HtmlExtract.htmlExtract(s, d)),
@@ -1048,22 +1049,18 @@ object SparkEntry {
     // over the exact ×10000 score (floor(x*10000+0.5) is exact where a
     // bare double→int cast rounds DIFFERENTLY across engines)
     "q_quality_calibrate" ->
-      s"""WITH fr AS (
-         |$FreqRankSql
-         |), s AS (
-         |  SELECT f.doc_id, d.source, f.mean_rank,
-         |    CAST(floor(f.mean_rank * 10000 + 0.5) AS BIGINT) AS score4
-         |  FROM fr f JOIN documents d USING (doc_id)
-         |), c AS (
-         |  SELECT source, score4, count(*) AS cnt FROM s GROUP BY source, score4
-         |), cc AS (
-         |  SELECT source, score4, sum(cnt) OVER (PARTITION BY source ORDER BY score4
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c
-         |), t AS (
-         |  SELECT source, count(*) AS n_source FROM s GROUP BY source
-         |)
+      s"""WITH $CalibrateCtes
          |SELECT s.doc_id, s.source, s.mean_rank,
          |  (cc.cum * 1000 <= t.n_source * ${graft.functions.QualityFilters.CalibrateKeepPermille}) AS keep
+         |FROM s JOIN cc USING (source, score4) JOIN t USING (source)
+         |ORDER BY s.doc_id""".stripMargin,
+    // same per-source empirical CDF, banded into thirds instead of gated
+    "q_quality_tiers" ->
+      s"""WITH $CalibrateCtes
+         |SELECT s.doc_id, s.source, s.mean_rank,
+         |  CASE WHEN cc.cum * 3 <= t.n_source THEN 'head'
+         |       WHEN cc.cum * 3 <= t.n_source * 2 THEN 'middle'
+         |       ELSE 'tail' END AS tier
          |FROM s JOIN cc USING (source, score4) JOIN t USING (source)
          |ORDER BY s.doc_id""".stripMargin,
     // same exactness scheme as q_quality_freqrank: integer dense-ranks,
@@ -1182,6 +1179,26 @@ object SparkEntry {
            |ORDER BY b.doc_id""".stripMargin
 
   private lazy val QualityGopherSql = qualityGopherSqlOver("documents")
+
+  /** Shared calibration CTEs: freq-rank scores joined to source, the
+    * exact ×10000 integer score, per-(source, score4) cumulative counts
+    * (the empirical CDF), and source totals.
+    */
+  private lazy val CalibrateCtes =
+    s"""fr AS (
+       |$FreqRankSql
+       |), s AS (
+       |  SELECT f.doc_id, d.source, f.mean_rank,
+       |    CAST(floor(f.mean_rank * 10000 + 0.5) AS BIGINT) AS score4
+       |  FROM fr f JOIN documents d USING (doc_id)
+       |), c AS (
+       |  SELECT source, score4, count(*) AS cnt FROM s GROUP BY source, score4
+       |), cc AS (
+       |  SELECT source, score4, sum(cnt) OVER (PARTITION BY source ORDER BY score4
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c
+       |), t AS (
+       |  SELECT source, count(*) AS n_source FROM s GROUP BY source
+       |)""".stripMargin
 
   private lazy val FreqRankSql =
     s"""WITH tk AS (

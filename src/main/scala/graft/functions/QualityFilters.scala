@@ -373,7 +373,34 @@ object QualityFilters {
     * freq-rank vocab join. Adding a source never moves another
     * source's threshold.
     */
-  def calibratedQuality(spark: SparkSession, dir: String): DataFrame = {
+  def calibratedQuality(spark: SparkSession, dir: String): DataFrame =
+    calibratedFrame(spark, dir)
+      .select(
+        col("doc_id"), col("source"), col("mean_rank"),
+        (col("cum") * 1000L <= col("n_source") * CalibrateKeepPermille).as("keep"))
+      .orderBy("doc_id")
+
+  /** #32p CCNet-style score TIERS: partition every source into
+    * head/middle/tail thirds by the same per-source quantile machinery
+    * calibratedQuality gates with — the artifact CCNet actually
+    * publishes (downstream training picks head+middle, or weights
+    * tiers). Same integer band logic: tier boundaries at 1/3 and 2/3
+    * of the source, tie groups land in one tier together.
+    */
+  def scoreTiers(spark: SparkSession, dir: String): DataFrame =
+    calibratedFrame(spark, dir)
+      .select(
+        col("doc_id"), col("source"), col("mean_rank"),
+        when(col("cum") * 3L <= col("n_source"), lit("head"))
+          .when(col("cum") * 3L <= col("n_source") * 2L, lit("middle"))
+          .otherwise(lit("tail")).as("tier"))
+      .orderBy("doc_id")
+
+  /** Shared calibration machinery: every doc with its source, score,
+    * cumulative count through its score tie-group, and source total —
+    * the per-source empirical CDF in exact integers.
+    */
+  private def calibratedFrame(spark: SparkSession, dir: String): DataFrame = {
     val scored = graft.Staging.staged(
       freqRankQuality(spark, dir)
         .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
@@ -393,9 +420,5 @@ object QualityFilters {
     scored
       .join(broadcast(calib.select("source", "score4", "cum")), Seq("source", "score4"))
       .join(broadcast(totals), "source")
-      .select(
-        col("doc_id"), col("source"), col("mean_rank"),
-        (col("cum") * 1000L <= col("n_source") * CalibrateKeepPermille).as("keep"))
-      .orderBy("doc_id")
   }
 }

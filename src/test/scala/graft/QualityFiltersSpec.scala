@@ -311,4 +311,28 @@ class QualityFiltersSpec extends SparkSpec {
       g.filter(_._4).map(_._3).maxOption.getOrElse(-1.0)).values.toSet
     assert(thresholds.size > 1, "all sources calibrated to one threshold — vacuous")
   }
+
+  test("scoreTiers partitions every source into ordered thirds, ties share a tier") {
+    import org.apache.spark.sql.functions._
+    val rows = QualityFilters.scoreTiers(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    assert(rows.map(_._4).toSet == Set("head", "middle", "tail"),
+      "all three tiers must be populated on this corpus")
+    for ((src, grp) <- rows.groupBy(_._2)) {
+      val n = grp.length
+      // tiers are ordered by score: every head score ≤ every middle ≤ every tail
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail").sliding(2)) {
+        val loMax = grp.filter(_._4 == lo).map(_._3).maxOption.getOrElse(Double.MinValue)
+        val hiMin = grp.filter(_._4 == hi).map(_._3).minOption.getOrElse(Double.MaxValue)
+        assert(loMax <= hiMin, s"$src: $lo max $loMax above $hi min $hiMin")
+      }
+      // thirds up to tie-group granularity
+      val headN = grp.count(_._4 == "head")
+      assert(headN <= n / 3 + 1e-9, s"$src head oversized: $headN of $n")
+      // equal scores never straddle tiers
+      for ((_, tieGrp) <- grp.groupBy(_._3))
+        assert(tieGrp.map(_._4).toSet.size == 1, s"$src: a tie group straddles tiers")
+    }
+  }
 }
