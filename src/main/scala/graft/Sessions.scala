@@ -27,6 +27,7 @@ object GraftSession {
         graft.functions.DotProductExpr.register(ext)
         graft.functions.MinHashExpr.register(ext)
         graft.functions.BpeExpr.register(ext)
+        graft.functions.BloomExpr.register(ext)
         ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
       }
       .config("spark.sql.shuffle.partitions", cores.toString)

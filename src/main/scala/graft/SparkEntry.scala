@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_keep_best"    -> ((s, d) => graft.dedup.Clusters.keepBest(s, d)),
     "q_substr_dedup"       -> ((s, d) => graft.dedup.SubstrDedup.substrDedup(s, d)),
     "q_decontaminate"      -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_doc_repetition"     -> ((s, d) => TextFunctions.docRepetition(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
     "q_embed_neardup_lsh"  -> ((s, d) => LshAnn.neardupPairs(s, d)),
@@ -186,6 +187,32 @@ object SparkEntry {
       |  UNION
       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src
       |)""".stripMargin
+
+  /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom
+    * pre-filter has no false negatives and exact-confirms candidates, so
+    * both queries have the SAME exact output.
+    */
+  private val DecontamSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), s AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) - 6)) AS i, tk FROM t WHERE len(tk) >= 8
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i : i + 7], ' ') AS sg FROM s
+      |), ev AS (
+      |  SELECT DISTINCT sg FROM sh WHERE doc_id % 20 = 0
+      |), hits AS (
+      |  SELECT sh.doc_id, count(*) AS n_overlap
+      |  FROM sh JOIN ev USING (sg)
+      |  WHERE sh.doc_id % 20 != 0
+      |  GROUP BY sh.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  coalesce(h.n_overlap, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 20 != 0
+      |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column aliases, same rounding,
     * same deterministic ORDER BY).
@@ -643,27 +670,11 @@ object SparkEntry {
         |       WHEN ((cluster_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM cl ORDER BY doc_id""".stripMargin,
-    "q_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |), s AS (
-        |  SELECT doc_id, unnest(range(1, len(tk) - 6)) AS i, tk FROM t WHERE len(tk) >= 8
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(tk[i : i + 7], ' ') AS sg FROM s
-        |), ev AS (
-        |  SELECT DISTINCT sg FROM sh WHERE doc_id % 20 = 0
-        |), hits AS (
-        |  SELECT sh.doc_id, count(*) AS n_overlap
-        |  FROM sh JOIN ev USING (sg)
-        |  WHERE sh.doc_id % 20 != 0
-        |  GROUP BY sh.doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |  coalesce(h.n_overlap, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 20 != 0
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_decontaminate" -> DecontamSql,
+    // the bloom pre-filter has no false negatives and candidates are
+    // exact-confirmed, so the OUTPUT is identical to plain decontaminate
+    // — the oracle is literally shared
+    "q_decontaminate_bloom" -> DecontamSql,
     "q_doc_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

@@ -334,6 +334,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom sizing for decontaminateBloom: capacity in SHINGLES. Eval
+    * suites are fixed benchmark sets, bounded by construction (they do
+    * not grow with the corpus); 2^20 shingles at the default 3% fpp is
+    * ~7.3M bits ≈ 0.9 MB, far under the engine's 8 MB bloom clamp. An
+    * overfull bloom only raises fpp — the exact confirm join keeps the
+    * OUTPUT exact regardless, so sizing is a performance knob, never a
+    * correctness one.
+    */
+  val BloomCapacity = 1L << 20
+
+  /** Decontamination with a bloom pre-filter: same output as
+    * `decontaminate` (the oracle is literally shared), but the corpus
+    * side never shuffles unless it MIGHT overlap the eval set.
+    *
+    * The plain decontaminate shuffles every corpus shingle into the
+    * semi-join against eval shingles — at 100 TB that is a full-corpus
+    * shuffle to discover that ~99% of documents were never contaminated.
+    * Here the eval shingle set aggregates into one bounded bloom sketch
+    * (Spark's own BloomFilterAggregate, ≤ 8 MB by engine clamp), which
+    * probes scan-side inside whole-stage codegen: clean shingles die AT
+    * THE SCAN, and only the might-contain survivors (true overlaps +
+    * ~3% false positives) pay the exact-confirm shuffle join. No false
+    * negatives, so restricting the join input loses nothing; the
+    * confirm join removes false positives, so the result is exact.
+    *
+    * The sketch crosses the plan as a one-row driver value embedded as
+    * a literal — bounded at 8 MB by the engine's own numBits clamp, the
+    * same capped-driver-fetch contract as BpeTrain's lexicon and
+    * ParquetSink's partition list.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloomOf(Tables.documents(spark, dir))
+
+  private[graft] def decontaminateBloomOf(docs: DataFrame): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(20)) === 0
+    val sh = staged(
+      shingles(docs, DecontamN).select(col("doc_id"), xxhash64(col("sg")).as("sg")),
+      "decontam_sh")
+    val evalSh = sh.filter(isEval).select("sg").distinct()
+    val bloom = evalSh
+      .agg(call_function("graft_bloom_agg", col("sg"), lit(BloomCapacity)).as("bloom"))
+      .head()
+      .getAs[Array[Byte]]("bloom")
+    // An empty eval set aggregates to a NULL sketch: nothing can be
+    // contaminated, so the candidate set is empty by definition.
+    val corpusSh = sh.filter(!isEval)
+    val candidates =
+      if (bloom == null) corpusSh.limit(0)
+      else corpusSh.filter(call_function("graft_might_contain", lit(bloom), col("sg")))
+    val hits = candidates
+      .join(evalSh, "sg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    docs
+      .filter(!isEval)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The incremental batch slice: doc_id % 10 == 7 stands in for
     * "today's ingest" (production passes the real new-arrivals frame).
     */

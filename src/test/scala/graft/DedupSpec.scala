@@ -101,6 +101,43 @@ class DedupSpec extends SparkSpec {
     assert(out(24L) == (0L, false), "short docs carry no 8-gram")
   }
 
+  test("bloom decontamination output is IDENTICAL to exact decontamination") {
+    import spark.implicits._
+    // Same fixture as the exact test: the bloom path must reproduce it
+    // bit-for-bit (no false negatives from the sketch, false positives
+    // removed by the confirm join).
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (21L, "x y a b c d e f g h"),
+      (22L, "a b c d e f g X i j"),
+      (23L, "entirely different words with no overlap at all here ok"),
+      (24L, "a b c")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminateOf(docs).collect().toSeq
+    val bloom = Dedup.decontaminateBloomOf(docs).collect().toSeq
+    assert(bloom == exact, s"bloom path diverged: $bloom vs $exact")
+    // ...and on the real corpus, where near-dups stress the sketch.
+    val exactC = SparkEntry.queries("q_decontaminate")(spark, sfDir).collect().toSeq
+    val bloomC = SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir).collect().toSeq
+    assert(bloomC == exactC, "bloom path diverged on the sf corpus")
+  }
+
+  test("bloom pre-filter probes at the scan and prunes the confirm-join input") {
+    val docs = Tables.documents(spark, sfDir)
+    val q = Dedup.decontaminateBloomOf(docs)
+    // The membership probe must sit in the plan (scan-side filter)…
+    assert(q.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom probe missing from the physical plan")
+    // …and an empty eval set must yield an all-clean result, not a crash
+    // (NULL sketch edge: BloomFilterAggregate over zero rows).
+    import spark.implicits._
+    val noEval = Seq((1L, "a b c d e f g h i j"), (3L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateBloomOf(noEval).collect()
+    assert(out.length == 2 && out.forall(r => !r.getBoolean(2)),
+      "empty eval set must mark every doc clean")
+  }
+
   test("substrDedup removes exactly cross-doc repeated spans; unique and intra-doc-only text survives") {
     import spark.implicits._
     // 10 shared tokens > W=8: the repeated-window union must cover the
