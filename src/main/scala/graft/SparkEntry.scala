@@ -54,6 +54,7 @@ object SparkEntry {
     "q_source_mix"      -> (Splits.sourceMix _),
     "q_source_temperature" -> (Splits.sourceTemperature _),
     "q_source_upsample"    -> (Splits.sourceUpsample _),
+    "q_token_budget_mix"   -> (Splits.tokenBudgetMix _),
     "q_stratified_sample" -> (Splits.stratifiedSample _),
     "q_distinct_agg_approx" -> (Relational.distinctAggApprox _),
     "q_json_props"      -> (Relational.jsonProps _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q_embed_quantize"     -> ((s, d) => graft.similarity.Quantize.quantizeStats(s, d)),
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
+    "q_ann_ivfpq"          -> ((s, d) => graft.similarity.IvfPq.ivfPqTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
     "q_token_count_bpe"    -> ((s, d) => TextFunctions.tokenCountBpe(s, d)),
     "q_text_quality"       -> ((s, d) => TextFunctions.textQuality(s, d)),
@@ -86,6 +88,7 @@ object SparkEntry {
     "q_doc_chunk"          -> ((s, d) => TextFunctions.docChunk(s, d)),
     "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "q_tfidf_search"       -> ((s, d) => TextFunctions.tfidfSearch(s, d)),
+    "q_bm25_search"        -> ((s, d) => TextFunctions.bm25Search(s, d)),
     "q_session_stats"      -> (Sessionize.sessionStats _),
     "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d)),
     "q_scd_history"         -> ((s, d) => graft.sources.ScdHistory.scdHistory(s, d)),
@@ -576,6 +579,36 @@ object SparkEntry {
          |)
          |SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_id
          |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+    // token-budget mixing: sqrt-damped budgets over per-source TOKEN
+    // totals (floor-sqrt exactness trick), keep ⇔ strictly-before
+    // cumulative tokens fit the budget, within-source order = the
+    // squared-multiplier shuffle key (its own salt)
+    "q_token_budget_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         |    ((doc_id % 1000003) * ${(1315423911L + 2 * graft.operators.Splits.TokenBudgetSalt) % 1000000007L}) % 1000000007 AS k1
+         |  FROM documents
+         |), dk AS (
+         |  SELECT doc_id, source, n_tokens, (k1 * k1) % 1000000007 AS k FROM d
+         |), t AS (
+         |  SELECT source, sum(n_tokens) AS t_s FROM dk GROUP BY source
+         |), m AS (
+         |  SELECT min(t_s) AS min_t FROM t
+         |), b AS (
+         |  SELECT source,
+         |    greatest(t_s * greatest(CAST(floor(sqrt(CAST((min_t * 1000000) // t_s AS DOUBLE))) AS BIGINT), 1) // 1000, 1) AS budget
+         |  FROM t, m
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM dk
+         |)
+         |SELECT c.doc_id, c.source, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(c.cum_before AS BIGINT) AS cum_before
+         |FROM c JOIN b USING (source)
+         |WHERE c.cum_before < b.budget
+         |ORDER BY c.doc_id""".stripMargin,
     "q_seq_pack" -> SeqPackSql,
     // boundaries ride the same layout: embed the seq-pack derivation as
     // a subquery and aggregate per pack (aligned primitive lists, both
@@ -811,6 +844,36 @@ object SparkEntry {
            |SELECT tf.doc_id, CAST(sum(tf.tf * idf.idf4) AS DOUBLE) / 10000.0 AS score
            |FROM tf JOIN idf USING (tok)
            |GROUP BY tf.doc_id
+           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // BM25 with k1=6/5, b=3/4 and exact-rational avgdl=T/N: per-term
+    // score collapses to ONE int64/int64 division (IEEE-identical both
+    // engines), floor(q+0.5)-quantized to 4dp so doc totals are exact
+    // integer sums in any partition order
+    "q_bm25_search" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+           |), tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+           |), dl AS (
+           |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+           |), totals AS (
+           |  SELECT count(*) AS n_docs, sum(dl) AS t_tok FROM dl
+           |), dfreq AS (
+           |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+           |), q AS (
+           |  SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 3
+           |), idf AS (
+           |  SELECT tok, CAST(floor((n_docs - df + 0.5) / (df + 0.5) * 10000 + 0.5) AS BIGINT) AS idf4
+           |  FROM q, totals
+           |), s AS (
+           |  SELECT tf.doc_id,
+           |    CAST(floor(CAST(idf.idf4 * 22 * tf.tf * t.t_tok AS DOUBLE)
+           |      / CAST(10 * tf.tf * t.t_tok + 3 * t.t_tok + 9 * dl.dl * t.n_docs AS DOUBLE)
+           |      + 0.5) AS BIGINT) AS score4
+           |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), totals t
+           |)
+           |SELECT doc_id, CAST(sum(score4) AS DOUBLE) / 10000.0 AS score
+           |FROM s GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "q_session_stats" ->
       """WITH g AS (

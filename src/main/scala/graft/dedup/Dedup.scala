@@ -186,8 +186,14 @@ object Dedup {
     * paths derive signatures from; their spec-pinned parity depends on
     * this staying single-sourced.
     */
-  private[graft] val ShingleArraySql: String =
-    "array_distinct(transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3)))))"
+  /** n parameterized; callers must pre-filter (or guard) size(toks) >= n
+    * — Spark's `sequence` DESCENDS when stop < start, so an unguarded
+    * short doc would produce negative-index garbage, not an empty array.
+    */
+  private[graft] def shingleArraySql(n: Int): String =
+    s"array_distinct(transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n)))))"
+
+  private[graft] val ShingleArraySql: String = shingleArraySql(3)
 
   /** LSH band-key struct columns over a `sig` array column — shared by
     * the batch and streaming paths for the same reason.
@@ -396,6 +402,57 @@ object Dedup {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  /** Eval-side decontamination index: the distinct hashed eval shingles
+    * and their bloom sketch — built ONCE from the static benchmark set
+    * (eval suites don't grow with the corpus) and shipped to every
+    * consumer: `decontaminateBloomOf` derives the same pair inline;
+    * the streaming ingest gate takes them as parameters because a
+    * stream must not rebuild an index per micro-batch.
+    */
+  private[graft] def evalDecontamIndex(evalDocs: DataFrame): (Array[Byte], DataFrame) = {
+    val evalSh = shingles(evalDocs, DecontamN)
+      .select(xxhash64(col("sg")).as("sg")).distinct()
+    val bloom = evalSh
+      .agg(call_function("graft_bloom_agg", col("sg"), lit(BloomCapacity)).as("bloom"))
+      .head()
+      .getAs[Array[Byte]]("bloom")
+    (bloom, evalSh)
+  }
+
+  /** Ingest-time decontamination gate: drop documents sharing an 8-gram
+    * with the eval set, exactly — the micro-batch transform a streaming
+    * ingest runs inside `foreachBatch` BEFORE dedup state (the cheapest
+    * place to stop eval contamination is the front door; see
+    * `StreamLshDedup`). Same bloom-prune + exact-confirm shape as
+    * `decontaminateBloomOf`, restructured for a batch that arrives
+    * already small: a per-row short-circuit `exists` probe marks
+    * suspects scan-side (no shingle explode for the ~99% clean), and
+    * only suspects pay the explode + broadcast confirm join against the
+    * static eval shingles. No false negatives from the sketch + exact
+    * confirm ⇒ output equals filtering on `decontaminateOf` verdicts.
+    */
+  private[graft] def ingestDecontamGate(
+      batch: DataFrame, bloom: Array[Byte], evalSh: DataFrame): DataFrame = {
+    if (bloom == null) return batch
+    val n = DecontamN
+    val probed = batch
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh",
+        when(size(col("toks")) >= n, expr(shingleArraySql(n)))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .withColumn("suspect",
+        exists(col("sh"), s => call_function("graft_might_contain", lit(bloom), s)))
+    val clean = probed.filter(!col("suspect"))
+    val suspects = probed.filter(col("suspect"))
+    val contaminated = suspects
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(evalSh.withColumnRenamed("sg", "s")), "s")
+      .select("doc_id").distinct()
+    clean
+      .unionByName(suspects.join(contaminated, Seq("doc_id"), "left_anti"))
+      .drop("toks", "sh", "suspect")
   }
 
   /** The incremental batch slice: doc_id % 10 == 7 stands in for

@@ -111,6 +111,56 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** BM25 ranking (#32q): tf-idf's exact-integer machinery upgraded
+    * with the BM25 tf-saturation term — the scoring function retrieval
+    * stacks actually run (a 10×-repeated term is not 10× as relevant,
+    * and long documents stop winning on raw term count). k1 = 1.2,
+    * b = 0.75 (the standard constants), idf = the repo's linearized
+    * rational (see tfidfSearch — ln differs across libms).
+    *
+    * Oracle-exact: with k1 = 6/5, b = 3/4 and avgdl = T/N kept as the
+    * exact rational, the per-term score reduces to ONE division of two
+    * int64 products —
+    *   score = idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl·N/T))
+    *         = idf4 · 22·tf·T / (10·tf·T + 3·T + 9·dl·N) / 10⁴
+    * — both operands exact as doubles (< 2^53 through sf0.1; the
+    * ×10⁴-integer formulation is the gate-scale oracle form — at true
+    * corpus scale scoring is float like every BM25 engine), the IEEE
+    * quotient is correctly rounded identically in both engines, and
+    * floor(q + 0.5) quantizes each term to a long so per-doc totals are
+    * exact integer sums regardless of partition order. Same staged-tf /
+    * broadcast shape as tfidfSearch: the corpus pays one tokenize; dl
+    * and df both derive from the staged tf frame.
+    */
+  def bm25Search(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = graft.Staging.staged(
+      tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), "bm25_tf")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val totals = tf.agg(count_distinct(col("doc_id")).as("n_docs"), sum("tf").as("t_tok"))
+    val queryToks = dfreq.orderBy(col("df").desc, col("tok").asc).limit(3)
+    val idf = queryToks
+      .join(broadcast(totals))
+      .withColumn("idf4",
+        floor((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) * 10000 + 0.5).cast("long"))
+      .select("tok", "idf4")
+    tf.join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(totals))
+      .withColumn("score4",
+        floor(
+          (col("idf4") * 22L * col("tf") * col("t_tok")).cast("double")
+            / (lit(10L) * col("tf") * col("t_tok") + lit(3L) * col("t_tok")
+                + lit(9L) * col("dl") * col("n_docs")).cast("double")
+            + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg((sum(col("score4")).cast("double") / lit(10000.0)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** #29c real tokenization: apply the published BPE merge table and
     * emit token-ID arrays (graft_bpe, a scan-local codegen Expression)
     * — the computation q_token_count/q_token_count_bpe only estimate.

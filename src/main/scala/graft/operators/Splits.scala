@@ -204,4 +204,74 @@ object Splits {
       .filter(col("bucket") < col("rate"))
       .select("event_id", "user_id", "event_type", "bucket")
       .orderBy("event_id")
+
+  /** Salt for the token-budget sampler's within-source selection order —
+    * a `SeqPack.shuffleKey` multiplier salt (squared multiplicative
+    * hash), structurally independent of the additive salts the other
+    * samplers use.
+    */
+  val TokenBudgetSalt = 40692L
+
+  /** Token-budget mixture sampling (the unit that actually matters):
+    * every sampler above balances sources by DOCUMENT counts, but a
+    * training run buys compute in TOKENS — a source of long documents
+    * is over-represented at equal doc counts. Here each source gets a
+    * sqrt-damped TOKEN budget (same α=1/2 derivation as
+    * `sourceTemperature`, applied to per-source token totals:
+    * budget_s = T_s·rate_pm/1000 ≈ √(T_min·T_s)) and keeps documents in
+    * its deterministic shuffle order until the budget is exhausted —
+    * keep ⇔ the tokens strictly BEFORE the doc fit the budget, so the
+    * straddling doc is kept (budgets are targets, not hard ceilings;
+    * the min-1 floor keeps every source's first doc).
+    *
+    * Scale shape: per-source token totals are a source-cardinality
+    * aggregate; rates broadcast back; the within-source cumulative sum
+    * NEVER runs a corpus-scale window — the shuffle-key range splits
+    * into `SeqPack.ShuffleBuckets` slices (bucket monotone in key),
+    * per-(source, bucket) running sums cover bounded partitions, and
+    * the only cross-bucket window runs on the sources×1024 bucket-total
+    * frame (seqPack's two-level prefix sum, keyed by source).
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixOf(
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens")))
+
+  /** Frame-level tokenBudgetMix: any (doc_id, source, n_tokens) frame. */
+  def tokenBudgetMixOf(docs: DataFrame): DataFrame = {
+    import graft.operators.SeqPack.{shuffleBlk, shuffleKey}
+    val blocked = graft.Staging.staged(
+      docs
+        .withColumn("k", shuffleKey(col("doc_id"), TokenBudgetSalt))
+        .withColumn("blk", shuffleBlk(col("k"))),
+      "token_budget_blocks")
+    val totals = graft.Staging.staged(
+      blocked.groupBy("source").agg(sum("n_tokens").as("t_s")), "token_budget_totals")
+    val budgets = totals
+      .crossJoin(totals.agg(min(col("t_s")).as("min_t")))
+      .withColumn("rate_pm",
+        greatest(floor(sqrt(expr("min_t * 1000000 div t_s").cast("double"))).cast("long"), lit(1L)))
+      .withColumn("budget", greatest(expr("t_s * rate_pm div 1000"), lit(1L)))
+      .select("source", "budget")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "blk").orderBy("k", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = blocked.withColumn("local_cum", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("blk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val blkOff = blocked
+      .groupBy("source", "blk")
+      .agg(sum("n_tokens").as("blk_total"))
+      .withColumn("blk_off", coalesce(sum("blk_total").over(wBlk), lit(0L)))
+      .select("source", "blk", "blk_off")
+    local
+      .join(blkOff, Seq("source", "blk"))
+      .withColumn("cum_before", col("blk_off") + col("local_cum"))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_before") < col("budget"))
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .orderBy("doc_id")
+  }
 }

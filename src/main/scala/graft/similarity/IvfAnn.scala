@@ -90,6 +90,36 @@ object IvfAnn {
   private def index(spark: SparkSession, dir: String): (DataFrame, KMeansModel) =
     indexOf(Knn.vectors(spark, dir))
 
+  /** Probed (query, cell) pairs for a query-side frame: rank every
+    * coarse centroid per query, keep the nprobe nearest. Centroids enter
+    * as DATA (a broadcast k-row frame), not as k literal expression
+    * nodes — the plan stays O(1) in k, codegen never sees a 4096-way
+    * expression tree, and plan serialization doesn't ship centroids per
+    * task. Euclidean ranking on UNIT vectors equals cosine ranking:
+    * dist²(u, c) = 1 - 2·u·c + ‖c‖², so cells rank by ‖c‖² - 2·u·c. The
+    * query×centroid pairing is a broadcast nested-loop with bounded ×k
+    * fanout (the one shape where that node is right: every query must
+    * score every coarse cell), then a per-query window keeps the nprobe
+    * best. Keeps `u` so PQ callers can derive their lookup tables from
+    * the same frame; extra query-side columns pass through untouched.
+    */
+  private[graft] def probeCells(
+      spark: SparkSession, queries: DataFrame, model: KMeansModel): DataFrame = {
+    import spark.implicits._
+    val nProbes = numProbesFor(model.getK)
+    val centroidsDf = model.clusterCenters.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
+    val wCell = Window.partitionBy("q_id").orderBy(col("score").asc, col("cell").asc)
+    queries
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("score", col("cnorm2") - lit(2d) * expr("graft_dot(u, centroid)"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nProbes)
+      .drop("centroid", "cnorm2", "score", "crn")
+  }
+
   /** Top-k approximate neighbors for the same query set as
     * Knn.bruteTopK (recall directly measurable).
     */
@@ -98,29 +128,11 @@ object IvfAnn {
     val assigned = model
       .transform(v)
       .select(col("vec_id"), col("e"), col("norm"), col("cell"))
-    val nProbes = numProbesFor(model.getK)
-    // Query side: centroids enter as DATA (a broadcast k-row frame), not
-    // as k literal expression nodes — the plan stays O(1) in k, codegen
-    // never sees a 4096-way expression tree, and plan serialization
-    // doesn't ship centroids per task. Euclidean ranking on UNIT vectors
-    // equals cosine ranking: dist²(u, c) = 1 - 2·u·c + ‖c‖², so cells
-    // rank by ‖c‖² - 2·u·c. The query×centroid pairing is a broadcast
-    // nested-loop with bounded ×k fanout (the one shape where that node
-    // is right: every query must score every coarse cell), then a
-    // per-query window keeps the nprobe best.
-    import spark.implicits._
-    val centroidsDf = model.clusterCenters.zipWithIndex
-      .map { case (c, j) => (j, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
-    val wCell = Window.partitionBy("q_id").orderBy(col("score").asc, col("cell").asc)
-    val probes = v
-      .filter(col("vec_id") < Knn.NumQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u"))
-      .crossJoin(broadcast(centroidsDf))
-      .withColumn("score", col("cnorm2") - lit(2d) * expr("graft_dot(u, centroid)"))
-      .withColumn("crn", row_number().over(wCell))
-      .filter(col("crn") <= nProbes)
+    val probes = probeCells(
+      spark,
+      v.filter(col("vec_id") < Knn.NumQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u")),
+      model)
       .select("q_id", "qe", "qn", "cell")
     val scored = probes
       .join(assigned.toDF("nbr_id", "ce", "cn", "cell2"),

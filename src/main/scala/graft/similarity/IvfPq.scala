@@ -1,0 +1,169 @@
+package graft.similarity
+
+import graft.Num
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF-PQ approximate nearest neighbors: the coarse IVF quantizer from
+  * `IvfAnn` plus per-subspace product-quantization codebooks (Jégou
+  * et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011) — the index family that makes a 100 TB vector corpus
+  * SEARCHABLE IN MEMORY. IVF-Flat prunes which vectors are scored but
+  * still reads full float vectors for every probed candidate; at scale
+  * the scan of probed cells is bandwidth-bound on d·4 bytes per row. PQ
+  * replaces the stored vector with m one-byte codes (64-dim float32 →
+  * 8 bytes, 32×), and asymmetric-distance scoring (ADC) replaces the
+  * d-multiply dot product with m table lookups per candidate.
+  *
+  * Index build: unit vectors are split into m contiguous subspaces of
+  * dim d/m; each subspace gets its own k-means codebook (k_pq derived
+  * from corpus size like IVF's cell count, clamped to 256 so a code
+  * always fits ONE BYTE — the storage contract that gives PQ its
+  * compression). Codebooks train on the same hash-ordered capped sample
+  * contract as the coarse quantizer (cost grows with √n, not n), and
+  * encoding is m chained per-row model predictions — scan-local, no
+  * shuffle beyond the one assignment pass IVF already pays.
+  *
+  * Query (ADC + exact rerank): per query, ONE lookup table of
+  * m·k_pq partial dot products is computed scan-side from the flat
+  * codebook (a single bounded literal — m·256·(d/m) doubles ≤ 128 KB,
+  * one Literal node like decontaminateBloom's sketch, NOT k expression
+  * nodes). Candidates in probed cells score as Σ_j lut[j·k_pq +
+  * code_j] — m array lookups, never touching candidate floats. The ADC
+  * top `RerankDepth` per query then pay an exact cosine rerank (the
+  * standard PQ + rerank pipeline: PQ selects, floats re-order), so the
+  * emitted `cos` is exact for whatever the index surfaced and recall
+  * is directly measurable against `Knn.bruteTopK`.
+  *
+  * PQ here encodes unit vectors directly rather than cell residuals —
+  * one codebook set shared across cells (residual PQ needs per-query
+  * per-cell tables: nprobe× the LUT work). The recall trade is absorbed
+  * by the exact rerank stage; the spec pins the floor.
+  */
+object IvfPq {
+
+  /** Subspace count: 8 one-byte codes per vector. Chosen to divide the
+    * corpus dim (64 → 8-dim subspaces); `subspacesFor` degrades to the
+    * largest divisor ≤ 8 for other dims rather than failing.
+    */
+  val NumSubspaces = 8
+
+  /** One byte per code — exceeding 256 would silently double storage. */
+  val MaxCodes = 256
+  val MinCodes = 4
+
+  /** ADC candidates per query that pay the exact float rerank. */
+  val RerankDepth: Int = 4 * Knn.TopK
+
+  private[graft] def subspacesFor(d: Int): Int =
+    (NumSubspaces to 1 by -1).find(m => d % m == 0).getOrElse(1)
+
+  /** k_pq ≈ √n like the IVF cell derivation (quantizer-training
+    * feasibility at the top, k ≤ points at the bottom).
+    */
+  private[graft] def numCodesFor(n: Long): Int = {
+    val root = math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt
+    math.min(math.max(root, MinCodes), MaxCodes).min(math.max(n, 1L).min(Int.MaxValue).toInt)
+  }
+
+  /** Shared build: the coarse IVF index plus m per-subspace codebooks.
+    * Returns the staged vector frame, the coarse model, and the
+    * subspace models (codebook j covers u[j·dsub, (j+1)·dsub)).
+    */
+  private[graft] def indexOf(vectors: DataFrame): (DataFrame, KMeansModel, Array[KMeansModel], Int) = {
+    val (v, coarse) = IvfAnn.indexOf(vectors)
+    val d = v.select(size(col("u"))).head().getInt(0)
+    val m = subspacesFor(d)
+    val dsub = d / m
+    val kPq = numCodesFor(v.count())
+    val train = v
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(IvfAnn.trainCapFor(coarse.getK))
+      .coalesce(1)
+    val withSubs = (0 until m).foldLeft(train) { (df, j) =>
+      df.withColumn(s"fv$j", array_to_vector(expr(s"slice(u, ${j * dsub + 1}, $dsub)")))
+    }
+    val models = (0 until m).map { j =>
+      new KMeans()
+        .setK(kPq).setSeed(42 + j).setMaxIter(10)
+        .setFeaturesCol(s"fv$j").setPredictionCol(s"code$j")
+        .fit(withSubs)
+    }.toArray
+    (v, coarse, models, dsub)
+  }
+
+  /** Corpus encoding: (vec_id, e, norm, cell, codes) with codes an
+    * m-length array of ints in [0, k_pq) — the 8-byte searchable
+    * representation. m+1 chained per-row model predictions, no extra
+    * shuffle.
+    */
+  private[graft] def encodedOf(
+      v: DataFrame, coarse: KMeansModel, models: Array[KMeansModel], dsub: Int): DataFrame = {
+    val m = models.length
+    val withSubs = (0 until m).foldLeft(v) { (df, j) =>
+      df.withColumn(s"fv$j", array_to_vector(expr(s"slice(u, ${j * dsub + 1}, $dsub)")))
+    }
+    val coded = models.foldLeft(coarse.transform(withSubs))((df, mj) => mj.transform(df))
+    coded.select(
+      col("vec_id"), col("e"), col("norm"), col("cell"),
+      array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+  }
+
+  /** Top-k approximate neighbors, ADC-selected and exactly reranked —
+    * same query set and output shape as `Knn.bruteTopK` / `IvfAnn
+    * .ivfTopK`, so recall is directly comparable across the family.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (v, coarse, models, dsub) = indexOf(Knn.vectors(spark, dir))
+    val m = models.length
+    val kPq = models.head.getK
+    val encoded = encodedOf(v, coarse, models, dsub)
+    // Flat codebook literal: cb[(j·k_pq + c)·dsub + t] = element t of
+    // centroid c of subspace j. ONE bounded array literal (≤ 128 KB).
+    val flatCb: Array[Double] =
+      models.flatMap(_.clusterCenters.flatMap(_.toArray))
+    // Per-query LUT: lut[j·k_pq + c] = u_sub_j · cb_j[c]. Computed once
+    // per QUERY row (before the cell fanout), scan-local.
+    val lutExpr =
+      s"""transform(sequence(0, ${m * kPq - 1}), i ->
+         |  aggregate(sequence(0, ${dsub - 1}), cast(0.0 as double),
+         |    (acc, t) -> acc + u[(i div $kPq) * $dsub + t] * cb[i * $dsub + t]))""".stripMargin
+    val queries = v
+      .filter(col("vec_id") < Knn.NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u"))
+      .withColumn("cb", typedLit(flatCb))
+      .withColumn("lut", expr(lutExpr))
+      .drop("cb")
+    val probes = IvfAnn.probeCells(spark, queries, coarse)
+      .select("q_id", "qe", "qn", "lut", "cell")
+    // ADC: m lookups per candidate — candidate floats never read here.
+    val adc = probes
+      .join(
+        encoded.toDF("nbr_id", "ce", "cn", "cell2", "codes"),
+        col("cell2") === col("cell") && col("nbr_id") =!= col("q_id"))
+      .withColumn(
+        "adc",
+        expr(s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), (acc, j) -> acc + lut[j * $kPq + codes[j]])"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("nbr_id").asc)
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    adc
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= RerankDepth)
+      .withColumn("cos", expr("graft_dot(qe, ce)") / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .filter(col("rn") <= Knn.TopK)
+      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Codes frame alone (vec_id, codes), exposed for the storage-contract
+    * and determinism specs — same build as ivfPqTopK by construction.
+    */
+  private[graft] def codes(spark: SparkSession, dir: String): DataFrame = {
+    val (v, coarse, models, dsub) = indexOf(Knn.vectors(spark, dir))
+    encodedOf(v, coarse, models, dsub).select(col("vec_id"), col("codes"))
+  }
+}

@@ -210,6 +210,28 @@ class ReferenceGapSpec extends SparkSpec {
       "temperature mix must be deterministic")
   }
 
+  test("token-budget mixing buys tokens, not documents: sqrt-damped budgets, exact cutoff") {
+    import spark.implicits._
+    // 20000-token crawl (2000 docs × 10) vs 200-token books (50 × 4):
+    // budgets ≈ √(T_min·T_s) → books keeps everything (budget = own
+    // total), crawl keeps √(200/20000) = 10% of its TOKENS.
+    val docs = ((1L to 2000L).map(i => (i, "crawl", 10L)) ++
+      (1L to 50L).map(i => (100000L + i, "books", 4L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = graft.operators.Splits.tokenBudgetMixOf(docs)
+    val bySource = kept.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySource("books") == ((50L, 200L)), s"smallest source keeps ALL tokens: ${bySource("books")}")
+    // budget_crawl = 20000·floor(sqrt(200e6/20000))/1000 = 2000 tokens
+    // exactly; 10-token docs tile it as exactly 200 kept docs.
+    assert(bySource("crawl") == ((200L, 2000L)), s"crawl must keep exactly its 2000-token budget: ${bySource("crawl")}")
+    // strictly-before semantics: cum_before of every kept doc < budget
+    assert(kept.filter(col("source") === "crawl" && col("cum_before") >= 2000L).count() == 0)
+    val again = graft.operators.Splits.tokenBudgetMixOf(docs)
+    assert(kept.exceptAll(again).count() == 0, "token-budget mix must be deterministic")
+  }
+
   test("source upsampling repeats small sources toward the sqrt share, capped, largest untouched") {
     import spark.implicits._
     // 20000:50 skew: target epochs for books = sqrt(20000/50) = 20,

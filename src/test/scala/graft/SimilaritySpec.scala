@@ -73,6 +73,41 @@ class SimilaritySpec extends SparkSpec {
     assert(maxCell <= n / 5, s"hot IVF cell: $maxCell of $n vectors")
   }
 
+  test("IVF-PQ recall vs brute force clears the floor; rerank emits exact cosines") {
+    val brute = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
+      .select("q_id", "nbr_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir)
+      .select("q_id", "nbr_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = pq.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    // PQ only SELECTS candidates (ADC top-RerankDepth within probed
+    // cells); the float rerank re-orders them exactly, so recall loss
+    // comes from probe misses + ADC cutting true neighbors below the
+    // rerank depth. Same floor as IVF-Flat: the rerank depth (4×k)
+    // absorbs the quantization noise at this corpus size.
+    assert(recall >= 0.35, s"IVF-PQ recall collapsed: $recall")
+    // The rerank stage must emit EXACT cosines: wherever PQ and brute
+    // agree on a neighbor, the rounded score must match bit-for-bit.
+    for ((pair, cos) <- pq if brute.contains(pair))
+      assert(cos == brute(pair), s"reranked cos for $pair is not exact: $cos vs ${brute(pair)}")
+  }
+
+  test("PQ codes honor the one-byte storage contract and rebuild deterministically") {
+    val c1 = graft.similarity.IvfPq.codes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val m = graft.similarity.IvfPq.subspacesFor(64)
+    assert(c1.values.forall(_.length == m), s"every vector must carry $m codes")
+    // One byte per code is the compression contract: 64 float32 dims →
+    // m bytes (32×). A code outside [0, 256) breaks it silently.
+    assert(c1.values.forall(_.forall(c => c >= 0 && c < graft.similarity.IvfPq.MaxCodes)),
+      "code outside the one-byte range")
+    // Seeded build: encoding twice must produce identical codes.
+    val c2 = graft.similarity.IvfPq.codes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2, "PQ encoding is not deterministic across rebuilds")
+  }
+
   test("ANN produces ranked top-k per query from bucketed candidates only") {
     val ann = SparkEntry.queries("q_ann_lsh")(spark, sfDir)
     assert(ann.groupBy("q_id").count().filter(col("count") > 5).count() == 0)

@@ -70,6 +70,44 @@ class StreamLshDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest decontamination gate drops exactly the eval-contaminated docs") {
+    import spark.implicits._
+    val evalText = "a b c d e f g h i j"
+    val evalDocs = Seq((0L, evalText)).toDF("doc_id", "text")
+    val (bloom, evalSh) = Dedup.evalDecontamIndex(evalDocs)
+    // 21 copies an 8-gram (contaminated), 22 shares only a 7-gram, 23
+    // is clean, 24 is too short to carry an 8-gram.
+    val batch = Seq(
+      (21L, "x y a b c d e f g h"),
+      (22L, "a b c d e f g X i j"),
+      (23L, "entirely different words with no overlap at all here ok"),
+      (24L, "a b c")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.ingestDecontamGate(batch, bloom, evalSh)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"), "gate must not leak working columns")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(22L, 23L, 24L),
+      "gate verdicts must equal the batch decontaminate verdicts")
+    // ...and in a stream: the gate runs per micro-batch via foreachBatch
+    // BEFORE dedup state — contaminated docs never reach the sink.
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val passed = scala.collection.mutable.Set[Long]()
+    val query = input.toDS().writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[DocEvent], _: Long) =>
+        passed ++= Dedup.ingestDecontamGate(b.toDF(), bloom, evalSh)
+          .select("doc_id").collect().map(_.getLong(0))
+        (): Unit
+      }
+      .start()
+    try {
+      input.addData(batch.collect().toSeq.map(r =>
+        DocEvent(r.getLong(0), ts(100 + r.getLong(0)), r.getString(1))): _*)
+      query.processAllAvailable()
+      assert(passed.toSet == Set(22L, 23L, 24L), s"stream gate diverged: $passed")
+    } finally query.stop()
+  }
+
   test("re-delivered documents emit nothing new; viral buckets stay capped") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

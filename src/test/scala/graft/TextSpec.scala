@@ -37,6 +37,27 @@ class TextSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores must be non-increasing")
   }
 
+  test("bm25 scores are ranked, positive, and saturation-capped (unlike raw tf-idf)") {
+    val hits = SparkEntry.queries("q_bm25_search")(spark, sfDir).collect()
+    assert(hits.nonEmpty && hits.length <= 50)
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores must be non-increasing")
+    // The BM25 cap: tf·(k1+1)/(tf + …) < k1+1, so no doc can score
+    // above (k1+1)·Σ idf — the saturation property raw tf·idf lacks.
+    // Re-derive the 3 query idf4s exactly as the operator does.
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val n = tf.select("doc_id").distinct().count()
+    val idf4s = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(3)
+      .collect().map(r => math.floor((n - r.getLong(1) + 0.5) / (r.getLong(1) + 0.5) * 10000 + 0.5))
+    val cap = 2.2 * idf4s.sum / 10000.0
+    assert(scores.forall(_ <= cap + 1e-9), s"score above the (k1+1)·Σidf saturation cap $cap")
+  }
+
   test("quality score stays in [0,1] and penalizes stopword-heavy docs") {
     val q = SparkEntry.queries("q_text_quality")(spark, sfDir)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
