@@ -51,6 +51,7 @@ object SparkEntry {
     "q_seq_pack"        -> (SeqPack.seqPack _),
     "q_doc_shuffle"     -> ((s, d) => SeqPack.docShuffle(s, d)),
     "q_pack_boundaries" -> (SeqPack.packBoundaries _),
+    "q_pack_efficiency" -> (SeqPack.packEfficiency _),
     "q_source_mix"      -> (Splits.sourceMix _),
     "q_source_temperature" -> (Splits.sourceTemperature _),
     "q_source_upsample"    -> (Splits.sourceUpsample _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_dedup_keep_best"    -> ((s, d) => graft.dedup.Clusters.keepBest(s, d)),
     "q_substr_dedup"       -> ((s, d) => graft.dedup.SubstrDedup.substrDedup(s, d)),
     "q_decontaminate"      -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_contamination_report" -> ((s, d) => Dedup.contaminationReport(s, d)),
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_doc_repetition"     -> ((s, d) => TextFunctions.docRepetition(s, d)),
     "q_embed_neardup"      -> ((s, d) => Dedup.embedNeardup(s, d)),
@@ -108,6 +110,7 @@ object SparkEntry {
     "q_quality_bigramlm"    -> ((s, d) => graft.functions.QualityFilters.bigramLmQuality(s, d)),
     "q_quality_calibrate"   -> ((s, d) => graft.functions.QualityFilters.calibratedQuality(s, d)),
     "q_quality_tiers"       -> ((s, d) => graft.functions.QualityFilters.scoreTiers(s, d)),
+    "q_curriculum_order"    -> ((s, d) => graft.functions.QualityFilters.curriculumOrder(s, d)),
     "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d)),
     "q_html_extract"        -> ((s, d) => graft.functions.HtmlExtract.htmlExtract(s, d)),
@@ -619,6 +622,41 @@ object SparkEntry {
          |  coalesce(array_to_string(list(pack_offset ORDER BY pack_offset, doc_id), ' '), '') AS boundary_offsets,
          |  coalesce(array_to_string(list(doc_id ORDER BY pack_offset, doc_id), ' '), '') AS boundary_docs
          |FROM sp GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    // per-split packing efficiency: the same concat-and-chunk layout
+    // computed per split (offsets restart), aggregated to split grain;
+    // ratios are int64-exact divisions round4'd identically both sides
+    "q_pack_efficiency" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens,
+           |    ((doc_id % 1000003) * 1315423911 + 12345) % 1000000007 % 100 AS bucket
+           |  FROM documents
+           |), s AS (
+           |  SELECT doc_id, n_tokens,
+           |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM t
+           |), c AS (
+           |  SELECT split, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM s
+           |), a AS (
+           |  SELECT split,
+           |    max(off // 2048) + 1 AS n_packs,
+           |    count(*) AS n_docs,
+           |    sum(n_tokens) AS total_tokens,
+           |    sum(CASE WHEN off % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END) AS n_straddlers
+           |  FROM c GROUP BY split
+           |)
+           |SELECT split,
+           |  CAST(n_packs AS BIGINT) AS n_packs,
+           |  CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(total_tokens AS BIGINT) AS total_tokens,
+           |  floor((CAST(n_docs AS DOUBLE) / CAST(n_packs AS DOUBLE)) * 10000 + 0.5) / 10000 AS docs_per_pack,
+           |  CAST(n_straddlers AS BIGINT) AS n_straddlers,
+           |  floor((CAST(n_straddlers AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 10000 + 0.5) / 10000 AS straddle_rate,
+           |  floor((CAST(total_tokens % 2048 AS DOUBLE) / 2048.0) * 10000 + 0.5) / 10000 AS tail_fill
+           |FROM a ORDER BY split""".stripMargin,
     // salt enters via the MULTIPLIER (1315423911 + 2*69069) and the
     // product is SQUARED mod p: an additive salt would only rotate the
     // order, and one multiply under-mixes small doc_id ranges (epochs
@@ -704,6 +742,18 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM cl ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> DecontamSql,
+    // source-grain rollup of the decontamination verdicts; rides the
+    // same CTE, so the report stays exactly consistent with the per-doc
+    // gate output
+    "q_contamination_report" ->
+      s"""WITH v AS ($DecontamSql)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN v.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(v.n_overlap) AS BIGINT) AS total_overlaps,
+         |  floor((CAST(sum(CASE WHEN v.contaminated THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS contamination_rate
+         |FROM v JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // the bloom pre-filter has no false negatives and candidates are
     // exact-confirmed, so the OUTPUT is identical to plain decontaminate
     // — the oracle is literally shared
@@ -1137,6 +1187,26 @@ object SparkEntry {
          |       ELSE 'tail' END AS tier
          |FROM s JOIN cc USING (source, score4) JOIN t USING (source)
          |ORDER BY s.doc_id""".stripMargin,
+    // curriculum: global rank in (tier, salted shuffle key, doc_id)
+    // order — head first, tail last, tiers internally shuffled; the
+    // shuffle key is the same squared-multiplier construction as
+    // q_doc_shuffle with its own salt
+    "q_curriculum_order" ->
+      s"""WITH $CalibrateCtes, ti AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN cc.cum * 3 <= t.n_source THEN 0
+         |         WHEN cc.cum * 3 <= t.n_source * 2 THEN 1
+         |         ELSE 2 END AS tier_rank
+         |  FROM s JOIN cc USING (source, score4) JOIN t USING (source)
+         |), kk AS (
+         |  SELECT doc_id, tier_rank,
+         |    ((doc_id % 1000003) * ${(1315423911L + 2 * graft.functions.QualityFilters.CurriculumSalt) % 1000000007L}) % 1000000007 AS k1
+         |  FROM ti
+         |)
+         |SELECT doc_id,
+         |  CASE tier_rank WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier,
+         |  CAST(row_number() OVER (ORDER BY tier_rank, (k1 * k1) % 1000000007, doc_id) - 1 AS BIGINT) AS pos
+         |FROM kk ORDER BY doc_id""".stripMargin,
     // same exactness scheme as q_quality_freqrank: integer dense-ranks,
     // exact BIGINT sums, one final round4 division; the bounded table is
     // a count-threshold (no top-K tie-break needed), OOV rank is

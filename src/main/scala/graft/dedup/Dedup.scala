@@ -552,4 +552,37 @@ object Dedup {
       .select(col("a"), col("b"), Num.round4(col("cos")).as("cos"))
       .orderBy("a", "b")
   }
+
+  /** #26l contamination report: per-source contamination rates over the
+    * decontamination verdicts — the audit table a curation run publishes
+    * alongside the clean corpus (which ingest feeds leak eval content,
+    * and how hard). A source with a high contamination rate is usually a
+    * crawl that ingested the benchmark's distribution site; the report
+    * is what makes that visible before training, at source grain rather
+    * than per-doc verdicts nobody reads.
+    *
+    * Scale shape: rides `decontaminateOf` (eval side AQE-broadcast,
+    * corpus streams — the bloom-gated variant slots in unchanged since
+    * its output is identical), joins source at doc grain, aggregates to
+    * source cardinality. Rates are int64-exact ratios round4'd
+    * identically in both engines.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateOf(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum("n_overlap").as("total_overlaps"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_contaminated"),
+        col("total_overlaps"),
+        Num.round4(col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"))
+      .orderBy("source")
+  }
 }

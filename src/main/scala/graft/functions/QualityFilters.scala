@@ -396,6 +396,62 @@ object QualityFilters {
           .otherwise(lit("tail")).as("tier"))
       .orderBy("doc_id")
 
+  /** Salt for the within-tier shuffle of `curriculumOrder` — its own
+    * multiplier salt, independent of the packing shuffle's.
+    */
+  val CurriculumSalt = 52361L
+
+  /** #32r curriculum ordering: ONE global training order that anneals
+    * from clean to noisy — all head-tier docs first, then middle, then
+    * tail, each tier internally decorrelated by the salted shuffle key
+    * (within-tier doc_id order would reintroduce exactly the crawl-
+    * order correlation `SeqPack.docShuffle` exists to break). The
+    * explicit schedule form of what 32p's tiers imply: a dataloader
+    * walking `pos` ascending consumes head+middle early and meets the
+    * tail last (or truncates it), with every tier still internally
+    * shuffled for SGD.
+    *
+    * Scale shape: pos = rank in (tier, shuffle_key, doc_id) order,
+    * computed with the two-level prefix sum — per-(tier, bucket)
+    * row_numbers over bounded partitions, cross-bucket offsets on the
+    * 3×1024-row (tier, bucket) count frame; the only global window runs
+    * there. The tier frame rides the same staged calibration machinery
+    * as 32o/32p.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SeqPack.{shuffleBlk, shuffleKey}
+    val tiers = graft.Staging.staged(
+      calibratedFrame(spark, dir)
+        .select(
+          col("doc_id"),
+          when(col("cum") * 3L <= col("n_source"), lit(0L))
+            .when(col("cum") * 3L <= col("n_source") * 2L, lit(1L))
+            .otherwise(lit(2L)).as("tier_rank"))
+        .withColumn("k", shuffleKey(col("doc_id"), CurriculumSalt))
+        .withColumn("blk", shuffleBlk(col("k"))),
+      "curriculum_tiers")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("tier_rank", "blk").orderBy("k", "doc_id")
+    val local = tiers.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .orderBy("tier_rank", "blk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val blkOff = tiers
+      .groupBy("tier_rank", "blk")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wBlk), lit(0L)))
+      .select("tier_rank", "blk", "off")
+    local
+      .join(blkOff, Seq("tier_rank", "blk"))
+      .select(
+        col("doc_id"),
+        when(col("tier_rank") === 0L, lit("head"))
+          .when(col("tier_rank") === 1L, lit("middle"))
+          .otherwise(lit("tail")).as("tier"),
+        (col("off") + col("rn") - 1L).as("pos"))
+      .orderBy("doc_id")
+  }
+
   /** Shared calibration machinery: every doc with its source, score,
     * cumulative count through its score tie-group, and source total —
     * the per-source empirical CDF in exact integers.

@@ -225,4 +225,55 @@ object SeqPack {
         pmod(col("start_offset"), lit(PackBudget)).cast("long").as("pack_offset"))
       .orderBy("doc_id")
   }
+
+  /** #48d per-split packing efficiency report: the numbers a training
+    * run reads before launching — how many context windows each split
+    * yields, how densely documents pack into them, and how often a
+    * context window's attention mask will carry a document across its
+    * boundary. Concat-and-chunk packing wastes no tokens to padding
+    * (every pack but the tail is exactly full), so the interesting
+    * rates are document grain: docs per pack, the straddler share
+    * (docs that extend past the pack they start in — each one is a
+    * split-attention context the loader must mask or truncate), and
+    * the tail pack's fill (the only partial pack).
+    *
+    * Scale shape: rides `seqPackWithin` (two-level prefix sum, bounded
+    * window partitions) and aggregates to split grain — a 3-row
+    * result; one corpus scan, one split-keyed aggregate. Rates are
+    * int64-exact ratios round4'd identically in both engines.
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        ((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .drop("bucket")
+    seqPackWithin(docs, "split")
+      .groupBy("split")
+      .agg(
+        (max("pack_id") + 1L).as("n_packs"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("pack_offset") + col("n_tokens") > PackBudget, 1L).otherwise(0L))
+          .as("n_straddlers"))
+      .select(
+        col("split"),
+        col("n_packs"),
+        col("n_docs"),
+        col("total_tokens"),
+        graft.Num.round4(col("n_docs").cast("double") / col("n_packs").cast("double"))
+          .as("docs_per_pack"),
+        col("n_straddlers"),
+        graft.Num.round4(col("n_straddlers").cast("double") / col("n_docs").cast("double"))
+          .as("straddle_rate"),
+        graft.Num.round4(
+          pmod(col("total_tokens"), lit(PackBudget)).cast("double") / lit(PackBudget.toDouble))
+          .as("tail_fill"))
+      .orderBy("split")
+  }
 }

@@ -122,6 +122,25 @@ class DedupSpec extends SparkSpec {
     assert(bloomC == exactC, "bloom path diverged on the sf corpus")
   }
 
+  test("contamination report is the exact source-grain rollup of the decontamination verdicts") {
+    val rep = SparkEntry.queries("q_contamination_report")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val verdicts = SparkEntry.queries("q_decontaminate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = verdicts.groupBy(v => srcOf(v._1))
+    assert(rep.keySet == bySrc.keySet, "report must cover every source with non-eval docs")
+    for ((src, vs) <- bySrc) {
+      val (nDocs, nContam, totOverlap, rate) = rep(src)
+      assert(nDocs == vs.length, s"$src n_docs")
+      assert(nContam == vs.count(_._3), s"$src n_contaminated")
+      assert(totOverlap == vs.map(_._2).sum, s"$src total_overlaps")
+      assert(rate == math.floor(nContam.toDouble / nDocs * 10000 + 0.5) / 10000, s"$src rate")
+    }
+  }
+
   test("bloom pre-filter probes at the scan and prunes the confirm-join input") {
     val docs = Tables.documents(spark, sfDir)
     val q = Dedup.decontaminateBloomOf(docs)

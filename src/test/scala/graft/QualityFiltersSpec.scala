@@ -335,4 +335,24 @@ class QualityFiltersSpec extends SparkSpec {
         assert(tieGrp.map(_._4).toSet.size == 1, s"$src: a tie group straddles tiers")
     }
   }
+
+  test("curriculumOrder anneals head→middle→tail with each tier internally shuffled") {
+    val rows = SparkEntry.queries("q_curriculum_order")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = rows.length.toLong
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq, "pos must be a dense permutation 0..n-1")
+    // the anneal: every head pos < every middle pos < every tail pos
+    val byTier = rows.groupBy(_._2)
+    for (Seq(lo, hi) <- Seq("head", "middle", "tail").sliding(2)) {
+      val loMax = byTier.get(lo).map(_.map(_._3).max).getOrElse(Long.MinValue)
+      val hiMin = byTier.get(hi).map(_.map(_._3).min).getOrElse(Long.MaxValue)
+      assert(loMax < hiMin, s"$lo positions must all precede $hi")
+    }
+    // within a tier the walk order must NOT be doc_id order (that would
+    // reintroduce crawl-order correlation): the head tier's doc_id
+    // sequence along pos has inversions.
+    val headWalk = byTier("head").sortBy(_._3).map(_._1)
+    assert(headWalk.zip(headWalk.tail).exists { case (a, b) => a > b },
+      "head tier walks in doc_id order — shuffle key not applied")
+  }
 }

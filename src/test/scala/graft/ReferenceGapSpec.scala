@@ -149,6 +149,37 @@ class ReferenceGapSpec extends SparkSpec {
     assert(kept("books") == 50, s"books must keep all rows, kept ${kept("books")}")
   }
 
+  test("pack efficiency report reconciles with a driver-side per-split repack") {
+    val rep = SparkEntry.queries("q_pack_efficiency")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(rep.keySet == Set("train", "valid", "test"))
+    val splitOf = SparkEntry.queries("q_split_assign")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val toks = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "cast(size(split(text, '\\\\s+')) as long) AS n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val B = graft.operators.SeqPack.PackBudget
+    for ((split, (nPacks, nDocs, total, dpp, nStrad, sRate, tailFill)) <- rep) {
+      val ds = toks.filter(t => splitOf(t._1) == split).sortBy(_._1)
+      assert(nDocs == ds.length, s"$split n_docs")
+      assert(total == ds.map(_._2).sum, s"$split total_tokens")
+      var off = 0L; var strad = 0L; var lastPack = 0L
+      ds.foreach { case (_, n) =>
+        if (off % B + n > B) strad += 1
+        lastPack = off / B
+        off += n
+      }
+      assert(nPacks == lastPack + 1, s"$split n_packs")
+      assert(nStrad == strad, s"$split n_straddlers")
+      assert(dpp == math.floor(nDocs.toDouble / nPacks * 10000 + 0.5) / 10000, s"$split docs_per_pack")
+      assert(sRate == math.floor(strad.toDouble / nDocs * 10000 + 0.5) / 10000, s"$split straddle_rate")
+      assert(tailFill == math.floor((total % B).toDouble / B * 10000 + 0.5) / 10000, s"$split tail_fill")
+    }
+  }
+
   test("docShuffle is a permutation in exact hash order, decorrelated from doc_id order") {
     val s = SparkEntry.queries("q_doc_shuffle")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

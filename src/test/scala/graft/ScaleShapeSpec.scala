@@ -105,6 +105,26 @@ class ScaleShapeSpec extends SparkSpec {
       s"calibration tables must broadcast:\n$plan")
   }
 
+  test("tokenBudgetMix: cum-sum windows stay bucketed; budgets broadcast to the scan") {
+    val plan = SparkEntry.queries("q_token_budget_mix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the within-source running sum must partition by (source, bucket),
+    // never by source alone — a per-source window funnels whole sources
+    // through single tasks at 100 TB
+    assert(plan.contains("windowspecdefinition(source"), s"two-level window missing:\n$plan")
+    assert("windowspecdefinition\\(source#\\d+, blk#".r.findAllIn(plan).nonEmpty,
+      s"local cum-sum must partition by (source, blk):\n$plan")
+    assert("BroadcastHashJoin|BroadcastExchange".r.findAllIn(plan).nonEmpty,
+      s"budget table must broadcast:\n$plan")
+  }
+
+  test("curriculumOrder: rank windows partition by (tier, bucket), never globally over docs") {
+    val plan = SparkEntry.queries("q_curriculum_order")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(tier_rank#\\d+L?, blk#".r.findAllIn(plan).nonEmpty,
+      s"per-tier rank must window within shuffle buckets:\n$plan")
+  }
+
   test("keepBest: the representative window partitions by cluster_id (bounded groups)") {
     val plan = SparkEntry.queries("q_dedup_keep_best")(spark, sfDir)
       .queryExecution.executedPlan.toString
