@@ -28,7 +28,8 @@ object Bench {
     * and the exclusion is disclosed via `ratio_excluded`).
     */
   val ArtifactConsumers: Set[String] =
-    Set("q_split_leakage_safe", "q_dedup_delta", "q_cluster_delta", "q_dedup_keep_best")
+    Set("q_split_leakage_safe", "q_dedup_delta", "q_cluster_delta", "q_dedup_keep_best",
+      "q_decontaminate_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_ann_ivfpq"          -> ((s, d) => graft.similarity.IvfPq.ivfPqTopK(s, d)),
+    "q_knn_graph"          -> ((s, d) => graft.similarity.IvfAnn.knnGraph(s, d)),
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
     "q_token_count_bpe"    -> ((s, d) => TextFunctions.tokenCountBpe(s, d)),
     "q_text_quality"       -> ((s, d) => TextFunctions.textQuality(s, d)),
@@ -107,6 +108,8 @@ object SparkEntry {
     "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
     "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
     "q_quality_freqrank"    -> ((s, d) => graft.functions.QualityFilters.freqRankQuality(s, d)),
+    "q_dsir_select"         -> ((s, d) => graft.functions.Dsir.dsirSelect(s, d)),
+    "q_corpus_diff"         -> ((s, d) => graft.sources.SnapshotDiff.corpusDiff(s, d)),
     "q_quality_bigramlm"    -> ((s, d) => graft.functions.QualityFilters.bigramLmQuality(s, d)),
     "q_quality_calibrate"   -> ((s, d) => graft.functions.QualityFilters.calibratedQuality(s, d)),
     "q_quality_tiers"       -> ((s, d) => graft.functions.QualityFilters.scoreTiers(s, d)),
@@ -1207,6 +1210,65 @@ object SparkEntry {
          |  CASE tier_rank WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier,
          |  CAST(row_number() OVER (ORDER BY tier_rank, (k1 * k1) % 1000000007, doc_id) - 1 AS BIGINT) AS pos
          |FROM kk ORDER BY doc_id""".stripMargin,
+    // snapshot diff over planted v1/v2 slices; status decode is pure
+    // CASE logic over a keyed full-outer join, text equality stands in
+    // for the sha2 compare (identical verdicts — the hash is a Spark
+    // shuffle-width optimization, not a semantic)
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text AS t1, source AS src1 FROM documents WHERE doc_id % 23 != 3
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END AS t2,
+        |    source AS src2
+        |  FROM documents WHERE doc_id % 29 != 5
+        |), j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN t1 != t2 THEN 'changed' END AS status,
+        |    coalesce(src2, src1) AS source
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |)
+        |SELECT doc_id, status, source FROM j
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // DSIR as an exact-integer probability-ratio sigmoid: per-billion
+    // smoothed token rates p = (1e9*(cnt+1)) // total on each side,
+    // importance points = (1000*p_tgt) // (p_tgt + p_raw) - 500, tokens
+    // absent from BOTH floor-bounded tables carry no evidence (0). All
+    // int64 floor-divisions on positive operands — identical in both
+    // engines; per-doc exact BIGINT sum, one round4 division at the end
+    // (see Dsir.scala for why rank positions canNOT stand in here).
+    "q_dsir_select" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, (lang = 'en' AND doc_id % 4 = 1) AS is_tgt,
+         |    unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), ft AS (
+         |  SELECT tok, count(*) AS cnt_tgt FROM tk WHERE is_tgt GROUP BY tok
+         |  HAVING count(*) >= ${graft.functions.Dsir.FeatureMinCount}
+         |), fr AS (
+         |  SELECT tok, count(*) AS cnt_raw FROM tk WHERE NOT is_tgt GROUP BY tok
+         |  HAVING count(*) >= ${graft.functions.Dsir.FeatureMinCount}
+         |), tot AS (
+         |  SELECT sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS total_tgt,
+         |    sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS total_raw
+         |  FROM tk
+         |), s AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |    sum(CASE WHEN cnt_tgt IS NULL AND cnt_raw IS NULL THEN 0
+         |      ELSE (1000 * ((1000000000 * (coalesce(cnt_tgt, 0) + 1)) // total_tgt))
+         |        // (((1000000000 * (coalesce(cnt_tgt, 0) + 1)) // total_tgt)
+         |           + ((1000000000 * (coalesce(cnt_raw, 0) + 1)) // total_raw)) - 500
+         |      END) AS pts_sum
+         |  FROM tk LEFT JOIN ft USING (tok) LEFT JOIN fr USING (tok) CROSS JOIN tot
+         |  WHERE NOT is_tgt GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_toks,
+         |  floor(pts_sum * 1.0 / n_toks * 10000 + 0.5) / 10000 AS dsir_score,
+         |  (floor(pts_sum * 1.0 / n_toks * 10000 + 0.5) / 10000
+         |    >= ${graft.functions.Dsir.KeepMin}) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     // same exactness scheme as q_quality_freqrank: integer dense-ranks,
     // exact BIGINT sums, one final round4 division; the bounded table is
     // a count-threshold (no top-K tie-break needed), OOV rank is

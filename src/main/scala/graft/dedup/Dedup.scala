@@ -371,7 +371,19 @@ object Dedup {
     * ParquetSink's partition list.
     */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
-    decontaminateBloomOf(Tables.documents(spark, dir))
+    graft.sources.Artifacts.rootDir(spark) match {
+      case Some(_) =>
+        // Deployment shape: the eval index is lake-resident (published
+        // once from the static benchmark set); only the corpus side is
+        // shingled here.
+        val docs = Tables.documents(spark, dir)
+        val (bloom, evalSh) = evalDecontamIndexPublished(spark, dir)
+        val isEval = pmod(col("doc_id"), lit(20)) === 0
+        val corpusSh = shingles(docs.filter(!isEval), DecontamN)
+          .select(col("doc_id"), xxhash64(col("sg")).as("sg"))
+        bloomConfirm(docs.filter(!isEval), corpusSh, bloom, evalSh)
+      case None => decontaminateBloomOf(Tables.documents(spark, dir))
+    }
 
   private[graft] def decontaminateBloomOf(docs: DataFrame): DataFrame = {
     val isEval = pmod(col("doc_id"), lit(20)) === 0
@@ -383,9 +395,21 @@ object Dedup {
       .agg(call_function("graft_bloom_agg", col("sg"), lit(BloomCapacity)).as("bloom"))
       .head()
       .getAs[Array[Byte]]("bloom")
+    bloomConfirm(docs.filter(!isEval), sh.filter(!isEval), bloom, evalSh)
+  }
+
+  /** Shared bloom-prune + exact-confirm tail: scan-side might-contain
+    * prunes the corpus shingles, the equi-join against the eval
+    * shingles removes false positives, and every non-eval doc gets a
+    * verdict. `nonEvalDocs` must already exclude the eval slice.
+    */
+  private def bloomConfirm(
+      nonEvalDocs: DataFrame,
+      corpusSh: DataFrame,
+      bloom: Array[Byte],
+      evalSh: DataFrame): DataFrame = {
     // An empty eval set aggregates to a NULL sketch: nothing can be
     // contaminated, so the candidate set is empty by definition.
-    val corpusSh = sh.filter(!isEval)
     val candidates =
       if (bloom == null) corpusSh.limit(0)
       else corpusSh.filter(call_function("graft_might_contain", lit(bloom), col("sg")))
@@ -393,8 +417,7 @@ object Dedup {
       .join(evalSh, "sg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
-    docs
-      .filter(!isEval)
+    nonEvalDocs
       .select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(
@@ -414,6 +437,38 @@ object Dedup {
   private[graft] def evalDecontamIndex(evalDocs: DataFrame): (Array[Byte], DataFrame) = {
     val evalSh = shingles(evalDocs, DecontamN)
       .select(xxhash64(col("sg")).as("sg")).distinct()
+    val bloom = evalSh
+      .agg(call_function("graft_bloom_agg", col("sg"), lit(BloomCapacity)).as("bloom"))
+      .head()
+      .getAs[Array[Byte]]("bloom")
+    (bloom, evalSh)
+  }
+
+  /** Version tag for the published eval index (bump on any change to
+    * the shingle width, hashing, or eval-slice definition).
+    */
+  val EvalIndexArtifactVersion = s"decontam-${DecontamN}gram-xxhash64-evalmod20-v1"
+
+  /** The eval decontamination index via the Artifacts contract: the
+    * distinct hashed eval shingles are published ONCE from the static
+    * benchmark set and every consumer — batch decontamination runs, the
+    * streaming ingest gate's boot — reads the committed parquet instead
+    * of re-shingling the eval set (an eval suite is static; its index
+    * should be lake-resident, exactly like the standing shingle index).
+    * The bloom sketch is re-aggregated from the published shingles at
+    * boot: it is eval-scale work (one bounded aggregate), and storing
+    * the sketch would freeze `BloomCapacity` into the artifact without
+    * a schema to version it. No artifacts root → inline derivation,
+    * keeping Verify self-contained.
+    */
+  private[graft] def evalDecontamIndexPublished(
+      spark: SparkSession, dir: String): (Array[Byte], DataFrame) = {
+    val evalSh = graft.sources.Artifacts.publishedOrCompute(
+      spark, "decontam_eval_index", EvalIndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
+      shingles(
+        Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(20)) === 0),
+        DecontamN)
+        .select(xxhash64(col("sg")).as("sg")).distinct())
     val bloom = evalSh
       .agg(call_function("graft_bloom_agg", col("sg"), lit(BloomCapacity)).as("bloom"))
       .head()

@@ -146,6 +146,50 @@ object IvfAnn {
       .orderBy("q_id", "rn")
   }
 
+  /** #28e kNN graph: top-k cosine neighbors for EVERY corpus vector —
+    * the batch all-vectors variant of `ivfTopK` (whose query side is a
+    * small batch). The kNN graph is the input artifact of graph-based
+    * curation: near-dup graph clustering, diversity-aware sampling, and
+    * retrieval-augmentation neighbor lists all start from it; building
+    * it by brute force is the n² wall, and the IVF route is the
+    * standard scale path (probe each vector's nprobe nearest cells,
+    * exact cosine only within probed cells — candidate volume
+    * ~n·nprobe·(n/cells) ≈ n^1.5 at cells ≈ √n, the same within-cell
+    * scoping SemDeDup (Abbas et al. 2023) exploits).
+    *
+    * Scale shape: ONE staged embeddings scan feeds quantizer training,
+    * assignment, probe side, and corpus side; the probe fanout is
+    * bounded (×nprobe per vector); the candidate join is cell-keyed
+    * equi (AQE splits hot cells); the top-k window partitions by q_id —
+    * bounded candidate groups, never a global sort. Self-pairs drop;
+    * emitted cosines are exact (round4'd for output stability).
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val (v, model) = index(spark, dir)
+    val assigned = graft.Staging.staged(
+      model.transform(v)
+        .select(col("vec_id"), col("e"), col("norm"), col("u"), col("cell")),
+      "knn_graph_assigned")
+    val probes = probeCells(
+      spark,
+      assigned.select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u")),
+      model)
+      .select("q_id", "qe", "qn", "cell")
+    val scored = probes
+      .join(
+        assigned.select(
+          col("vec_id").as("nbr_id"), col("e").as("ce"),
+          col("norm").as("cn"), col("cell").as("cell2")),
+        col("cell2") === col("cell") && col("nbr_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_dot(qe, ce)") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= Knn.TopK)
+      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** The full assigned corpus frame (vec_id, e, norm, cell), built from
     * the ONE staged embeddings scan the index build already pays — the
     * frame SemDedup's within-cell exact pass consumes directly. Handing

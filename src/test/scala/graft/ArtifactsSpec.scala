@@ -149,6 +149,32 @@ class ArtifactsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("decontaminateBloom consumes the published eval index and stays exact") {
+    spark.catalog.clearCache()
+    val inline = graft.dedup.Dedup.decontaminateBloom(spark, sfDir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    withRoot { root =>
+      // publish pass shingles the eval slice once and publishes it
+      assert(graft.dedup.Dedup.decontaminateBloom(spark, sfDir).collect().map(_.toSeq).toSeq == inline)
+      assert(new java.io.File(s"$root/decontam_eval_index").exists(), "eval index artifact missing")
+      spark.catalog.clearCache()
+      // a later decontamination run boots from the lake-resident index
+      assert(graft.dedup.Dedup.decontaminateBloom(spark, sfDir).collect().map(_.toSeq).toSeq == inline)
+      // the streaming ingest gate boots from the same published index
+      val (bloom, evalSh) = graft.dedup.Dedup.evalDecontamIndexPublished(spark, sfDir)
+      assert(bloom != null, "published eval set is non-empty, sketch must exist")
+      val evalDocs = graft.Tables.documents(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(20)) === 0)
+      val (_, inlineSh) = graft.dedup.Dedup.evalDecontamIndex(evalDocs)
+      assert(evalSh.collect().map(_.getLong(0)).sorted.toSeq ==
+        inlineSh.collect().map(_.getLong(0)).sorted.toSeq,
+        "published eval shingles must equal the inline derivation")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("leakageSafeSplit: published-cluster mode returns rows identical to inline mode") {
     val inline = Splits.leakageSafeSplit(spark, sfDir).collect().map(_.toSeq).toSeq
     spark.catalog.clearCache()

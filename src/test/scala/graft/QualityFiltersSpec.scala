@@ -355,4 +355,68 @@ class QualityFiltersSpec extends SparkSpec {
     assert(headWalk.zip(headWalk.tail).exists { case (a, b) => a > b },
       "head tier walks in doc_id order — shuffle key not applied")
   }
+
+  test("dsirSelect scores every candidate and no target docs leak through") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val target = docs.filter { case (id, lang) => lang == "en" && id % 4 == 1 }.keySet
+    val out = SparkEntry.queries("q_dsir_select")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val scored = out.map(_._1).toSet
+    assert(scored == docs.keySet.diff(target),
+      "every non-target doc must be scored; target docs must not appear")
+    assert(out.forall { case (_, n, _, _) => n > 0 }, "token counts must be positive")
+    assert(out.forall { case (_, _, s, k) => k == (s >= graft.functions.Dsir.KeepMin) },
+      "keep must be exactly the score threshold")
+    // No separation assertion here ON PURPOSE: the synthetic generator's
+    // lang label does not shift token rates (all langs draw the same
+    // 31-word pool uniformly — verified), so real-data scores sit near
+    // zero and this query's job is the cross-engine exactness gate. The
+    // selection semantics are pinned by the planted-corpus test below.
+  }
+
+  test("dsirSelect separates target-like candidates on a corpus with real divergence") {
+    import spark.implicits._
+    // Planted corpora with genuinely different token distributions: the
+    // "domain" dialect leans on vocab A, the "crawl" dialect on vocab B,
+    // with shared stopwords so the tables overlap like real corpora.
+    val rnd = new scala.util.Random(7)
+    val shared = Vector("the", "a", "of")
+    val vocabA = Vector("atlas", "axiom", "amber", "arrow", "anvil")
+    val vocabB = Vector("basalt", "bravo", "bison", "briar", "banner")
+    def doc(lean: Vector[String], other: Vector[String]): String =
+      Seq.fill(40)(rnd.nextInt(10) match {
+        case d if d < 3 => shared(rnd.nextInt(shared.length))
+        case d if d < 9 => lean(rnd.nextInt(lean.length))
+        case _          => other(rnd.nextInt(other.length))
+      }).mkString(" ")
+    // ids: 0-19 target (domain sample), 20-49 domain-like candidates,
+    // 50-99 crawl-like candidates.
+    val rows = (0L until 100L).map { id =>
+      val domainLike = id < 50
+      (id, if (domainLike) doc(vocabA, vocabB) else doc(vocabB, vocabA))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val out = graft.functions.Dsir
+      .dsirSelectOf(docs, col("doc_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSet == (20L until 100L).toSet, "all candidates scored, no target leak")
+    val (domain, crawl) = out.partition(_._1 < 50)
+    val dMean = domain.map(_._2).sum / domain.length
+    val cMean = crawl.map(_._2).sum / crawl.length
+    assert(dMean > cMean, s"domain-like candidates must outscore crawl-like: $dMean vs $cMean")
+    // the keep gate itself must separate, not just the raw means
+    val dKeep = domain.count(_._3).toDouble / domain.length
+    val cKeep = crawl.count(_._3).toDouble / crawl.length
+    assert(dKeep > 0.9 && cKeep < 0.1,
+      s"keep gate must separate the dialects: domain=$dKeep crawl=$cKeep")
+    // the scores are symmetric evidence: flipping the target to a crawl
+    // sample must flip the ordering with the same machinery
+    val flipped = graft.functions.Dsir
+      .dsirSelectOf(docs, col("doc_id") >= 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val (fCrawl, fDomain) = flipped.partition(_._1 >= 50)
+    assert(fCrawl.map(_._2).sum / fCrawl.length > fDomain.map(_._2).sum / fDomain.length,
+      "flipped target must flip the ordering")
+  }
 }

@@ -108,6 +108,26 @@ class SimilaritySpec extends SparkSpec {
     assert(c1 == c2, "PQ encoding is not deterministic across rebuilds")
   }
 
+  test("kNN graph covers every vector, ranks densely, and agrees with ivfTopK on its query subset") {
+    val g = SparkEntry.queries("q_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(g.map(_._1).distinct.length == n, "every corpus vector must have a neighbor list")
+    g.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length).toSeq, s"q=$q ranks not dense")
+      assert(byRank.length <= graft.similarity.Knn.TopK, s"q=$q too many neighbors")
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-_).toSeq, s"q=$q cos not sorted")
+      assert(rows.forall(_._2 != q), s"q=$q self-pair leaked")
+    }
+    // Same index construction (deterministic sample + seeded k-means) as
+    // ivfTopK: on the shared query subset the two must agree exactly.
+    val sub = g.filter(_._1 < graft.similarity.Knn.NumQueries).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(sub == ivf, "knnGraph diverges from ivfTopK on the shared query subset")
+  }
+
   test("ANN produces ranked top-k per query from bucketed candidates only") {
     val ann = SparkEntry.queries("q_ann_lsh")(spark, sfDir)
     assert(ann.groupBy("q_id").count().filter(col("count") > 5).count() == 0)
