@@ -110,6 +110,9 @@ object SparkEntry {
     "q_quality_freqrank"    -> ((s, d) => graft.functions.QualityFilters.freqRankQuality(s, d)),
     "q_dsir_select"         -> ((s, d) => graft.functions.Dsir.dsirSelect(s, d)),
     "q_corpus_diff"         -> ((s, d) => graft.sources.SnapshotDiff.corpusDiff(s, d)),
+    "q_snapshot_merge"      -> ((s, d) => graft.sources.SnapshotDiff.snapshotMerge(s, d)),
+    "q_corpus_drift"        -> ((s, d) => graft.sources.SnapshotDiff.corpusDrift(s, d)),
+    "q_diversity_sample"    -> ((s, d) => graft.similarity.Diversity.diversitySample(s, d)),
     "q_quality_bigramlm"    -> ((s, d) => graft.functions.QualityFilters.bigramLmQuality(s, d)),
     "q_quality_calibrate"   -> ((s, d) => graft.functions.QualityFilters.calibratedQuality(s, d)),
     "q_quality_tiers"       -> ((s, d) => graft.functions.QualityFilters.scoreTiers(s, d)),
@@ -1232,6 +1235,48 @@ object SparkEntry {
         |)
         |SELECT doc_id, status, source FROM j
         |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // MERGE-apply correctness: the Spark side reconstructs v2 as
+    // v1 anti-join delta-keys ∪ upsert payloads; the oracle derives v2
+    // DIRECTLY from the base table — hash equality proves the merge
+    // mechanics reproduce the target snapshot byte-for-byte
+    "q_snapshot_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END AS text,
+        |  source
+        |FROM documents WHERE doc_id % 29 != 5 ORDER BY doc_id""".stripMargin,
+    // exact per-billion integer rates per snapshot (the Dsir scheme),
+    // signed drift, top-20 absolute movers with token-text tie-break —
+    // every step integer-exact in both engines
+    "q_corpus_drift" ->
+      s"""WITH v1 AS (
+         |  SELECT text FROM documents WHERE doc_id % 23 != 3
+         |), v2 AS (
+         |  SELECT CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 29 != 5
+         |), tk1 AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM v1
+         |), tk2 AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM v2
+         |), c1 AS (
+         |  SELECT tok, count(*) AS cnt1 FROM tk1 GROUP BY tok
+         |  HAVING count(*) >= ${graft.sources.SnapshotDiff.DriftMinCount}
+         |), c2 AS (
+         |  SELECT tok, count(*) AS cnt2 FROM tk2 GROUP BY tok
+         |  HAVING count(*) >= ${graft.sources.SnapshotDiff.DriftMinCount}
+         |), t1 AS (SELECT count(*) AS total1 FROM tk1
+         |), t2 AS (SELECT count(*) AS total2 FROM tk2
+         |), j AS (
+         |  SELECT coalesce(c1.tok, c2.tok) AS tok,
+         |    (1000000000 * coalesce(cnt1, 0)) // total1 AS rate1_pb,
+         |    (1000000000 * coalesce(cnt2, 0)) // total2 AS rate2_pb
+         |  FROM c1 FULL OUTER JOIN c2 ON c1.tok = c2.tok
+         |    CROSS JOIN t1 CROSS JOIN t2
+         |), top AS (
+         |  SELECT tok, rate1_pb, rate2_pb, rate2_pb - rate1_pb AS drift_pb
+         |  FROM j ORDER BY abs(rate2_pb - rate1_pb) DESC, tok
+         |  LIMIT ${graft.sources.SnapshotDiff.DriftTopK}
+         |)
+         |SELECT tok, rate1_pb, rate2_pb, drift_pb FROM top ORDER BY tok""".stripMargin,
     // DSIR as an exact-integer probability-ratio sigmoid: per-billion
     // smoothed token rates p = (1e9*(cnt+1)) // total on each side,
     // importance points = (1000*p_tgt) // (p_tgt + p_raw) - 500, tokens

@@ -107,7 +107,7 @@ class OperatorsSpec extends SparkSpec {
       // seeded JVM hashes / hyperplanes DuckDB can't replicate:
       "q_dedup_minhash_lsh", "q_dedup_simhash", "q_embed_neardup_lsh", "q_ann_lsh",
       // learned k-means cells (non-deterministic across engines):
-      "q_ann_ivf", "q_ann_ivfpq", "q_semdedup", "q_knn_graph",
+      "q_ann_ivf", "q_ann_ivfpq", "q_semdedup", "q_knn_graph", "q_diversity_sample",
       // sketches (approximate by design):
       "q_distinct_agg_approx", "q_percentiles_approx",
       // custom codegen hash / binary decode (spec-verified instead):

@@ -52,4 +52,29 @@ class SnapshotDiffSpec extends SparkSpec {
       assert(!side.output.map(_.name).contains("text"),
         s"join input carries raw text: ${side.output.map(_.name)}")
   }
+
+  test("snapshotMerge reconstructs v2 exactly from v1 plus the delta") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.filter(_._1 % 29 != 5).map { case (id, text, src) =>
+      (id, if (id % 17 == 2) text + " rev2" else text, src)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_snapshot_merge")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == expected, s"merge output diverges from direct v2 (got ${got.size} rows, want ${expected.size})")
+  }
+
+  test("corpusDrift flags the planted revision token as a top mover") {
+    val out = SparkEntry.queries("q_corpus_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length <= graft.sources.SnapshotDiff.DriftTopK)
+    assert(out.map(_._1).distinct.length == out.length, "duplicate tokens in the report")
+    assert(out.forall { case (_, r1, r2, d) => d == r2 - r1 }, "drift must be the signed rate delta")
+    // 'rev2' exists only in the v2 snapshot: rate1 must be 0 and the
+    // mover list must surface it (it is the one genuinely new token).
+    val rev2 = out.find(_._1 == "rev2")
+    assert(rev2.nonEmpty, s"planted revision token missing from movers: ${out.map(_._1).toSeq}")
+    assert(rev2.get._2 == 0 && rev2.get._4 > 0, s"rev2 drift malformed: $rev2")
+  }
 }
