@@ -28,6 +28,7 @@ object GraftSession {
         graft.functions.MinHashExpr.register(ext)
         graft.functions.BpeExpr.register(ext)
         graft.functions.BloomExpr.register(ext)
+        graft.functions.CmsExpr.register(ext)
         ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
       }
       .config("spark.sql.shuffle.partitions", cores.toString)

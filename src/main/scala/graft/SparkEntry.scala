@@ -90,6 +90,7 @@ object SparkEntry {
     "q_doc_fingerprint"    -> ((s, d) => TextFunctions.docFingerprint(s, d)),
     "q_doc_chunk"          -> ((s, d) => TextFunctions.docChunk(s, d)),
     "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
+    "q_vocab_topk_cms"     -> ((s, d) => TextFunctions.vocabTopKCms(s, d)),
     "q_tfidf_search"       -> ((s, d) => TextFunctions.tfidfSearch(s, d)),
     "q_bm25_search"        -> ((s, d) => TextFunctions.bm25Search(s, d)),
     "q_session_stats"      -> (Sessionize.sessionStats _),
@@ -688,6 +689,13 @@ object SparkEntry {
            |  array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text
            |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_vocab_topk" ->
+      raw"""SELECT token, count(*) AS n FROM (
+           |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+           |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // the CMS shortlist + exact-rescore path must emit EXACTLY the true
+    // top-k (sketch selects, exact counts re-order — the oracle is the
+    // same exact query as q_vocab_topk)
+    "q_vocab_topk_cms" ->
       raw"""SELECT token, count(*) AS n FROM (
            |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
            |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,

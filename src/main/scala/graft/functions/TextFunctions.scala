@@ -302,6 +302,78 @@ object TextFunctions {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
 
+  /** CMS error width (relative to total token count) and confidence.
+    * width = ceil(2/eps) counters × depth = ceil(ln(1/(1-conf))) rows —
+    * 4000×5 ints ≈ 80 KB here. At 100 TB the knob that matters is
+    * eps·N vs the count GAP around rank `RescoreDepth` (not around rank
+    * k — the rescore absorbs everything above it): a 1e-5 eps sketch is
+    * still only ~4 MB, far under the bloom clamp precedent.
+    */
+  val CmsEps = 5e-4
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** Candidate universe sample: 1-in-SampleMod docs by hashed doc_id.
+    * Any global top-k token appears in a constant FRACTION of documents
+    * (top-50 of a corpus vocabulary is stopword-scale), so a fixed-rate
+    * doc sample contains it with probability ~1 independent of corpus
+    * size.
+    */
+  val CmsSampleMod = 10
+
+  /** Shortlist depth that pays the exact rescore (the RerankDepth
+    * pattern from IVF-PQ: the sketch SELECTS, exact counts RE-ORDER).
+    */
+  val CmsRescoreDepth = 200
+
+  /** #32t approximate-but-exact heavy hitters: the scale path for
+    * vocabulary top-k when the vocabulary itself is too large to
+    * shuffle (n-gram vocabularies at 100 TB run to billions of keys —
+    * `vocabTopK`'s full groupBy moves all of them; this moves ≤
+    * RescoreDepth rows per task).
+    *
+    * Three bounded passes:
+    *   1. ONE count-min sketch over the hashed token stream — a single
+    *      partial-aggregated row, no shuffle of token keys at all;
+    *   2. candidate universe = distinct tokens of a 1-in-SampleMod doc
+    *      sample, point-estimated against the sketch
+    *      (`graft_cms_estimate`, deserialized once per task), shortlist
+    *      = top RescoreDepth by estimate;
+    *   3. exact rescore: corpus re-scan joined (broadcast) to the
+    *      shortlist, exact counts for ≤ RescoreDepth keys — map-side
+    *      combine shrinks the shuffle to ≤ RescoreDepth rows per task.
+    *
+    * The output is EXACTLY the true top-k (same oracle as
+    * `q_vocab_topk`): CMS never undercounts, so a true heavy hitter
+    * can only miss the shortlist if > RescoreDepth−k other tokens
+    * overcount past it — absorbed by the 4× depth margin (and pinned
+    * by the equality spec). Keys are xxhash64 longs end-to-end with
+    * the exemplar string carried on the bounded frames only.
+    */
+  def vocabTopKCms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def tokens(df: DataFrame): DataFrame =
+      df.select(explode(toks(col("text"))).as("token"))
+        .select(col("token"), xxhash64(col("token")).as("tokh"))
+    val sketch = tokens(docs)
+      .agg(call_function("count_min_sketch",
+        col("tokh"), lit(CmsEps), lit(CmsConfidence), lit(CmsSeed)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val shortlist = tokens(docs.filter(pmod(xxhash64(col("doc_id")), lit(CmsSampleMod)) === 0))
+      .distinct()
+      .withColumn("est", call_function("graft_cms_estimate", lit(sketch), col("tokh")))
+      .orderBy(col("est").desc, col("token").asc)
+      .limit(CmsRescoreDepth)
+    tokens(docs)
+      .drop("token")
+      .join(broadcast(shortlist.select("tokh", "token")), "tokh")
+      .groupBy("tokh", "token")
+      .agg(count(lit(1)).as("n"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+  }
+
   /** Oracle-side SQL fragments (kept next to the marker tables so the
     * two engines can never drift).
     */

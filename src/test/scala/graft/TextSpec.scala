@@ -127,4 +127,68 @@ class TextSpec extends SparkSpec {
     assert(corpus.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() == 0)
     assert(corpus.filter(col("n_distinct") > col("n_grams")).count() == 0)
   }
+
+  test("CMS heavy hitters equal the exact top-k, and estimates never undercount") {
+    val exact = SparkEntry.queries("q_vocab_topk")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaCms = SparkEntry.queries("q_vocab_topk_cms")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaCms == exact,
+      s"CMS shortlist + exact rescore must emit exactly the true top-k")
+    // the one-sided CMS guarantee, probed through the expression: every
+    // token's estimate >= its exact corpus count
+    import org.apache.spark.sql.functions.{call_function, explode, lit, split, xxhash64}
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .select(col("token"), xxhash64(col("token")).as("tokh"))
+    val sketch = toks
+      .agg(call_function("count_min_sketch",
+        col("tokh"),
+        lit(graft.functions.TextFunctions.CmsEps),
+        lit(graft.functions.TextFunctions.CmsConfidence),
+        lit(graft.functions.TextFunctions.CmsSeed)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val under = toks.groupBy("tokh").count()
+      .withColumn("est", call_function("graft_cms_estimate", lit(sketch), col("tokh")))
+      .filter(col("est") < col("count"))
+      .count()
+    assert(under == 0, s"$under tokens estimated BELOW their true count — CMS contract broken")
+  }
+
+  test("graft_cms_estimate agrees between codegen and interpreted paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+    val items = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("v").select(xxhash64(col("v")).as("h"))
+    val sketch = items
+      .agg(call_function("count_min_sketch", col("h"), lit(0.001), lit(0.99), lit(7)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val probe = Seq(1L, 2L, 3L, 4L).toDF("v").select(xxhash64(col("v")).as("h"))
+      .withColumn("est", call_function("graft_cms_estimate", lit(sketch), col("h")))
+    val viaCodegen = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // tiny sketch, tiny stream: estimates are exact here
+    assert(viaCodegen.map(_._2) == Seq(1L, 2L, 3L, 0L), s"estimates off: $viaCodegen")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(interpreted == viaCodegen, "codegen/interpreted estimate mismatch")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("graft_cms_estimate rejects a non-constant sketch argument") {
+    import org.apache.spark.sql.functions.{call_function, col => c}
+    val df = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.xxhash64(c("text")).as("h"))
+      .withColumn("b", org.apache.spark.sql.functions.lit(Array[Byte](1, 2)))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      // sha2 of a column is binary-castable but NOT foldable — rejected
+      df.withColumn("bad", call_function("graft_cms_estimate",
+        org.apache.spark.sql.functions.sha2(c("h").cast("string"), 256).cast("binary"),
+        c("h"))).collect()
+    }
+    assert(err.getMessage.contains("constant"), s"wrong rejection: ${err.getMessage}")
+  }
 }
