@@ -91,6 +91,8 @@ object SparkEntry {
     "q_doc_chunk"          -> ((s, d) => TextFunctions.docChunk(s, d)),
     "q_vocab_topk"         -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "q_vocab_topk_cms"     -> ((s, d) => TextFunctions.vocabTopKCms(s, d)),
+    "q_substr_search"      -> ((s, d) => TextFunctions.substrSearch(s, d)),
+    "q_phrase_mine"        -> ((s, d) => TextFunctions.phraseMine(s, d)),
     "q_tfidf_search"       -> ((s, d) => TextFunctions.tfidfSearch(s, d)),
     "q_bm25_search"        -> ((s, d) => TextFunctions.bm25Search(s, d)),
     "q_session_stats"      -> (Sessionize.sessionStats _),
@@ -699,6 +701,39 @@ object SparkEntry {
       raw"""SELECT token, count(*) AS n FROM (
            |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
            |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // the index-probe search must equal a LIKE scan: the phrase is
+    // token-boundary-safe in this vocabulary (verified at every SF), so
+    // substring counting == token-trigram counting
+    "q_substr_search" ->
+      s"""SELECT doc_id,
+         |  (length(text) - length(replace(text, '${graft.functions.TextFunctions.SearchPhrase}', '')))
+         |    // length('${graft.functions.TextFunctions.SearchPhrase}') AS n_hits,
+         |  source
+         |FROM documents
+         |WHERE contains(text, '${graft.functions.TextFunctions.SearchPhrase}')
+         |ORDER BY doc_id""".stripMargin,
+    // word2phrase statistic in exact per-mille integer space; top-20
+    // with phrase tie-break, final total order by phrase
+    "q_phrase_mine" ->
+      s"""WITH tk AS (
+         |  SELECT string_split(text, ' ') AS tk FROM documents
+         |), uni AS (
+         |  SELECT w, count(*) AS cw FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w
+         |), bi AS (
+         |  SELECT w1, w2, count(*) AS n_pair FROM (
+         |    SELECT tk[i] AS w1, tk[i + 1] AS w2
+         |    FROM tk, unnest(range(1, len(tk))) AS t(i)
+         |  ) GROUP BY w1, w2 HAVING count(*) >= ${graft.functions.TextFunctions.PhraseMinCount}
+         |), n AS (SELECT sum(cw) AS nt FROM uni
+         |), s AS (
+         |  SELECT w1 || ' ' || w2 AS phrase, n_pair,
+         |    (1000 * (n_pair - ${graft.functions.TextFunctions.PhraseDiscount}) * nt) // (a.cw * b.cw) AS score
+         |  FROM bi JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w CROSS JOIN n
+         |), top AS (
+         |  SELECT phrase, n_pair, score FROM s
+         |  ORDER BY score DESC, phrase LIMIT ${graft.functions.TextFunctions.PhraseTopK}
+         |)
+         |SELECT phrase, n_pair, score FROM top ORDER BY phrase""".stripMargin,
     // DuckDB has no equivalent of Spark's seeded xxhash64, so the
     // MinHash/SimHash variants are rows-checked (plus ScalaTest parity
     // with the exact operators); the exact dedup family is SQL-matched.

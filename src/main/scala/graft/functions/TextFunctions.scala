@@ -374,6 +374,108 @@ object TextFunctions {
       .limit(50)
   }
 
+  /** Search phrase for `q_substr_search` — 3 tokens, the standing
+    * shingle index width, so the published-index probe path applies.
+    * Token-boundary-safe in this vocabulary (no vocab word is a prefix
+    * or suffix of another across a space), so substring counting and
+    * token-trigram counting agree — verified against the oracle at
+    * every SF.
+    */
+  val SearchPhrase = "query filter part"
+
+  /** #32u exact phrase search: which documents contain a given phrase,
+    * and how often — contamination forensics, takedown compliance, and
+    * eval-overlap spot checks all reduce to this. The naive engine
+    * answer is a LIKE scan of every text byte; the lake answer is an
+    * INDEX PROBE: the standing shingle index (already published for
+    * dedup) maps xxhash64(3-gram) → doc_id, so the phrase hash prunes
+    * to candidate docs WITHOUT a corpus scan, and only candidates pay
+    * the exact position count (the index stores per-doc distinct
+    * shingles — membership, not positions). Inline mode computes the
+    * same shape scan-side, keeping Verify self-contained.
+    *
+    * Exactness: the hash prune can only over-admit (collision), never
+    * miss; the per-candidate exact trigram count filters n_hits > 0, so
+    * collisions cannot forge a hit. Output == the oracle's LIKE scan.
+    */
+  def substrSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // Engine-computed phrase hash: bit-identical to the index's
+    // xxhash64 keys by construction.
+    val phraseHash = spark.range(1)
+      .select(xxhash64(lit(SearchPhrase)).as("h")).head().getLong(0)
+    val candidates = (graft.sources.Artifacts.rootDir(spark) match {
+      case Some(_) =>
+        val (sh, _) = graft.dedup.Dedup.standingIndex(spark, dir)
+        sh.filter(col("sg") === phraseHash)
+      case None =>
+        graft.dedup.Dedup.shingles(docs)
+          .select(col("doc_id"), xxhash64(col("sg")).as("sg"))
+          .filter(col("sg") === phraseHash)
+    }).select("doc_id").distinct()
+    docs
+      .join(candidates, "doc_id")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .withColumn("n_hits",
+        expr(s"""size(filter(transform(sequence(0, size(tk) - 3),
+               |  i -> concat_ws(' ', slice(tk, i + 1, 3))),
+               |  x -> x = '$SearchPhrase'))""".stripMargin).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select("doc_id", "n_hits", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Phrase-mining floor, discount, and report size (word2phrase's
+    * min_count / discount knobs; Mikolov et al. 2013, "Distributed
+    * Representations of Words and Phrases").
+    */
+  val PhraseMinCount = 5L
+  val PhraseDiscount = 3L
+  val PhraseTopK = 20
+
+  /** #32v collocation mining: rank adjacent word pairs by a PMI-shaped
+    * score — the word2phrase pass that builds a tokenizer's phrase
+    * vocabulary ("new york" as one unit) before BPE training. Score in
+    * exact integer space:
+    *   score = (1000 · (cnt_ab − discount) · N) div (cnt_a · cnt_b)
+    * — the word2phrase statistic scaled per-mille instead of through
+    * floats (int64 headroom: 1000·N² must fit, good to N ≈ 3e6 tokens
+    * per shard-scope; at corpus scale run per partition-of-vocabulary
+    * or lift to DECIMAL(38) — the ranking is unchanged).
+    *
+    * Scale shape: one corpus-scale bigram count and one unigram count
+    * (both map-side combined, keyed on the pair/word), the floor bounds
+    * the bigram table to heavy pairs, both score joins are
+    * vocabulary-scale broadcasts, the total is a 1-row broadcast, and
+    * top-K runs on the bounded scored frame.
+    */
+  def phraseMine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tk = docs.select(split(col("text"), " ").as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = tk
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("s"))
+      .select(col("s.w1").as("w1"), col("s.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= PhraseMinCount)
+    val total = uni.agg(sum("cw").as("nt"))
+    bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cb"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(
+        concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+        col("n_pair"),
+        expr(s"(1000 * (n_pair - $PhraseDiscount) * nt) div (ca * cb)").as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(PhraseTopK)
+      .orderBy("phrase")
+  }
+
   /** Oracle-side SQL fragments (kept next to the marker tables so the
     * two engines can never drift).
     */

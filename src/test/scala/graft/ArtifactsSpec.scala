@@ -175,6 +175,24 @@ class ArtifactsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("substrSearch probes the published index and stays equal to the inline scan") {
+    spark.catalog.clearCache()
+    val inline = graft.functions.TextFunctions.substrSearch(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    withRoot { root =>
+      assert(graft.functions.TextFunctions.substrSearch(spark, sfDir)
+        .collect().map(_.toSeq).toSeq == inline)
+      assert(new java.io.File(s"$root/shingle_index_sh").exists(),
+        "search did not route through the standing index")
+      spark.catalog.clearCache()
+      // second run consumes the committed parquet
+      assert(graft.functions.TextFunctions.substrSearch(spark, sfDir)
+        .collect().map(_.toSeq).toSeq == inline)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("leakageSafeSplit: published-cluster mode returns rows identical to inline mode") {
     val inline = Splits.leakageSafeSplit(spark, sfDir).collect().map(_.toSeq).toSeq
     spark.catalog.clearCache()

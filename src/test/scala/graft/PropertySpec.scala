@@ -193,6 +193,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DSIR scores match a plain-Scala model on random corpora") {
+    import spark.implicits._
+    val floor = graft.functions.Dsir.FeatureMinCount
+    for (trial <- 1 to 3) {
+      val corpus = randomCorpus(40)
+      val isTgt = (id: Long) => id % 3 == 0
+      val tokensOf = (s: String) => s.split(" ", -1).toSeq
+      val tgtToks = corpus.filter(c => isTgt(c._1)).flatMap(c => tokensOf(c._2))
+      val rawToks = corpus.filterNot(c => isTgt(c._1)).flatMap(c => tokensOf(c._2))
+      val cntT = tgtToks.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= floor).toMap
+      val cntR = rawToks.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= floor).toMap
+      val (totT, totR) = (tgtToks.size.toLong, rawToks.size.toLong)
+      def pts(tok: String): Long =
+        if (!cntT.contains(tok) && !cntR.contains(tok)) 0L
+        else {
+          val pT = (1000000000L * (cntT.getOrElse(tok, 0L) + 1)) / totT
+          val pR = (1000000000L * (cntR.getOrElse(tok, 0L) + 1)) / totR
+          (1000L * pT) / (pT + pR) - 500L
+        }
+      val expected = corpus.filterNot(c => isTgt(c._1)).map { case (id, text) =>
+        val tk = tokensOf(text)
+        val sum = tk.map(pts).sum
+        val score = math.floor(sum.toDouble / tk.size * 10000 + 0.5) / 10000
+        (id, tk.size.toLong, score, score >= graft.functions.Dsir.KeepMin)
+      }.toSet
+      val got = graft.functions.Dsir
+        .dsirSelectOf(corpus.toDF("doc_id", "text"), pmod(col("doc_id"), lit(3)) === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+      spark.catalog.clearCache()
+      assert(got == expected,
+        s"trial $trial: diff=${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
+    }
+  }
+
   test("shuffle-key formula: random salt pairs give decorrelated orders over small id ranges") {
     // The epoch-reshuffle contract, checked on the FORMULA across many
     // salt pairs (the Spark-level spec covers one pair): for any two

@@ -155,6 +155,45 @@ class TextSpec extends SparkSpec {
     assert(under == 0, s"$under tokens estimated BELOW their true count — CMS contract broken")
   }
 
+  test("substr search equals a contains() scan, with exact hit counts") {
+    val phrase = graft.functions.TextFunctions.SearchPhrase
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("text").contains(phrase))
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val toks = text.split(" ", -1)
+        val hits = (0 to toks.length - 3)
+          .count(i => toks.slice(i, i + 3).mkString(" ") == phrase)
+        (id, hits.toLong)
+      }.toMap
+    val got = SparkEntry.queries("q_substr_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected, s"search mismatch: got=${got.size} want=${expected.size}")
+    assert(got.nonEmpty, "phrase must hit at this SF (picked to hit at every SF)")
+  }
+
+  test("phrase mining matches a plain-Scala word2phrase model") {
+    val texts = Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = uni.values.sum
+    val floor = graft.functions.TextFunctions.PhraseMinCount
+    val delta = graft.functions.TextFunctions.PhraseDiscount
+    val bi = toks.flatMap(t => t.zip(t.tail)).groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 >= floor).toMap
+    val scored = bi.toSeq.map { case ((w1, w2), cab) =>
+      (s"$w1 $w2", cab, (1000L * (cab - delta) * nt) / (uni(w1) * uni(w2)))
+    }
+    val expected = scored
+      .sortBy { case (p, _, s) => (-s, p) }
+      .take(graft.functions.TextFunctions.PhraseTopK)
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q_phrase_mine")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"phrase mining diverges: got=${got.take(3)} want=${expected.take(3)}")
+  }
+
   test("graft_cms_estimate agrees between codegen and interpreted paths") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
