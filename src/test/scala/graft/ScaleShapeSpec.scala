@@ -132,6 +132,58 @@ class ScaleShapeSpec extends SparkSpec {
       s"keeper selection must window within clusters, not globally:\n$plan")
   }
 
+  test("dsirSelect: model tables broadcast, token shuffles key on hashes, no corpus-scale window") {
+    val df = SparkEntry.queries("q_dsir_select")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the two model joins and both totals must broadcast back to the
+    // candidate token stream — a shuffle join against a vocabulary-scale
+    // table would re-shuffle the corpus twice at 100 TB
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 3,
+      s"model/total joins must broadcast:\n$plan")
+    // token-keyed exchanges move xxhash64 longs, never token strings
+    assert(!plan.contains("hashpartitioning(tok#") && !plan.contains("hashpartitioning(tok,"),
+      s"an exchange keys on the raw token string:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"DSIR needs no window at all — rank machinery crept back in:\n$plan")
+  }
+
+  test("vocabTopKCms: the rescore joins broadcast; no full-vocabulary exchange on strings") {
+    val df = SparkEntry.queries("q_vocab_topk_cms")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"shortlist rescore must broadcast-join the corpus scan:\n$plan")
+  }
+
+  test("snapshotMerge: the delta anti-join broadcasts; no corpus-wide shuffle of v1") {
+    val df = SparkEntry.queries("q_snapshot_merge")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"v1 must stream through a broadcast anti-join on the delta keys:\n$plan")
+  }
+
+  test("phraseMine: score joins broadcast the unigram tables") {
+    val df = SparkEntry.queries("q_phrase_mine")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both unigram joins must broadcast:\n$plan")
+  }
+
+  test("diversitySample and knnGraph: ranking windows stay cell-bounded, never global") {
+    for (name <- Seq("q_diversity_sample", "q_knn_graph")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert("windowspecdefinition\\((cell|q_id)".r.findAllIn(plan).nonEmpty,
+        s"$name: ranking window must partition by cell/q_id:\n$plan")
+      assert(!"windowspecdefinition\\(\\s*(rnk|cos)".r.findAllIn(plan).hasNext,
+        s"$name: found an unpartitioned window:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val path = Files.createTempDirectory("graft_prune").toString + "/events"
     ParquetSink.writePartitioned(
