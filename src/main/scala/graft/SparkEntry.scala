@@ -101,6 +101,7 @@ object SparkEntry {
     "q_stats_history_composite" -> (StatsHistory.statsComposite _),
     "q_feature_bins"        -> (Features.featureBins _),
     "q_corr_matrix"         -> (Features.corrMatrix _),
+    "q_stats_merge"         -> (Features.statsMerge _),
     "q_line_dedup"          -> ((s, d) => graft.dedup.LineDedup.lineDedup(s, d)),
     "q_pii_redact"          -> ((s, d) => graft.functions.QualityFilters.piiRedact(s, d)),
     "q_quality_gopher"      -> ((s, d) => graft.functions.QualityFilters.gopherQuality(s, d)),
@@ -727,7 +728,7 @@ object SparkEntry {
          |), n AS (SELECT sum(cw) AS nt FROM uni
          |), s AS (
          |  SELECT w1 || ' ' || w2 AS phrase, n_pair,
-         |    (1000 * (n_pair - ${graft.functions.TextFunctions.PhraseDiscount}) * nt) // (a.cw * b.cw) AS score
+         |    CAST((1000 * (n_pair - ${graft.functions.TextFunctions.PhraseDiscount}) * nt) // (a.cw * b.cw) AS BIGINT) AS score
          |  FROM bi JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w CROSS JOIN n
          |), top AS (
          |  SELECT phrase, n_pair, score FROM s
@@ -1043,6 +1044,22 @@ object SparkEntry {
         |         * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
         |    * 10000 + 0.5) / 10000 AS corr_price_disc
         |FROM a""".stripMargin,
+    // the merge path (partial states unioned and re-aggregated) must
+    // equal the single-pass direct stats bit-for-bit — double operation
+    // order mirrored exactly (see Features.statsMerge)
+    "q_stats_merge" ->
+      """WITH s AS (
+        |  SELECT source, len(string_split(text, ' ')) AS len FROM documents
+        |), a AS (
+        |  SELECT source, count(*) AS n, sum(len) AS total_len,
+        |    min(len) AS min_len, max(len) AS max_len, sum(len * len) AS ss
+        |  FROM s GROUP BY source
+        |)
+        |SELECT source, n, CAST(total_len AS BIGINT) AS total_len, min_len, max_len,
+        |  floor(CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_len,
+        |  floor((CAST(ss AS DOUBLE) - CAST(total_len AS DOUBLE) * CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS var_len
+        |FROM a ORDER BY source""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,

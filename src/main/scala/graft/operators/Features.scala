@@ -71,4 +71,46 @@ object Features {
       corrOf("sxz", "sx", "sz", "sxx", "szz").as("corr_qty_disc"),
       corrOf("syz", "sy", "sz", "syy", "szz").as("corr_price_disc"))
   }
+
+  /** #43b mergeable per-source statistics: corpus stats maintained by
+    * MERGING partial aggregate states instead of re-scanning — the
+    * algebraic-aggregate pattern behind every incremental stats job
+    * (count/sum/min/max/sum-of-squares are commutative monoids, so
+    * stats(base ∪ delta) = merge(stats(base), stats(delta)) exactly).
+    * At 100 TB the base's partial state is a lake-resident few-KB table
+    * and a daily refresh costs one DELTA scan; the oracle computes the
+    * stats DIRECTLY over the full corpus, so the hash compare proves
+    * the merge path bit-identical to the single-pass answer — including
+    * the derived mean/variance doubles, whose operation order is
+    * mirrored exactly on both engine sides.
+    *
+    * Scale shape: two slice scans each map-side combine to a
+    * sources-scale partial frame; the merge is a union + re-aggregate
+    * of those tiny frames — no corpus-scale shuffle anywhere (the
+    * groupBy keys carry ~5 distinct values; AQE coalesces to trivial
+    * tasks).
+    */
+  def statsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+    val isBase = pmod(col("doc_id"), lit(23)) =!= 3
+    def partial(side: DataFrame): DataFrame =
+      side.groupBy("source").agg(
+        count(lit(1)).as("n"), sum("len").as("s"),
+        min("len").as("mn"), max("len").as("mx"),
+        sum(col("len") * col("len")).as("ss"))
+    val merged = partial(docs.filter(isBase))
+      .unionByName(partial(docs.filter(!isBase)))
+      .groupBy("source").agg(
+        sum("n").as("n"), sum("s").as("total_len"),
+        min("mn").as("min_len"), max("mx").as("max_len"),
+        sum("ss").as("ss"))
+    def d(c: String) = col(c).cast("double")
+    merged.select(
+      col("source"), col("n"), col("total_len"), col("min_len"), col("max_len"),
+      Num.round4(d("total_len") / d("n")).as("mean_len"),
+      Num.round4((d("ss") - d("total_len") * d("total_len") / d("n")) / d("n")).as("var_len"))
+      .orderBy("source")
+  }
 }

@@ -61,4 +61,26 @@ class FeaturesSpec extends SparkSpec {
       assert(math.abs(v - ref.getDouble(refIdx)) < 1e-3, s"$name: $v vs ${ref.getDouble(refIdx)}")
     }
   }
+
+  test("statsMerge equals the direct single-pass aggregation exactly") {
+    import org.apache.spark.sql.functions._
+    val direct = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n"), sum("len").as("total_len"),
+        min("len").as("min_len"), max("len").as("max_len"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val merged = SparkEntry.queries("q_stats_merge")(spark, sfDir)
+      .select("source", "n", "total_len", "min_len", "max_len")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(merged == direct, "partial-state merge diverges from the direct aggregation")
+    // variance is non-negative and mean sits inside [min, max]
+    val full = SparkEntry.queries("q_stats_merge")(spark, sfDir).collect()
+    full.foreach { r =>
+      assert(r.getDouble(6) >= 0.0, s"negative variance: $r")
+      assert(r.getDouble(5) >= r.getLong(3) && r.getDouble(5) <= r.getLong(4), s"mean outside [min,max]: $r")
+    }
+  }
 }
