@@ -29,7 +29,10 @@ object Bench {
     */
   val ArtifactConsumers: Set[String] =
     Set("q_split_leakage_safe", "q_dedup_delta", "q_cluster_delta", "q_dedup_keep_best",
-      "q_decontaminate_bloom")
+      "q_decontaminate_bloom",
+      // vector-index consumers (r10): coarse centroids/assignments and
+      // PQ codebook/codes are lake-resident in published mode
+      "q_knn_graph", "q_diversity_sample", "q_ann_ivfpq", "q_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,17 +43,22 @@ object Diversity {
     */
   val Budget = 200L
 
-  def diversitySample(spark: SparkSession, dir: String): DataFrame =
-    diversitySampleOf(spark, Knn.vectors(spark, dir))
+  def diversitySample(spark: SparkSession, dir: String): DataFrame = {
+    // Consumes the published coarse index when a root is configured
+    // (the selection is a downstream reader of the SAME index every
+    // family member shares); inline otherwise.
+    val (assigned, idx) = IvfAnn.coarseFor(spark, dir)
+    selectFrom(assigned.select(col("vec_id"), col("u"), col("cell")), idx.centroids)
+  }
 
   private[graft] def diversitySampleOf(spark: SparkSession, vectors: DataFrame): DataFrame = {
-    import spark.implicits._
     val (v, model) = IvfAnn.indexOf(vectors)
-    val assigned = model.transform(v).select(col("vec_id"), col("u"), col("cell"))
-    val centroidsDf = model.clusterCenters.zipWithIndex
-      .map { case (c, j) => (j, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
+    selectFrom(
+      model.transform(v).select(col("vec_id"), col("u"), col("cell")),
+      IvfAnn.coarseIndexOf(spark, model).centroids)
+  }
+
+  private def selectFrom(assigned: DataFrame, centroidsDf: DataFrame): DataFrame = {
 
     // √-flattened quotas on the cells-row count frame: exact integer
     // arithmetic (floor-√ via the repo's isqrt convention is overkill

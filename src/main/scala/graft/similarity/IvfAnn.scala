@@ -66,29 +66,98 @@ object IvfAnn {
     */
   private[graft] def trainCapFor(cells: Int): Int = math.max(4096, 8 * cells)
 
+  /** Normalized + staged vector frame (vec_id, e, norm, u, fv) — the
+    * ONE embeddings materialization every family member builds on.
+    */
+  private[graft] def stagedUnit(vectors: DataFrame): DataFrame =
+    graft.Staging.staged(
+      vectors
+        .withColumn("u", expr("transform(e, x -> x / norm)"))
+        .withColumn("fv", array_to_vector(col("u"))),
+      "ivf")
+
+  private[graft] def fitCoarse(v: DataFrame): KMeansModel = {
+    val cells = numCellsFor(v.count())
+    val train = v.orderBy(xxhash64(col("vec_id"))).limit(trainCapFor(cells)).coalesce(1)
+    new KMeans()
+      .setK(cells).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(train)
+  }
+
   /** The ONE index build the query path and the balance/derivation specs
     * all use: normalized+staged vectors and the fitted coarse quantizer
     * (k derived from the staged frame's count — the count is a cheap
     * aggregate over the already-materialized stage).
     */
   private[graft] def indexOf(vectors: DataFrame): (DataFrame, KMeansModel) = {
-    // Unit vectors for the quantizer; originals kept for exact scoring.
-    val v = graft.Staging.staged(
-      vectors
-        .withColumn("u", expr("transform(e, x -> x / norm)"))
-        .withColumn("fv", array_to_vector(col("u"))),
-      "ivf")
-    val cells = numCellsFor(v.count())
-    val train = v.orderBy(xxhash64(col("vec_id"))).limit(trainCapFor(cells)).coalesce(1)
-    val model = new KMeans()
-      .setK(cells).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(train)
-    (v, model)
+    val v = stagedUnit(vectors)
+    (v, fitCoarse(v))
   }
 
   private def index(spark: SparkSession, dir: String): (DataFrame, KMeansModel) =
     indexOf(Knn.vectors(spark, dir))
+
+  /** The coarse quantizer as DATA — (cell, centroid, cnorm2) rows plus
+    * the cell count — the form a lake-resident index takes and the only
+    * thing `probeCells` actually needs (a fitted model object is a
+    * training-time artifact; probing is pure data).
+    */
+  private[graft] case class CoarseIndex(centroids: DataFrame, k: Int)
+
+  private[graft] def coarseIndexOf(spark: SparkSession, model: KMeansModel): CoarseIndex = {
+    import spark.implicits._
+    val df = model.clusterCenters.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
+    CoarseIndex(df, model.getK)
+  }
+
+  /** Version tag for the published coarse index (bump on any change to
+    * cell derivation, seeding, or training-sample contract).
+    */
+  val IndexArtifactVersion = "ivf-coarse-sqrtcells-seed42-v1"
+
+  /** Coarse index + assigned corpus via the Artifacts contract — the
+    * production shape: the quantizer is TRAINED ONCE, its centroids and
+    * corpus assignments are published, and every consumer (kNN graph,
+    * SemDeDup, diversity sampling, IVF-PQ's coarse stage) reads the
+    * committed parquet instead of re-fitting k-means per query.
+    * `q_ann_ivf` deliberately stays inline as the timed build authority
+    * (the q_dedup_jaccard_prefix convention). Without a root everything
+    * computes inline and stays self-contained.
+    *
+    * The k-means fit is LAZY: with both artifacts already published, no
+    * training happens at all — consumers pay one slim (vec_id, cell)
+    * join against the staged scan (at 100 TB: one shuffle of 12-byte
+    * rows, vs re-training + re-assigning per consumer).
+    *
+    * Returns (assigned frame (vec_id, e, norm, u, cell), CoarseIndex).
+    */
+  private[graft] def coarseFor(spark: SparkSession, dir: String): (DataFrame, CoarseIndex) = {
+    val v = stagedUnit(Knn.vectors(spark, dir))
+    graft.sources.Artifacts.rootDir(spark) match {
+      case Some(_) =>
+        lazy val model = fitCoarse(v) // forced only on artifact miss
+        val deps = Seq(s"$dir/embeddings.parquet")
+        val centroids = graft.sources.Artifacts.publishedOrCompute(
+          spark, "ivf_centroids", IndexArtifactVersion, deps)(
+          coarseIndexOf(spark, model).centroids.select("cell", "centroid"))
+        val assignments = graft.sources.Artifacts.publishedOrCompute(
+          spark, "ivf_assignments", IndexArtifactVersion, deps)(
+          model.transform(v).select(col("vec_id"), col("cell")))
+        val idx = CoarseIndex(
+          centroids.withColumn("cnorm2", expr("graft_dot(centroid, centroid)")),
+          centroids.count().toInt)
+        (v.join(assignments, "vec_id")
+          .select(col("vec_id"), col("e"), col("norm"), col("u"), col("cell")), idx)
+      case None =>
+        val model = fitCoarse(v)
+        (model.transform(v).select(col("vec_id"), col("e"), col("norm"), col("u"), col("cell")),
+          coarseIndexOf(spark, model))
+    }
+  }
 
   /** Probed (query, cell) pairs for a query-side frame: rank every
     * coarse centroid per query, keep the nprobe nearest. Centroids enter
@@ -104,16 +173,15 @@ object IvfAnn {
     * the same frame; extra query-side columns pass through untouched.
     */
   private[graft] def probeCells(
-      spark: SparkSession, queries: DataFrame, model: KMeansModel): DataFrame = {
-    import spark.implicits._
-    val nProbes = numProbesFor(model.getK)
-    val centroidsDf = model.clusterCenters.zipWithIndex
-      .map { case (c, j) => (j, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
+      spark: SparkSession, queries: DataFrame, model: KMeansModel): DataFrame =
+    probeCells(spark, queries, coarseIndexOf(spark, model))
+
+  private[graft] def probeCells(
+      spark: SparkSession, queries: DataFrame, index: CoarseIndex): DataFrame = {
+    val nProbes = numProbesFor(index.k)
     val wCell = Window.partitionBy("q_id").orderBy(col("score").asc, col("cell").asc)
     queries
-      .crossJoin(broadcast(centroidsDf))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("score", col("cnorm2") - lit(2d) * expr("graft_dot(u, centroid)"))
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= nProbes)
@@ -165,15 +233,12 @@ object IvfAnn {
     * emitted cosines are exact (round4'd for output stability).
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val (v, model) = index(spark, dir)
-    val assigned = graft.Staging.staged(
-      model.transform(v)
-        .select(col("vec_id"), col("e"), col("norm"), col("u"), col("cell")),
-      "knn_graph_assigned")
+    val (assignedRaw, idx) = coarseFor(spark, dir)
+    val assigned = graft.Staging.staged(assignedRaw, "knn_graph_assigned")
     val probes = probeCells(
       spark,
       assigned.select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u")),
-      model)
+      idx)
       .select("q_id", "qe", "qn", "cell")
     val scored = probes
       .join(
@@ -198,10 +263,8 @@ object IvfAnn {
     * assignment, and downstream exact scoring: a consumer that re-reads
     * the table to recover e/norm doubles the corpus read at 100 TB.
     */
-  private[graft] def assignedVectors(spark: SparkSession, dir: String): DataFrame = {
-    val (v, model) = index(spark, dir)
-    model.transform(v).select(col("vec_id"), col("e"), col("norm"), col("cell"))
-  }
+  private[graft] def assignedVectors(spark: SparkSession, dir: String): DataFrame =
+    coarseFor(spark, dir)._1.select(col("vec_id"), col("e"), col("norm"), col("cell"))
 
   /** Corpus cell assignment alone, exposed for the cell-balance spec —
     * same build as ivfTopK by construction.

@@ -79,9 +79,17 @@ object IvfPq {
     val m = subspacesFor(d)
     val dsub = d / m
     val kPq = numCodesFor(v.count())
+    (v, coarse, fitCodebooks(v, kPq, m, dsub), dsub)
+  }
+
+  /** Train the m per-subspace codebooks on a hash-ordered capped sample
+    * of any frame carrying a unit-vector column `u`.
+    */
+  private[graft] def fitCodebooks(
+      v: DataFrame, kPq: Int, m: Int, dsub: Int): Array[KMeansModel] = {
     val train = v
       .orderBy(xxhash64(col("vec_id")))
-      .limit(IvfAnn.trainCapFor(coarse.getK))
+      .limit(math.max(4096, 8 * kPq))
       .coalesce(1)
     // Materialize the subspaced sample ONCE: the m fits would otherwise
     // each replay the sort+limit over the staged corpus frame, and fit
@@ -122,7 +130,21 @@ object IvfPq {
         pool.shutdown()
         withSubs.unpersist(blocking = false)
       }
-    (v, coarse, models, dsub)
+    models
+  }
+
+  /** Corpus PQ codes alone: (vec_id, codes) via the m chained per-row
+    * predictions — no coarse assignment involved (codes depend only on
+    * the subspace codebooks).
+    */
+  private[graft] def encodeCodes(
+      v: DataFrame, models: Array[KMeansModel], dsub: Int): DataFrame = {
+    val m = models.length
+    val withSubs = (0 until m).foldLeft(v) { (df, j) =>
+      df.withColumn(s"fv$j", array_to_vector(expr(s"slice(u, ${j * dsub + 1}, $dsub)")))
+    }
+    models.foldLeft(withSubs)((df, mj) => mj.transform(df))
+      .select(col("vec_id"), array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
   }
 
   /** Corpus encoding: (vec_id, e, norm, cell, codes) with codes an
@@ -142,19 +164,79 @@ object IvfPq {
       array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
   }
 
+  /** Version tag for the published PQ artifacts (codebook + codes). */
+  val PqArtifactVersion = "ivfpq-msub-kpq-sqrtn-seed42-randominit-v1"
+
   /** Top-k approximate neighbors, ADC-selected and exactly reranked —
     * same query set and output shape as `Knn.bruteTopK` / `IvfAnn
     * .ivfTopK`, so recall is directly comparable across the family.
+    *
+    * With an artifacts root, the ENTIRE index is lake-resident: the
+    * coarse centroids + assignments come from `IvfAnn.coarseFor`, and
+    * the PQ codebook + corpus codes are published once (`pq_codebook`
+    * rows (subspace, code, centroid); `pq_codes` rows (vec_id, codes)).
+    * A later query session fits NOTHING and encodes NOTHING — it reads
+    * four small-to-slim parquet tables and goes straight to probing,
+    * which is precisely how a production vector index deploys. Inline
+    * without a root (the timed build stays self-contained).
     */
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.rootDir(spark) match {
+      case Some(_) => ivfPqTopKPublished(spark, dir)
+      case None    => ivfPqTopKInline(spark, dir)
+    }
+
+  private def ivfPqTopKInline(spark: SparkSession, dir: String): DataFrame = {
     val (v, coarse, models, dsub) = indexOf(Knn.vectors(spark, dir))
     val m = models.length
     val kPq = models.head.getK
     val encoded = encodedOf(v, coarse, models, dsub)
-    // Flat codebook literal: cb[(j·k_pq + c)·dsub + t] = element t of
-    // centroid c of subspace j. ONE bounded array literal (≤ 128 KB).
     val flatCb: Array[Double] =
       models.flatMap(_.clusterCenters.flatMap(_.toArray))
+    adcQuery(spark, v, encoded, IvfAnn.coarseIndexOf(spark, coarse), flatCb, m, kPq, dsub)
+  }
+
+  private def ivfPqTopKPublished(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, idx) = IvfAnn.coarseFor(spark, dir)
+    val d = assigned.select(size(col("u"))).head().getInt(0)
+    val m = subspacesFor(d)
+    val dsub = d / m
+    val deps = Seq(s"$dir/embeddings.parquet")
+    // Codebooks train only on artifact miss; the lazy is shared by both
+    // closures, so a cold publish pays ONE training round.
+    lazy val models = fitCodebooks(assigned, numCodesFor(assigned.count()), m, dsub)
+    val codebook = graft.sources.Artifacts.publishedOrCompute(
+      spark, "pq_codebook", PqArtifactVersion, deps)(
+      models.zipWithIndex.flatMap { case (mj, j) =>
+        mj.clusterCenters.zipWithIndex.map { case (c, code) => (j, code, c.toArray) }
+      }.toSeq.toDF("subspace", "code", "centroid"))
+    val codes = graft.sources.Artifacts.publishedOrCompute(
+      spark, "pq_codes", PqArtifactVersion, deps)(
+      encodeCodes(assigned, models, dsub))
+    val kPq = codebook.agg(max("code")).head().getInt(0) + 1
+    val flatCb: Array[Double] = codebook.orderBy("subspace", "code")
+      .select("centroid").collect().flatMap(_.getSeq[Double](0))
+    val encoded = assigned
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("e"), col("norm"), col("cell"), col("codes"))
+    adcQuery(spark, assigned, encoded, idx, flatCb, m, kPq, dsub)
+  }
+
+  /** The shared ADC + exact-rerank query tail. `v` supplies the query
+    * rows (vec_id, e, norm, u); `encoded` the candidate side.
+    */
+  private def adcQuery(
+      spark: SparkSession,
+      v: DataFrame,
+      encoded: DataFrame,
+      idx: IvfAnn.CoarseIndex,
+      flatCb: Array[Double],
+      m: Int,
+      kPq: Int,
+      dsub: Int): DataFrame = {
+    // Flat codebook literal: cb[(j·k_pq + c)·dsub + t] = element t of
+    // centroid c of subspace j. ONE bounded array literal (≤ 128 KB).
     // Per-query LUT: lut[j·k_pq + c] = u_sub_j · cb_j[c]. Computed once
     // per QUERY row (before the cell fanout), scan-local.
     val lutExpr =
@@ -167,7 +249,7 @@ object IvfPq {
       .withColumn("cb", typedLit(flatCb))
       .withColumn("lut", expr(lutExpr))
       .drop("cb")
-    val probes = IvfAnn.probeCells(spark, queries, coarse)
+    val probes = IvfAnn.probeCells(spark, queries, idx)
       .select("q_id", "qe", "qn", "lut", "cell")
     // ADC: m lookups per candidate — candidate floats never read here.
     val adc = probes

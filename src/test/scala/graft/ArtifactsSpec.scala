@@ -193,6 +193,33 @@ class ArtifactsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("vector-index consumers: published mode equals inline for the whole family") {
+    def run(name: String): Seq[Seq[Any]] = {
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSeq
+    }
+    val names = Seq("q_knn_graph", "q_diversity_sample", "q_ann_ivfpq")
+    val inline = names.map(n => n -> run(n)).toMap
+    val semInline = graft.similarity.SemDedup.semDedupPairs(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    withRoot { root =>
+      // publish pass: first consumer trains once and publishes
+      for (n <- names)
+        assert(run(n) == inline(n), s"$n: publish-pass output diverges from inline")
+      for (art <- Seq("ivf_centroids", "ivf_assignments", "pq_codebook", "pq_codes"))
+        assert(new java.io.File(s"$root/$art").exists(), s"artifact $art missing")
+      // consume pass: a fresh run fits nothing and reads the lake
+      for (n <- names)
+        assert(run(n) == inline(n), s"$n: consume-pass output diverges from inline")
+      spark.catalog.clearCache()
+      assert(graft.similarity.SemDedup.semDedupPairs(spark, sfDir)
+        .collect().map(_.toSeq).toSeq == semInline,
+        "semDedupPairs diverges in published mode")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("leakageSafeSplit: published-cluster mode returns rows identical to inline mode") {
     val inline = Splits.leakageSafeSplit(spark, sfDir).collect().map(_.toSeq).toSeq
     spark.catalog.clearCache()
