@@ -652,7 +652,7 @@ object SparkEntry {
            |  FROM s
            |), a AS (
            |  SELECT split,
-           |    max(off // 2048) + 1 AS n_packs,
+           |    greatest(max(off // 2048) + 1, (sum(n_tokens) + 2047) // 2048) AS n_packs,
            |    count(*) AS n_docs,
            |    sum(n_tokens) AS total_tokens,
            |    sum(CASE WHEN off % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END) AS n_straddlers

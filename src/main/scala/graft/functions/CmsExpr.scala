@@ -14,10 +14,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * way BloomExpr does for the bloom pair).
   *
   * `graft_cms_estimate(sketch, hash)` — estimated occurrence count of a
-  * LONG item. The sketch side must be a CONSTANT (literal or scalar
-  * subquery), which is what lets the expression deserialize it ONCE per
-  * task and probe from whole-stage codegen via a reference object —
-  * never per row. Long items only, by design: the corpus convention is
+  * LONG item. The sketch side must be a foldable LITERAL (a scalar
+  * subquery is NOT accepted — unlike Spark's BloomFilterMightContain,
+  * which special-cases subqueries, this expression requires
+  * `left.foldable`; build the sketch first and inject its bytes as a
+  * literal, the way `vocabTopKCms` does). Foldability is what lets the
+  * expression deserialize the sketch ONCE per task and probe from
+  * whole-stage codegen via a reference object — never per row. Long items only, by design: the corpus convention is
   * xxhash64 keys at the scan (`count_min_sketch` over the hash column
   * uses the same long-hash ingest path, so probe and build agree).
   *
@@ -33,8 +36,8 @@ case class CmsEstimateExpr(left: Expression, right: Expression) extends BinaryEx
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (BinaryType, LongType) if left.foldable => TypeCheckResult.TypeCheckSuccess
     case (BinaryType, LongType) => TypeCheckResult.TypeCheckFailure(
-      "graft_cms_estimate requires the sketch argument to be a constant " +
-        "(literal or scalar subquery) so it deserializes once per task")
+      "graft_cms_estimate requires the sketch argument to be a foldable " +
+        "literal (scalar subqueries are not supported) so it deserializes once per task")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"graft_cms_estimate requires (binary, bigint), got ${l.catalogString}, ${r.catalogString}")
   }

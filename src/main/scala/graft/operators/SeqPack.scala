@@ -256,11 +256,22 @@ object SeqPack {
     seqPackWithin(docs, "split")
       .groupBy("split")
       .agg(
-        (max("pack_id") + 1L).as("n_packs"),
+        max("pack_id").as("max_start_pack"),
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         sum(when(col("pack_offset") + col("n_tokens") > PackBudget, 1L).otherwise(0L))
           .as("n_straddlers"))
+      // n_packs counts the TRUE context-window count: max(start pack)+1
+      // undercounts whenever the last doc straddles past the pack it
+      // starts in (one 5000-token doc is 3 chunks, not 1), which would
+      // leave docs_per_pack inconsistent with tail_fill (derived from
+      // the true final chunk). ceil(total/budget) is the chunk count of
+      // concat-and-chunk; greatest() keeps the start-pack bound as a
+      // floor for robustness.
+      .withColumn("n_packs",
+        greatest(
+          col("max_start_pack") + 1L,
+          expr(s"(total_tokens + ${PackBudget - 1}) div $PackBudget")))
       .select(
         col("split"),
         col("n_packs"),

@@ -236,7 +236,11 @@ object Splits {
     tokenBudgetMixOf(
       Tables.documents(spark, dir).select(
         col("doc_id"), col("source"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tokens")))
+        // Single-space split, NOT \s+: the DuckDB oracle tokenizes with
+        // string_split(text, ' ') and both engines must share one
+        // convention (consecutive/leading whitespace must count the
+        // same number of tokens on both sides).
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
 
   /** Frame-level tokenBudgetMix: any (doc_id, source, n_tokens) frame. */
   def tokenBudgetMixOf(docs: DataFrame): DataFrame = {

@@ -35,10 +35,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * The ledger append is idempotent in EFFECT, not in storage: a retried
   * epoch re-appends the same hashes, and the anti-join semantics of a
-  * ledger make duplicate rows harmless (membership is membership). The
+  * ledger make duplicate rows harmless (membership is membership).
+  * Ledger rows are TAGGED with the epoch that wrote them, and each
+  * epoch anti-joins only rows from STRICTLY EARLIER epochs — so a
+  * replayed epoch is insensitive to its own (possibly torn/partial)
+  * prior append: without the tag, a crash between ledger append and
+  * export replay would leave the epoch anti-joining against its own
+  * partial hashes, exporting a strict subset over the previously
+  * complete epoch directory (docs in the ledger but in no shard). The
   * spec pins the material guarantees: exported docs are exactly the
   * batch-computed gate∘dedup of the full input, contaminated docs never
-  * land, cross-batch duplicates land once.
+  * land, cross-batch duplicates land once, and a replay over a
+  * self-polluted ledger reproduces the full epoch.
   *
   * Scale shape: the gate is scan-local probing against a broadcast
   * sketch; the dedup shuffle is per-batch-sized (hash keys only) plus a
@@ -104,7 +112,11 @@ object IngestPipeline {
         val lp = new org.apache.hadoop.fs.Path(ledgerDir)
         val lfs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
         val ledger =
-          if (lfs.exists(lp)) s.read.parquet(ledgerDir)
+          if (lfs.exists(lp))
+            // Only rows appended by STRICTLY EARLIER epochs count as
+            // "already landed": a replayed epoch must not anti-join
+            // against its own partial append (see scaladoc).
+            s.read.parquet(ledgerDir).filter(col("epoch") < lit(epoch))
           else s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("h", LongType))))
@@ -114,6 +126,7 @@ object IngestPipeline {
           if (fresh.head(1).nonEmpty) {
             ShardExport.exportEpoch(fresh, epoch, outDir)
             fresh.select(xxhash64(col("text")).as("h"))
+              .withColumn("epoch", lit(epoch))
               .write.mode("append").parquet(ledgerDir)
           }
         } finally { fresh.unpersist(blocking = false); () }

@@ -95,5 +95,23 @@ class IngestPipelineSpec extends SparkSpec {
     // the manifest is derivable per epoch group
     val mf = graft.sources.ShardExport.manifest(spark, s"$outDir/epoch=0")
     assert(mf.count() >= 1 && mf.agg(sum("n_rows")).head.getLong(0) == 2L)
+
+    // REPLAY INSENSITIVITY: a replayed epoch must reproduce its full
+    // export even though the ledger already holds the epoch's own
+    // hashes (the crash-between-append-and-replay scenario). The
+    // epoch-tagged ledger makes this hold: filtering to strictly
+    // earlier epochs removes the self-pollution; without the filter the
+    // epoch's own rows would anti-join doc 21 away and the replay would
+    // overwrite epoch=2 with a strict subset.
+    val fullLedger = spark.read.parquet(ledgerDir)
+    val replayed = graft.streaming.IngestPipeline
+      .gateAndDedup(f2, bloom, evalSh, fullLedger.filter(col("epoch") < 2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(21L), s"replay of epoch 2 diverged: $replayed")
+    val selfPolluted = graft.streaming.IngestPipeline
+      .gateAndDedup(f2, bloom, evalSh, fullLedger)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selfPolluted == Set.empty[Long],
+      "sanity: an untagged replay WOULD lose the epoch's docs — the epoch filter is load-bearing")
   }
 }

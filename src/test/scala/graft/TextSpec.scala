@@ -228,6 +228,6 @@ class TextSpec extends SparkSpec {
         org.apache.spark.sql.functions.sha2(c("h").cast("string"), 256).cast("binary"),
         c("h"))).collect()
     }
-    assert(err.getMessage.contains("constant"), s"wrong rejection: ${err.getMessage}")
+    assert(err.getMessage.contains("foldable literal"), s"wrong rejection: ${err.getMessage}")
   }
 }
