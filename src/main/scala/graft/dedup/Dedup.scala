@@ -517,9 +517,27 @@ object Dedup {
   val DeltaBatchRem = 7
 
   /** Version tag for the published standing index (bump on any change
-    * to shingling width, hashing, or the prefix rule).
+    * to shingling width, hashing, the prefix rule, or the published
+    * LAYOUT — v2 sorts the shingle table by sg so hash probes prune).
     */
-  val IndexArtifactVersion = "3gram-xxhash64-prefix-tau0.8-v1"
+  val IndexArtifactVersion = "3gram-xxhash64-prefix-tau0.8-v2"
+
+  /** The published shingle table alone, UNstaged: for single-probe
+    * consumers (`substrSearch`) that want one pruned parquet read, not
+    * a cache build — staging materializes the whole index into
+    * executor storage before the first filter can prune, turning a
+    * point lookup into a corpus-index scan. Published SORTED by sg:
+    * range-partitioned sorted files give every file and row group a
+    * narrow sg min/max, so an equality probe on the hash key dies at
+    * the footer for all but ~one split (the lake answer to "is this
+    * phrase anywhere?" must not read the index, only its statistics).
+    */
+  private[graft] def publishedShingleIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.publishedOrCompute(
+      spark, "shingle_index_sh", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
+      shingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sg"))
+        .sort("sg"))
 
   /** The STANDING shingle + prefix index of the corpus, via the
     * Artifacts contract: the lake-resident index every incremental
@@ -535,12 +553,7 @@ object Dedup {
     */
   private[graft] def standingIndex(
       spark: SparkSession, dir: String, threshold: Double = 0.8): (DataFrame, DataFrame) = {
-    val sh = staged(
-      graft.sources.Artifacts.publishedOrCompute(
-        spark, "shingle_index_sh", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
-        shingles(Tables.documents(spark, dir))
-          .select(col("doc_id"), xxhash64(col("sg")).as("sg"))),
-      "shingle_standing")
+    val sh = staged(publishedShingleIndex(spark, dir), "shingle_standing")
     val prefix = staged(
       graft.sources.Artifacts.publishedOrCompute(
         spark, "shingle_index_prefix", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(

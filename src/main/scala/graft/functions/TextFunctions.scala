@@ -397,24 +397,66 @@ object TextFunctions {
     * Exactness: the hash prune can only over-admit (collision), never
     * miss; the per-candidate exact trigram count filters n_hits > 0, so
     * collisions cannot forge a hit. Output == the oracle's LIKE scan.
+    *
+    * In published mode the candidate id set (bounded by the phrase's
+    * document frequency — a point-lookup result, not corpus-scale) is
+    * fetched to the driver and pushed into the documents scan as an
+    * `In` filter, so BOTH sides of the confirm are pruned reads: the
+    * index probe dies at row-group stats on sg, the corpus read dies
+    * at row-group stats on doc_id. A pathological phrase with more
+    * than `ProbeIdPushdownCap` candidate docs falls back to the
+    * distributed join (same rows, corpus scan pays).
     */
+  val ProbeIdPushdownCap = 10000
+
   def substrSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // Engine-computed phrase hash: bit-identical to the index's
-    // xxhash64 keys by construction.
-    val phraseHash = spark.range(1)
-      .select(xxhash64(lit(SearchPhrase)).as("h")).head().getLong(0)
-    val candidates = (graft.sources.Artifacts.rootDir(spark) match {
-      case Some(_) =>
-        val (sh, _) = graft.dedup.Dedup.standingIndex(spark, dir)
-        sh.filter(col("sg") === phraseHash)
-      case None =>
-        graft.dedup.Dedup.shingles(docs)
-          .select(col("doc_id"), xxhash64(col("sg")).as("sg"))
-          .filter(col("sg") === phraseHash)
-    }).select("doc_id").distinct()
-    docs
-      .join(candidates, "doc_id")
+    // Driver-evaluated phrase hash via the same Catalyst expression the
+    // index keys were written with (xxhash64, seed 42) — bit-identical
+    // by construction and zero Spark jobs (the old spark.range(1)
+    // evaluation charged a whole job to computing one literal).
+    val phraseHash = org.apache.spark.sql.catalyst.expressions
+      .XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          SearchPhrase, org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    val published = graft.sources.Artifacts.rootDir(spark).isDefined
+    if (published) {
+      // Direct probe of the published (sg-sorted) index — NOT
+      // `standingIndex`, whose staging would materialize the whole
+      // index into cache before the filter could prune. The equality
+      // predicate pushes into the parquet scan and the sorted layout's
+      // row-group stats skip everything else. No distinct: the index
+      // stores per-doc DISTINCT shingles, so each candidate doc
+      // appears exactly once — the probe-collect is one shuffle-free
+      // stage (bounded-by-contract driver fetch: df(phrase), capped).
+      val probe = graft.dedup.Dedup.publishedShingleIndex(spark, dir)
+        .filter(col("sg") === phraseHash)
+        .select("doc_id")
+      // Plain collect, deliberately NOT limit(cap+1): CollectLimit on a
+      // selective filter schedules incremental partition rounds
+      // (1→4→16→all, sequential) to prove the limit can't be met —
+      // 3-4 serial mini-jobs where one parallel wave does. The fetch
+      // is posting-list-sized (8 bytes × df(phrase)); the cap only
+      // picks the confirm-side plan.
+      val ids = probe.collect().map(_.getLong(0)).distinct
+      val confirmSide =
+        if (ids.length <= ProbeIdPushdownCap)
+          docs.filter(col("doc_id").isInCollection(ids.toSeq))
+        else docs.join(probe.distinct(), "doc_id")
+      confirmCount(confirmSide)
+    } else {
+      val candidates = graft.dedup.Dedup.shingles(docs)
+        .select(col("doc_id"), xxhash64(col("sg")).as("sg"))
+        .filter(col("sg") === phraseHash)
+        .select("doc_id").distinct()
+      confirmCount(docs.join(candidates, "doc_id"))
+    }
+  }
+
+  /** Exact per-candidate phrase count (shared by both probe modes). */
+  private def confirmCount(confirmSide: DataFrame): DataFrame =
+    confirmSide
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .withColumn("n_hits",
         expr(s"""size(filter(transform(sequence(0, size(tk) - 3),
@@ -423,7 +465,6 @@ object TextFunctions {
       .filter(col("n_hits") > 0)
       .select("doc_id", "n_hits", "source")
       .orderBy("doc_id")
-  }
 
   /** Phrase-mining floor, discount, and report size (word2phrase's
     * min_count / discount knobs; Mikolov et al. 2013, "Distributed

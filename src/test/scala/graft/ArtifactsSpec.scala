@@ -189,6 +189,26 @@ class ArtifactsSpec extends SparkSpec {
       // second run consumes the committed parquet
       assert(graft.functions.TextFunctions.substrSearch(spark, sfDir)
         .collect().map(_.toSeq).toSeq == inline)
+      // BOTH halves must be PRUNED reads. The index probe pushes the
+      // hash equality into the published (sg-sorted) parquet with no
+      // staging cache in between — a cached index would materialize
+      // fully before the filter could prune. The confirm side pushes
+      // the collected candidate ids as an In(doc_id) filter, so the
+      // corpus read prunes too (no corpus-scale join in the plan).
+      spark.catalog.clearCache()
+      val probePlan = graft.dedup.Dedup.publishedShingleIndex(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("sg") === 42L)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("PushedFilters: [IsNotNull(sg), EqualTo(sg,"),
+        s"probe predicate not pushed into the index scan:\n$probePlan")
+      assert(!probePlan.contains("InMemoryTableScan"),
+        "probe routes through a staging cache instead of the pruned parquet read")
+      val confirmPlan = graft.functions.TextFunctions.substrSearch(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(confirmPlan.contains("PushedFilters: [In(doc_id"),
+        s"candidate ids not pushed into the corpus scan:\n$confirmPlan")
+      assert(!confirmPlan.contains("SortMergeJoin") && !confirmPlan.contains("BroadcastHashJoin"),
+        "published-mode confirm should be a pruned scan, not a join")
     }
     spark.catalog.clearCache()
   }
