@@ -156,21 +156,75 @@ object Dedup {
   def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     jaccardPrefixOf(Tables.documents(spark, dir), threshold)
 
+  /** Positional prefix index for the PPJoin+ filters: same postings as
+    * `prefixIndex`, plus each posting's rank in its doc's df-order
+    * (`pos`) and the doc's set size (`n`) — both from the ONE doc_id
+    * window (`count over the same partition` replaces the separate
+    * sizes groupBy+join the plain variant pays).
+    */
+  private[graft] def prefixIndexPos(sh: DataFrame, threshold: Double): DataFrame = {
+    val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wRank = wDoc.orderBy(col("df").asc, col("sg").asc)
+    sh.join(df, "sg")
+      .withColumn("pos", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "sg", "pos", "n")
+  }
+
   /** Frame-level jaccardPrefix over any (doc_id, text) frame — the
     * incremental cluster maintainer runs it on the settled slice.
+    *
+    * PPJoin+ candidate pruning (Xiao et al. 2008) between prefix
+    * collision and exact verify, both filters conservative (they only
+    * remove pairs PROVABLY below τ, so the output stays identical to
+    * the full inverted index):
+    * - length filter: jac >= τ forces min(na,nb) >= τ·max(na,nb);
+    * - positional filter: a collision at df-order ranks (ia, ib) bounds
+    *   the overlap by min(ia,ib) + min(na-ia, nb-ib) (the global order
+    *   is shared, so common shingles before/after the collision are
+    *   bounded by the shorter side each way); the pair survives only if
+    *   the best bound over its collisions reaches the required overlap
+    *   ceil(τ/(1+τ)·(na+nb)).
+    *
+    * The exact verify then joins the staged per-doc shingle ARRAYS and
+    * intersects scan-locally (`array_intersect`) — no second explosion
+    * of the index through a pair-keyed groupBy, and the corpus is
+    * tokenized once into `arr` with the exploded index derived from it.
     */
   private[graft] def jaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = staged(
-      shingles(docs)
-        .select(col("doc_id"), xxhash64(col("sg")).as("sg")),
-      "shingle")
-    val prefix = staged(prefixIndex(sh, threshold), "prefix")
+    val arr = staged(
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
+      "shingle_arr_pp")
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val prefix = staged(prefixIndexPos(sh, threshold), "prefix_pp")
+    val eps = 1e-9
     val candidates = prefix
-      .toDF("a", "sg")
-      .join(prefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-    verifyJaccard(candidates, sh, threshold)
+      .select(col("doc_id").as("a"), col("sg"), col("pos").as("ia"), col("n").as("na"))
+      .join(
+        prefix.select(col("doc_id").as("b"), col("sg"), col("pos").as("ib"), col("n").as("nb")),
+        Seq("sg"))
+      .filter(col("a") < col("b"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double") - lit(eps))
+      .withColumn("bound",
+        least(col("ia"), col("ib")) + least(col("na") - col("ia"), col("nb") - col("ib")))
+      .groupBy("a", "b", "na", "nb")
+      .agg(max("bound").as("bound"))
+      .filter(col("bound").cast("double") * (lit(1.0) + lit(threshold)) >=
+        lit(threshold) * (col("na") + col("nb")).cast("double") - lit(eps))
+    candidates
+      .join(arr.toDF("a", "sha"), "a")
+      .join(arr.toDF("b", "shb"), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
+      .orderBy("a", "b")
   }
 
   /** MinHash signature width and LSH banding: 32 hashes, 8 bands of 4.

@@ -50,6 +50,46 @@ class DedupSpec extends SparkSpec {
       s"prefix index too large: $prefixRows of $fullRows rows over $nDocs docs")
   }
 
+  test("PPJoin+ filters cut the candidate set and lose no qualifying pair") {
+    import org.apache.spark.sql.functions._
+    // sf0.1, not the suite default: the filters bite where length
+    // spread and hot shingles exist (at sf0.001/sf0.01 every prefix
+    // collision is already a near-dup, so there is nothing to cut —
+    // raw == filtered == 25-28 there, vs 118k -> 39k at sf0.1).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val arr = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(Dedup.ShingleArraySql).as("sh"))
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val prefix = Dedup.prefixIndexPos(sh, 0.8)
+    // raw prefix-collision candidates (what the pre-r11 verify paid for)
+    val raw = prefix.select(col("doc_id").as("a"), col("sg"))
+      .join(prefix.select(col("doc_id").as("b"), col("sg")), Seq("sg"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    // candidates surviving the length + positional filters = what the
+    // exact verify actually pays now (re-derived with the same algebra)
+    val eps = 1e-9
+    val filtered = prefix
+      .select(col("doc_id").as("a"), col("sg"), col("pos").as("ia"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("b"), col("sg"), col("pos").as("ib"), col("n").as("nb")), Seq("sg"))
+      .filter(col("a") < col("b"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(0.8) * greatest(col("na"), col("nb")).cast("double") - lit(eps))
+      .withColumn("bound",
+        least(col("ia"), col("ib")) + least(col("na") - col("ia"), col("nb") - col("ib")))
+      .groupBy("a", "b", "na", "nb").agg(max("bound").as("bound"))
+      .filter(col("bound").cast("double") * lit(1.8) >=
+        lit(0.8) * (col("na") + col("nb")).cast("double") - lit(eps))
+      .select("a", "b").count()
+    val truePairs = SparkEntry.queries("q_dedup_jaccard_prefix")(spark, "/root/testdata/sf0.1").count()
+    assert(filtered < raw,
+      s"PPJoin+ filters must strictly cut candidates: raw=$raw filtered=$filtered")
+    assert(filtered >= truePairs, "filters must keep every qualifying pair")
+    // losslessness itself is pinned by the naive-parity test above
+    spark.catalog.clearCache()
+  }
+
   test("simhash pairs are ordered, within hamming bound, and include the strongest near-dups") {
     val sh = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
     assert(sh.filter(col("a") >= col("b")).count() == 0, "pairs must be a<b")
