@@ -42,6 +42,59 @@ class DiversitySpec extends SparkSpec {
     }
   }
 
+  test("quota table and selection re-derive exactly from the assignment frame") {
+    // The verdict-requested derivation pin (the SQL-oracle analog this
+    // query cannot have: the coarse quantizer is an iterative seeded
+    // Spark-ML k-means fit, so no DuckDB query over the base tables can
+    // reproduce the cell assignment — see SURVEY §8). Given the
+    // assignment frame and centroids as the fixture, EVERYTHING
+    // downstream (√-quotas with floor 1 and budget normalization,
+    // most-representative-first ranks, centroid_dot) is re-derived here
+    // in plain Scala with the same arithmetic and compared row-exactly.
+    val (assignedRaw, idx) = graft.similarity.IvfAnn.coarseFor(spark, sfDir)
+    val assigned = assignedRaw.select("vec_id", "u", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val cents = idx.centroids.select("cell", "centroid", "cnorm2").collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    spark.catalog.clearCache()
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def round4(x: Double): Double = math.floor(x * 10000d + 0.5) / 10000d
+
+    val sizes = assigned.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val wsum = sizes.keys.toSeq.sorted.map(c => math.sqrt(sizes(c).toDouble)).sum
+    val quota = sizes.map { case (c, n) =>
+      // floor(x+0.5): Spark round() is HALF_UP on positives (rint's
+      // HALF_EVEN would diverge on exact .5 boundaries)
+      c -> math.max(1L,
+        math.floor(math.sqrt(n.toDouble) / wsum * graft.similarity.Diversity.Budget + 0.5).toLong)
+    }
+    val derived = assigned
+      .map { case (id, u, c) =>
+        val (cent, cn2) = cents(c)
+        (id, c, cn2 - 2d * dot(u, cent), cn2)
+      }
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (c, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .take(quota(c).toInt)
+          .map { case ((id, _, ds, cn2), i) =>
+            (id, c.toLong, (i + 1).toLong, round4((cn2 - ds) / 2d))
+          }
+      }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q_diversity_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == derived,
+      s"selection diverges from the independent derivation: " +
+        s"spark=${got.take(3)}... derived=${derived.take(3)}...")
+    spark.catalog.clearCache()
+  }
+
   test("diversitySample flattens density on planted imbalanced clusters") {
     import spark.implicits._
     // The real embeddings are isotropic (no cluster structure —
