@@ -159,6 +159,32 @@ object PullIngest {
     (landed, ledger)
   }
 
+  /** Gate limits for `q_pull_schedule` (the reference's n:w list
+    * shape, scaled to testdata: ≤3 per 2 ticks, ≤10 per 20 ticks).
+    */
+  val GateLimits: Seq[Limit] = Seq(Limit(3, 2), Limit(10, 20))
+
+  /** `q_pull_schedule`: the driver-gated face of the scheduler — one
+    * request per customer, api_key = the customer's region name (the
+    * reference pulls per-region with a per-region key), greedy
+    * multi-window issue ticks. The DuckDB oracle replays the max-plus
+    * recurrence as a recursive CTE whose working row carries a
+    * ring-buffer list of the last max(n_j) ticks — the same O(max n_j)
+    * state the distributed pass keeps per key.
+    */
+  def pullSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val reqs = graft.Tables.customer(spark, dir)
+      .join(broadcast(graft.Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(graft.Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("api_key"), col("c_custkey").as("req_id"),
+        lit(0L).as("attempt"))
+    schedule(reqs, GateLimits)
+      .select(col("api_key"), col("req_id"), col("req_seq"), col("issue_tick"))
+      .orderBy("api_key", "req_seq")
+  }
+
   /** RateMonitor composition: the ledger's issue ticks become event
     * timestamps and the existing sliding-window accountant
     * (monitor_gathering.py's analog) reports per-key request rates —
