@@ -207,10 +207,13 @@ object Clusters {
       (s, graft.Staging.staged(Dedup.prefixIndex(s, 0.8), "prefix_cd"))
     }
     val settledPrefix = prefix.filter(!isBatch(col("doc_id")))
+    // Settled and delta candidate sets both pass the PPJoin+ filters
+    // (r11, same conservative pruning as the full-corpus authority —
+    // positions ride the shared/published prefix index).
     val settledPairs = Dedup.verifyJaccard(
-      settledPrefix.toDF("a", "sg")
-        .join(settledPrefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
-        .select("a", "b").distinct(),
+      Dedup.ppjoinCandidates(
+        Dedup.prefixCollisions(settledPrefix, settledPrefix), 0.8)
+        .select("a", "b"),
       sh, 0.8)
     val standing = viaArtifact(
       connectedComponents(
@@ -220,10 +223,9 @@ object Clusters {
     // Batch-incident pairs from the SAME index (the dedupDelta shape).
     val batchPrefix = prefix.filter(isBatch(col("doc_id")))
     val delta = Dedup.verifyJaccard(
-      batchPrefix.toDF("x", "sg")
-        .join(prefix.toDF("y", "sg2"), col("sg") === col("sg2") && col("x") =!= col("y"))
-        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-        .distinct(),
+      Dedup.ppjoinCandidates(
+        Dedup.prefixCollisions(batchPrefix, prefix), 0.8)
+        .select("a", "b"),
       sh, 0.8).select("a", "b")
     // Super-vertex projection + merge over the touched subgraph only.
     val mapped = delta

@@ -106,18 +106,66 @@ object Dedup {
     */
   private[graft] def prefixIndex(sh: DataFrame, threshold: Double): DataFrame = {
     val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("df").asc, col("sg").asc)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wRank = wDoc.orderBy(col("df").asc, col("sg").asc)
     sh.join(df, "sg")
-      .join(sizes, "doc_id")
-      .withColumn("rank", row_number().over(wRank))
+      // pos + n from the ONE doc_id window (count over the same
+      // partition replaces a separate sizes groupBy+join); both ride
+      // along in the published index so every consumer can run the
+      // PPJoin+ filters (r11)
+      .withColumn("pos", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wDoc))
       // prefix length n - ceil(τ n) + 1 (overlap >= ceil(τ n) required
       // against ANY partner when jac >= τ, since |B| >= |A∩B|)
-      .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("doc_id", "sg")
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "sg", "pos", "n")
   }
+
+  /** PPJoin+ candidate pruning (Xiao et al. 2008) over a
+    * prefix-collision frame carrying (a, ia, na, b, ib, nb) — one row
+    * per colliding prefix shingle. Both filters are CONSERVATIVE (they
+    * only remove pairs provably below τ, so downstream exact verifies
+    * lose nothing):
+    * - length: jac >= τ forces min(na,nb) >= τ·max(na,nb);
+    * - positional: a collision at df-order ranks (ia, ib) bounds the
+    *   overlap by min(ia,ib) + min(na-ia, nb-ib) (the order is global,
+    *   so common shingles before/after the collision are bounded by the
+    *   shorter side each way); the pair survives only if its best bound
+    *   reaches the required overlap ceil(τ/(1+τ)·(na+nb)).
+    * Output: one row per surviving (a, b) with sizes attached.
+    */
+  private[graft] def ppjoinCandidates(pairs: DataFrame, threshold: Double): DataFrame = {
+    val eps = 1e-9
+    pairs
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double") - lit(eps))
+      .withColumn("bound",
+        least(col("ia"), col("ib")) + least(col("na") - col("ia"), col("nb") - col("ib")))
+      .groupBy("a", "b", "na", "nb")
+      .agg(max("bound").as("bound"))
+      .filter(col("bound").cast("double") * (lit(1.0) + lit(threshold)) >=
+        lit(threshold) * (col("na") + col("nb")).cast("double") - lit(eps))
+      .select("a", "b", "na", "nb")
+  }
+
+  /** Prefix self-collision pairs with positions mapped to (a < b)
+    * orientation, ready for `ppjoinCandidates`. `left` may be a subset
+    * of `right` (the delta shape); `antiReflexive` keeps x != y and
+    * orients, deduping the double-count through the downstream groupBy.
+    */
+  private[graft] def prefixCollisions(left: DataFrame, right: DataFrame): DataFrame =
+    left.select(col("doc_id").as("x"), col("sg"), col("pos").as("ix"), col("n").as("nx"))
+      .join(
+        right.select(col("doc_id").as("y"), col("sg"), col("pos").as("iy"), col("n").as("ny")),
+        Seq("sg"))
+      .filter(col("x") =!= col("y"))
+      .select(
+        least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"),
+        when(col("x") < col("y"), col("ix")).otherwise(col("iy")).as("ia"),
+        when(col("x") < col("y"), col("nx")).otherwise(col("ny")).as("na"),
+        when(col("x") < col("y"), col("iy")).otherwise(col("ix")).as("ib"),
+        when(col("x") < col("y"), col("ny")).otherwise(col("nx")).as("nb"))
 
   /** Exact Jaccard verify restricted to candidate pairs ONLY: intersect
     * shingle sets via two equi-joins against the (staged) index — the
@@ -156,42 +204,16 @@ object Dedup {
   def jaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     jaccardPrefixOf(Tables.documents(spark, dir), threshold)
 
-  /** Positional prefix index for the PPJoin+ filters: same postings as
-    * `prefixIndex`, plus each posting's rank in its doc's df-order
-    * (`pos`) and the doc's set size (`n`) — both from the ONE doc_id
-    * window (`count over the same partition` replaces the separate
-    * sizes groupBy+join the plain variant pays).
-    */
-  private[graft] def prefixIndexPos(sh: DataFrame, threshold: Double): DataFrame = {
-    val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val wRank = wDoc.orderBy(col("df").asc, col("sg").asc)
-    sh.join(df, "sg")
-      .withColumn("pos", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("doc_id", "sg", "pos", "n")
-  }
-
   /** Frame-level jaccardPrefix over any (doc_id, text) frame — the
     * incremental cluster maintainer runs it on the settled slice.
     *
-    * PPJoin+ candidate pruning (Xiao et al. 2008) between prefix
-    * collision and exact verify, both filters conservative (they only
-    * remove pairs PROVABLY below τ, so the output stays identical to
-    * the full inverted index):
-    * - length filter: jac >= τ forces min(na,nb) >= τ·max(na,nb);
-    * - positional filter: a collision at df-order ranks (ia, ib) bounds
-    *   the overlap by min(ia,ib) + min(na-ia, nb-ib) (the global order
-    *   is shared, so common shingles before/after the collision are
-    *   bounded by the shorter side each way); the pair survives only if
-    *   the best bound over its collisions reaches the required overlap
-    *   ceil(τ/(1+τ)·(na+nb)).
-    *
-    * The exact verify then joins the staged per-doc shingle ARRAYS and
-    * intersects scan-locally (`array_intersect`) — no second explosion
-    * of the index through a pair-keyed groupBy, and the corpus is
-    * tokenized once into `arr` with the exploded index derived from it.
+    * r11 shape: prefix collisions → PPJoin+ filters
+    * (`ppjoinCandidates` — conservative, output identical to the full
+    * inverted index) → exact verify joining the staged per-doc shingle
+    * ARRAYS and intersecting scan-locally (`array_intersect`) — no
+    * second explosion of the index through a pair-keyed groupBy, and
+    * the corpus is tokenized once into `arr` with the exploded index
+    * derived from it.
     */
   private[graft] def jaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val arr = staged(
@@ -201,22 +223,25 @@ object Dedup {
         .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
       "shingle_arr_pp")
     val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
-    val prefix = staged(prefixIndexPos(sh, threshold), "prefix_pp")
-    val eps = 1e-9
-    val candidates = prefix
-      .select(col("doc_id").as("a"), col("sg"), col("pos").as("ia"), col("n").as("na"))
-      .join(
-        prefix.select(col("doc_id").as("b"), col("sg"), col("pos").as("ib"), col("n").as("nb")),
-        Seq("sg"))
-      .filter(col("a") < col("b"))
-      .filter(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")).cast("double") - lit(eps))
-      .withColumn("bound",
-        least(col("ia"), col("ib")) + least(col("na") - col("ia"), col("nb") - col("ib")))
-      .groupBy("a", "b", "na", "nb")
-      .agg(max("bound").as("bound"))
-      .filter(col("bound").cast("double") * (lit(1.0) + lit(threshold)) >=
-        lit(threshold) * (col("na") + col("nb")).cast("double") - lit(eps))
+    val prefix = staged(prefixIndex(sh, threshold), "prefix_pp")
+    val candidates = ppjoinCandidates(
+      prefix
+        .select(col("doc_id").as("a"), col("sg"), col("pos").as("ia"), col("n").as("na"))
+        .join(
+          prefix.select(col("doc_id").as("b"), col("sg"), col("pos").as("ib"), col("n").as("nb")),
+          Seq("sg"))
+        .filter(col("a") < col("b")),
+      threshold)
+    verifyJaccardArrays(candidates, arr, threshold)
+  }
+
+  /** Exact Jaccard verify over per-doc shingle ARRAY frames: candidate
+    * pairs (with sizes attached) join the array frame twice and
+    * intersect scan-locally — the pair-keyed groupBy count of the
+    * exploded-index verify disappears.
+    */
+  private[graft] def verifyJaccardArrays(
+      candidates: DataFrame, arr: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(arr.toDF("a", "sha"), "a")
       .join(arr.toDF("b", "shb"), "b")
@@ -225,7 +250,6 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
       .orderBy("a", "b")
-  }
 
   /** MinHash signature width and LSH banding: 32 hashes, 8 bands of 4.
     * P(candidate | jac=0.8) = 1-(1-0.8^4)^8 ≈ 0.98; false-positive
@@ -637,11 +661,12 @@ object Dedup {
   def dedupDelta(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val (sh, prefix) = standingIndex(spark, dir, threshold)
     val batchPrefix = prefix.filter(pmod(col("doc_id"), lit(DeltaBatchMod)) === DeltaBatchRem)
-    val candidates = batchPrefix
-      .toDF("x", "sg")
-      .join(prefix.toDF("y", "sg2"), col("sg") === col("sg2") && col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .distinct()
+    // PPJoin+ filters ride the published positional prefix (r11): the
+    // batch-incident collision set passes the same conservative length
+    // + positional pruning as the full-corpus authority before the
+    // exact verify pays for it.
+    val candidates = ppjoinCandidates(prefixCollisions(batchPrefix, prefix), threshold)
+      .select("a", "b")
     verifyJaccard(candidates, sh, threshold)
   }
 

@@ -62,7 +62,7 @@ class DedupSpec extends SparkSpec {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(Dedup.ShingleArraySql).as("sh"))
     val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
-    val prefix = Dedup.prefixIndexPos(sh, 0.8)
+    val prefix = Dedup.prefixIndex(sh, 0.8)
     // raw prefix-collision candidates (what the pre-r11 verify paid for)
     val raw = prefix.select(col("doc_id").as("a"), col("sg"))
       .join(prefix.select(col("doc_id").as("b"), col("sg")), Seq("sg"))

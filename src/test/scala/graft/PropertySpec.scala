@@ -41,13 +41,11 @@ class PropertySpec extends SparkSpec {
         .filter(col("jac") >= 0.8)
         .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val sh = Dedup.shingles(docs).select(col("doc_id"), xxhash64(col("sg")).as("sg"))
-      val prefix = Dedup.prefixIndex(sh, 0.8)
-      val candidates = prefix.toDF("a", "sg")
-        .join(prefix.toDF("b", "sg2"), col("sg") === col("sg2") && col("a") < col("b"))
-        .select("a", "b").distinct()
-      val pruned = Dedup.verifyJaccard(candidates, sh, 0.8)
+      // drive the REAL code path (positional prefix + PPJoin+ filters
+      // + array verify) rather than re-deriving candidates by hand
+      val pruned = Dedup.jaccardPrefixOf(docs)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
       assert(pruned == naive,
         s"trial $trial: missing=${naive.diff(pruned).take(5)} extra=${pruned.diff(naive).take(5)}")
     }
