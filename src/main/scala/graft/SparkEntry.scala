@@ -66,6 +66,8 @@ object SparkEntry {
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
+    "q_dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
+    "q_source_overlap"     -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
@@ -788,6 +790,64 @@ object SparkEntry {
     },
     // prefix-filtered variant is LOSSLESS — identical oracle.
     "q_dedup_jaccard_prefix" -> NgramJaccardSql,
+    // One-sided containment: same shingle CTEs, ORDERED pairs (<>), the
+    // divisor is the contained side's set size only. The one-sided
+    // prefix + positional pruning is lossless, so the oracle is the
+    // full-index derivation.
+    "q_dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
+        |  FROM tok t1
+        |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |)
+        |SELECT p.a, p.b, floor(p.inter * 1.0 / sa.n * 10000 + 0.5) / 10000 AS cont
+        |FROM pairs p
+        |JOIN sizes sa ON p.a = sa.doc_id
+        |WHERE p.inter * 1.0 / sa.n >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    // Near-dup links rolled up to unordered source pairs: the jaccard
+    // CTEs feed a two-way doc→source join and a least/greatest fold.
+    "q_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sg
+        |  FROM tok t1
+        |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), nd AS (
+        |  SELECT p.a, p.b FROM pairs p
+        |  JOIN sizes sa ON p.a = sa.doc_id
+        |  JOIN sizes sb ON p.b = sb.doc_id
+        |  WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8
+        |)
+        |SELECT least(da.source, db.source) AS src_a,
+        |       greatest(da.source, db.source) AS src_b,
+        |       count(*) AS n_links
+        |FROM nd
+        |JOIN documents da ON nd.a = da.doc_id
+        |JOIN documents db ON nd.b = db.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin,
     // Transitive closure over the same >= 0.8 Jaccard edge set via a
     // recursive CTE: min reachable doc_id = cluster id.
     "q_dedup_clusters" ->

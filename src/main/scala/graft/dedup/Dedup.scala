@@ -104,7 +104,20 @@ object Dedup {
     * tiebreak works on hashed shingles too. Exposed for the spec
     * asserting the pruning actually bounds what feeds the pair join.
     */
-  private[graft] def prefixIndex(sh: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def prefixIndex(sh: DataFrame, threshold: Double): DataFrame =
+    // prefix length n - ceil(τ n) + 1 (overlap >= ceil(τ n) required
+    // against ANY partner when jac >= τ, since |B| >= |A∩B|)
+    dfOrderedIndex(sh)
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+
+  /** Full df-ordered posting index: every (doc_id, sg) with the
+    * shingle's rank `pos` inside its doc under the global
+    * (df asc, sg asc) order and the doc's set size `n`. The prefix
+    * index is the pos-filtered head of this frame; the containment join
+    * probes it UNFILTERED on the outer side (a superset doc has no
+    * usable prefix bound of its own).
+    */
+  private[graft] def dfOrderedIndex(sh: DataFrame): DataFrame = {
     val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wRank = wDoc.orderBy(col("df").asc, col("sg").asc)
@@ -115,9 +128,6 @@ object Dedup {
       // PPJoin+ filters (r11)
       .withColumn("pos", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wDoc))
-      // prefix length n - ceil(τ n) + 1 (overlap >= ceil(τ n) required
-      // against ANY partner when jac >= τ, since |B| >= |A∩B|)
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
       .select("doc_id", "sg", "pos", "n")
   }
 
@@ -250,6 +260,110 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
       .orderBy("a", "b")
+
+  /** One-sided set-containment join (r11): ordered pairs (a, b) with
+    * C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| >= τ — doc a's 3-gram set lies
+    * (mostly) inside doc b's. This is the subset/quote shape Jaccard is
+    * BLIND to: a paragraph wholly copied into a 10× longer page has
+    * containment 1.0 but Jaccard ≈ |A|/|B| ≈ 0.1, so symmetric near-dup
+    * never surfaces it (the reference's per-key ingest dedup,
+    * models.py:68, likewise only catches whole-record copies).
+    *
+    * Pruning is ONE-sided by necessity: τ bounds the required overlap
+    * ceil(τ·|A|) in terms of the CONTAINED side only, so a's df-ordered
+    * prefix (same n−ceil(τn)+1 head as the Jaccard prefix) probes the
+    * FULL index — a containing doc can be arbitrarily large, so no
+    * prefix bound exists for b. Two conservative filters cut the
+    * candidate volume before the exact verify:
+    * - size: overlap <= min(|A|,|B|), so |B| >= ceil(τ·|A|);
+    * - positional: a collision at global ranks (ia, ib) bounds the
+    *   overlap by min(ia,ib) + min(na−ia, nb−ib) (same argument as
+    *   `ppjoinCandidates`; the bound must reach ceil(τ·na)).
+    * Both only drop pairs provably below τ; the array-intersect verify
+    * makes the output exactly the full-index answer (spec-pinned vs
+    * `containmentNaive`).
+    */
+  def containment(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    containmentOf(Tables.documents(spark, dir), threshold)
+
+  private[graft] def containmentOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val eps = 1e-9
+    val arr = staged(
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
+      "shingle_arr_cont")
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val indexed = staged(dfOrderedIndex(sh), "cont_index")
+    val candidates = indexed
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id").as("a"), col("sg"), col("pos").as("ia"), col("n").as("na"))
+      .join(
+        indexed.select(col("doc_id").as("b"), col("sg"), col("pos").as("ib"), col("n").as("nb")),
+        Seq("sg"))
+      .filter(col("a") =!= col("b"))
+      .filter(col("nb").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))
+      .withColumn("bound",
+        least(col("ia"), col("ib")) + least(col("na") - col("ia"), col("nb") - col("ib")))
+      .groupBy("a", "b", "na")
+      .agg(max("bound").as("bound"))
+      .filter(col("bound").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))
+      .select("a", "b", "na")
+    candidates
+      .join(arr.toDF("a", "sha"), "a")
+      .join(arr.toDF("b", "shb"), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("cont", col("inter") / col("na"))
+      .filter(col("cont") >= threshold)
+      .select(col("a"), col("b"), Num.round4(col("cont")).as("cont"))
+      .orderBy("a", "b")
+  }
+
+  /** Full-index containment witness — NOT a declared query; the
+    * spec-parity oracle `containmentOf` must equal on any corpus.
+    */
+  private[graft] def containmentNaive(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = staged(
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(ShingleArraySql)).as("sg")),
+      "cont_naive_sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.toDF("a", "sga")
+      .join(sh.toDF("b", "sgb"), col("sga") === col("sgb") && col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a2", "na"), col("a") === col("a2"))
+      .withColumn("cont", col("inter") / col("na"))
+      .filter(col("cont") >= threshold)
+      .select(col("a"), col("b"), Num.round4(col("cont")).as("cont"))
+      .orderBy("a", "b")
+  }
+
+  /** Source-overlap matrix (r11): per unordered source pair, how many
+    * near-dup links (3-gram Jaccard >= τ, `jaccardPrefixOf`) cross the
+    * two feeds — the curation diagnostic that catches one crawl
+    * mirroring another (or re-ingesting itself, the diagonal). At scale
+    * the near-dup pair frame is cluster-sparse relative to the corpus,
+    * so both doc_id→source lookups AQE-broadcast the PAIR side while
+    * the documents scan streams; the rollup output is |sources|²-bounded.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    jaccardPrefixOf(docs, threshold)
+      .select("a", "b")
+      .join(src.toDF("a", "src_x"), "a")
+      .join(src.toDF("b", "src_y"), "b")
+      .select(
+        least(col("src_x"), col("src_y")).as("src_a"),
+        greatest(col("src_x"), col("src_y")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** MinHash signature width and LSH banding: 32 hashes, 8 bands of 4.
     * P(candidate | jac=0.8) = 1-(1-0.8^4)^8 ≈ 0.98; false-positive

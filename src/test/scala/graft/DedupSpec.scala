@@ -218,6 +218,42 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._1 == 0L, "a repeat WITHIN one doc is not cross-doc — MinDocs counts distinct docs")
   }
 
+  test("containment surfaces the subset doc Jaccard is blind to") {
+    import spark.implicits._
+    // sub is a contiguous 12-token slice of big: every 3-gram of sub is
+    // a 3-gram of big (containment 1.0), but Jaccard is 10/58 ≈ 0.17.
+    val big = (1 to 60).map(i => s"t$i").mkString(" ")
+    val sub = (21 to 32).map(i => s"t$i").mkString(" ")
+    val noise1 = (1 to 30).map(i => s"n$i").mkString(" ")
+    val noise2 = (1 to 25).map(i => s"m$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, sub), (3L, noise1), (4L, noise2)).toDF("doc_id", "text")
+    val cont = Dedup.containmentOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(cont == Seq((2L, 1L, 1.0)), s"got $cont")
+    assert(Dedup.jaccardPrefixOf(docs).count() == 0,
+      "symmetric near-dup must NOT see the subset pair")
+    spark.catalog.clearCache()
+  }
+
+  test("source overlap equals the per-source-pair rollup of the near-dup links") {
+    val matrix = SparkEntry.queries("q_source_overlap")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val srcOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = SparkEntry.queries("q_dedup_jaccard_prefix")(spark, sfDir)
+      .select("a", "b")
+      .collect().map { r =>
+        val (sa, sb) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        (Seq(sa, sb).min, Seq(sa, sb).max)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    spark.catalog.clearCache()
+    assert(expected.nonEmpty, "test data must contain near-dup links")
+    assert(matrix == expected, s"matrix=$matrix expected=$expected")
+  }
+
   test("shingling produces distinct 3-gram shingles per doc") {
     val sh = Dedup.shingles(Tables.documents(spark, sfDir))
     val dup = sh.groupBy("doc_id", "sg").count().filter(col("count") > 1).count()

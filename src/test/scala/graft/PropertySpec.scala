@@ -51,6 +51,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment pruning is lossless on adversarial random corpora") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val docs = randomCorpus(60).toDF("doc_id", "text")
+      val naive = Dedup.containmentNaive(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = Dedup.containmentOf(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      assert(pruned == naive,
+        s"trial $trial: missing=${naive.diff(pruned).take(5)} extra=${pruned.diff(naive).take(5)}")
+    }
+  }
+
   test("SCD intervals partition the timeline for random event streams with ties") {
     import spark.implicits._
     for (trial <- 1 to 3) {
