@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
     "q_dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
     "q_source_overlap"     -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "q_curation_run"       -> (graft.operators.CurationRun.curationRun _),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
@@ -1297,35 +1298,63 @@ object SparkEntry {
     "q_quality_gopher" -> QualityGopherSql,
     "q_quality_sample" -> QualitySampleSql,
     "q_tokenize_bpe" -> graft.functions.Bpe.oracleSql,
-    "q_quality_c4" ->
-      raw"""WITH p AS (
-           |  SELECT doc_id,
-           |    'http://' ||
-           |      CASE WHEN doc_id % 13 = 0 THEN '${graft.functions.QualityFilters.BadDomains.head}'
-           |           ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' END ||
-           |      '/page/' || CAST(doc_id AS VARCHAR) AS url,
-           |    text ||
-           |      CASE WHEN doc_id % 11 = 0 THEN ' function() { return 0 }' ELSE '' END ||
-           |      CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor sit' ELSE '' END ||
-           |      CASE WHEN doc_id % 17 = 0 THEN ' ${graft.functions.QualityFilters.BadWords.head}' ELSE '' END AS ptext
-           |  FROM documents
-           |), r AS (
-           |  SELECT doc_id, url, ptext,
-           |    regexp_extract(url, '^https?://([^/]+)', 1) AS domain
-           |  FROM p
-           |)
-           |SELECT doc_id, url, domain,
-           |  NOT (domain IN (${graft.functions.QualityFilters.BadDomains.map(d => s"'$d'").mkString(", ")})) AS pass_url,
-           |  NOT contains(ptext, '{') AS pass_brace,
-           |  NOT contains(ptext, 'lorem ipsum') AS pass_lorem,
-           |  len(list_filter(string_split_regex(ptext, '\s+'),
-           |      t -> t IN (${graft.functions.QualityFilters.BadWords.map(w => s"'$w'").mkString(", ")}))) = 0 AS pass_badword,
-           |  NOT (domain IN (${graft.functions.QualityFilters.BadDomains.map(d => s"'$d'").mkString(", ")}))
-           |    AND NOT contains(ptext, '{')
-           |    AND NOT contains(ptext, 'lorem ipsum')
-           |    AND len(list_filter(string_split_regex(ptext, '\s+'),
-           |        t -> t IN (${graft.functions.QualityFilters.BadWords.map(w => s"'$w'").mkString(", ")}))) = 0 AS keep
-           |FROM r ORDER BY doc_id""".stripMargin,
+    "q_quality_c4" -> QualityC4Sql,
+    // The composed curation funnel: every stage flag re-derived from
+    // the SAME oracle machinery its standalone query is gated by (C4 +
+    // gopher full queries nested as scoped subqueries, the recursive
+    // cluster closure, the calibration CTEs), then one conditional
+    // aggregate fanned to 5 rows. Pure integer counts — no rounding
+    // trade anywhere in the funnel.
+    "q_curation_run" ->
+      s"""WITH RECURSIVE $ClusterWalkCtes,
+         |cr_cl AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+         |), $CalibrateCtes,
+         |cr_cal AS (
+         |  SELECT s.doc_id,
+         |    (cc.cum * 1000 <= t.n_source * ${graft.functions.QualityFilters.CalibrateKeepPermille}) AS keep
+         |  FROM s JOIN cc USING (source, score4) JOIN t USING (source)
+         |), cr_tok AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+         |), cr_c4 AS (
+         |  SELECT doc_id, keep FROM ($QualityC4Sql)
+         |), cr_gop AS (
+         |  SELECT doc_id, keep FROM ($QualityGopherSql)
+         |), cr_flags AS (
+         |  SELECT k.doc_id, k.n_toks,
+         |    c4.keep AS s1,
+         |    (c4.keep AND g.keep) AS s2,
+         |    cl.cluster_id, ca.keep AS kc
+         |  FROM cr_tok k
+         |  JOIN cr_c4 c4 USING (doc_id)
+         |  JOIN cr_gop g USING (doc_id)
+         |  JOIN cr_cl cl USING (doc_id)
+         |  JOIN cr_cal ca USING (doc_id)
+         |), cr_st AS (
+         |  SELECT *,
+         |    (s2 AND doc_id = min(CASE WHEN s2 THEN doc_id END)
+         |       OVER (PARTITION BY cluster_id)) AS s3
+         |  FROM cr_flags
+         |), cr_st4 AS (
+         |  SELECT *, (s3 AND kc) AS s4 FROM cr_st
+         |), cr_agg AS (
+         |  SELECT count(*) AS n0, sum(n_toks) AS t0,
+         |    count(*) FILTER (s1) AS n1, coalesce(sum(n_toks) FILTER (s1), 0) AS t1,
+         |    count(*) FILTER (s2) AS n2, coalesce(sum(n_toks) FILTER (s2), 0) AS t2,
+         |    count(*) FILTER (s3) AS n3, coalesce(sum(n_toks) FILTER (s3), 0) AS t3,
+         |    count(*) FILTER (s4) AS n4, coalesce(sum(n_toks) FILTER (s4), 0) AS t4
+         |  FROM cr_st4
+         |)
+         |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+         |       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT 0 AS stage_id, 'ingest' AS stage, n0 AS n_docs, t0 AS n_tokens FROM cr_agg
+         |  UNION ALL SELECT 1, 'c4_gate', n1, t1 FROM cr_agg
+         |  UNION ALL SELECT 2, 'gopher_gate', n2, t2 FROM cr_agg
+         |  UNION ALL SELECT 3, 'dedup', n3, t3 FROM cr_agg
+         |  UNION ALL SELECT 4, 'calibrate', n4, t4 FROM cr_agg
+         |)
+         |ORDER BY stage_id""".stripMargin,
     // dense_rank over counts is a pure integer ordering (ties share a
     // rank), the per-doc sum is an exact BIGINT, and both engines
     // divide the same exact integers — fully hash-comparable.
@@ -1586,6 +1615,36 @@ object SparkEntry {
            |ORDER BY b.doc_id""".stripMargin
 
   private lazy val QualityGopherSql = qualityGopherSqlOver("documents")
+
+  private lazy val QualityC4Sql =
+    raw"""WITH p AS (
+         |  SELECT doc_id,
+         |    'http://' ||
+         |      CASE WHEN doc_id % 13 = 0 THEN '${graft.functions.QualityFilters.BadDomains.head}'
+         |           ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' END ||
+         |      '/page/' || CAST(doc_id AS VARCHAR) AS url,
+         |    text ||
+         |      CASE WHEN doc_id % 11 = 0 THEN ' function() { return 0 }' ELSE '' END ||
+         |      CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor sit' ELSE '' END ||
+         |      CASE WHEN doc_id % 17 = 0 THEN ' ${graft.functions.QualityFilters.BadWords.head}' ELSE '' END AS ptext
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, url, ptext,
+         |    regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+         |  FROM p
+         |)
+         |SELECT doc_id, url, domain,
+         |  NOT (domain IN (${graft.functions.QualityFilters.BadDomains.map(d => s"'$d'").mkString(", ")})) AS pass_url,
+         |  NOT contains(ptext, '{') AS pass_brace,
+         |  NOT contains(ptext, 'lorem ipsum') AS pass_lorem,
+         |  len(list_filter(string_split_regex(ptext, '\s+'),
+         |      t -> t IN (${graft.functions.QualityFilters.BadWords.map(w => s"'$w'").mkString(", ")}))) = 0 AS pass_badword,
+         |  NOT (domain IN (${graft.functions.QualityFilters.BadDomains.map(d => s"'$d'").mkString(", ")}))
+         |    AND NOT contains(ptext, '{')
+         |    AND NOT contains(ptext, 'lorem ipsum')
+         |    AND len(list_filter(string_split_regex(ptext, '\s+'),
+         |        t -> t IN (${graft.functions.QualityFilters.BadWords.map(w => s"'$w'").mkString(", ")}))) = 0 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
 
   /** Shared calibration CTEs: freq-rank scores joined to source, the
     * exact ×10000 integer score, per-(source, score4) cumulative counts

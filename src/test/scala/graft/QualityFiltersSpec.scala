@@ -419,4 +419,36 @@ class QualityFiltersSpec extends SparkSpec {
     assert(fCrawl.map(_._2).sum / fCrawl.length > fDomain.map(_._2).sum / fDomain.length,
       "flipped target must flip the ordering")
   }
+
+  test("curation funnel is monotone and each stage matches its component operator") {
+    import org.apache.spark.sql.functions._
+    val funnel = SparkEntry.queries("q_curation_run")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, "ingest"), (1L, "c4_gate"), (2L, "gopher_gate"), (3L, "dedup"), (4L, "calibrate")))
+    // docs and tokens can only fall through the funnel
+    funnel.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo._3 <= hi._3 && lo._4 <= hi._4, s"funnel not monotone: $hi -> $lo")
+    }
+    val docs = Tables.documents(spark, sfDir)
+    assert(funnel(0)._3 == docs.count())
+    assert(funnel(0)._4 == docs.agg(sum(size(split(col("text"), " ")))).head.getLong(0))
+    // stage flags re-derived from the standalone component queries
+    val c4Keep = graft.functions.QualityFilters.c4Quality(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(funnel(1)._3 == c4Keep.size.toLong)
+    val gopherKeep = graft.functions.QualityFilters.gopherQuality(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = c4Keep.intersect(gopherKeep)
+    assert(funnel(2)._3 == s2.size.toLong)
+    // dedup stage = one survivor per cluster among the gated docs
+    val clusters = graft.dedup.Clusters.dedupClusters(spark, sfDir)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = s2.groupBy(clusters).values.map(_.min).toSet
+    assert(funnel(3)._3 == survivors.size.toLong)
+    spark.catalog.clearCache()
+  }
 }
