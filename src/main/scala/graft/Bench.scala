@@ -32,7 +32,10 @@ object Bench {
       "q_decontaminate_bloom",
       // vector-index consumers (r10): coarse centroids/assignments and
       // PQ codebook/codes are lake-resident in published mode
-      "q_knn_graph", "q_diversity_sample", "q_ann_ivfpq", "q_semdedup")
+      "q_knn_graph", "q_diversity_sample", "q_ann_ivfpq", "q_semdedup",
+      // r11: the source-overlap diagnostic and the curation funnel read
+      // the published standing index / cluster table in published mode
+      "q_source_overlap", "q_curation_run")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

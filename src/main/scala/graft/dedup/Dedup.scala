@@ -353,7 +353,16 @@ object Dedup {
   def sourceOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val src = docs.select(col("doc_id"), col("source"))
-    jaccardPrefixOf(docs, threshold)
+    // Pairs via the PUBLISHED standing shingle+prefix index when an
+    // artifacts root is configured (inline fallback otherwise) — this
+    // diagnostic runs alongside the dedup pass in production and must
+    // not rebuild the index the lake already holds. Same PPJoin+
+    // pruning + exact verify as the inline authority, so the pair set
+    // is identical (spec-pinned against q_dedup_jaccard_prefix).
+    val (sh, prefix) = standingIndex(spark, dir, threshold)
+    verifyJaccard(
+      ppjoinCandidates(prefixCollisions(prefix, prefix), threshold).select("a", "b"),
+      sh, threshold)
       .select("a", "b")
       .join(src.toDF("a", "src_x"), "a")
       .join(src.toDF("b", "src_y"), "b")
