@@ -22,13 +22,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    * for; with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
-    * nanos-since-epoch long and is normalized here to a microsecond
-    * timestamp (same truncation DuckDB applies via epoch_us).
+  /** events.ts has shipped in two physical schemas across testdata
+    * generations: parquet TIMESTAMP(NANOS) (no native Spark type; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    * nanos-since-epoch long) and plain TIMESTAMP(MICROS)
+    * (isAdjustedToUTC=false, which Spark loads as TIMESTAMP_NTZ). Branch
+    * on the loaded dtype so either generation normalizes to the same
+    * session-TZ microsecond timestamp the rest of the engine (and the
+    * DuckDB oracle, via epoch_us) expects. The session TZ is pinned to
+    * UTC in [[GraftSession]], so the NTZ→TZ cast is value-preserving.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }
