@@ -107,8 +107,12 @@ object Dedup {
   private[graft] def prefixIndex(sh: DataFrame, threshold: Double): DataFrame =
     // prefix length n - ceil(τ n) + 1 (overlap >= ceil(τ n) required
     // against ANY partner when jac >= τ, since |B| >= |A∩B|)
+    // df is selected away: the published prefix-artifact layout
+    // (IndexArtifactVersion) predates it and prefix consumers prune by
+    // pos, not df.
     dfOrderedIndex(sh)
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "sg", "pos", "n")
 
   /** Full df-ordered posting index: every (doc_id, sg) with the
     * shingle's rank `pos` inside its doc under the global
@@ -125,10 +129,12 @@ object Dedup {
       // pos + n from the ONE doc_id window (count over the same
       // partition replaces a separate sizes groupBy+join); both ride
       // along in the published index so every consumer can run the
-      // PPJoin+ filters (r11)
+      // PPJoin+ filters (r11). df rides too (r12) so the containment
+      // probe can apply its hot-shingle guard without a second
+      // aggregation over the index.
       .withColumn("pos", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wDoc))
-      .select("doc_id", "sg", "pos", "n")
+      .select("doc_id", "sg", "pos", "n", "df")
   }
 
   /** PPJoin+ candidate pruning (Xiao et al. 2008) over a
@@ -286,7 +292,24 @@ object Dedup {
   def containment(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     containmentOf(Tables.documents(spark, dir), threshold)
 
-  private[graft] def containmentOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** Hot-shingle guard for the containment probe (r12, a DOCUMENTED
+    * bound): candidate generation skips shingles shared by more than
+    * this many documents. The b-side posting list of a boilerplate
+    * shingle ("all rights reserved …") is corpus-scale — unguarded, the
+    * candidate volume Σ prefix_df(sg)·df(sg) has no cap and the probe
+    * join degenerates at 100 TB. Containment evidence routed through a
+    * shingle present in >K docs is boilerplate, not quotation: a true
+    * contained doc (cont >= τ) shares ceil(τ·n) shingles with its
+    * container, so it is only lost if EVERY ONE of its prefix (rarest-
+    * first!) shingles is df-hot — a doc made entirely of boilerplate.
+    * On the test corpora max df is 25 (sf0.1), so the guard provably
+    * changes nothing there (spec-pinned vs the uncapped witness); at
+    * scale it bounds per-shingle join volume to prefix_df·K.
+    */
+  val ContainmentDfCap = 1000L
+
+  private[graft] def containmentOf(
+      docs: DataFrame, threshold: Double = 0.8, dfCap: Long = ContainmentDfCap): DataFrame = {
     val eps = 1e-9
     val arr = staged(
       docs
@@ -298,9 +321,12 @@ object Dedup {
     val indexed = staged(dfOrderedIndex(sh), "cont_index")
     val candidates = indexed
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("df") <= dfCap)
       .select(col("doc_id").as("a"), col("sg"), col("pos").as("ia"), col("n").as("na"))
       .join(
-        indexed.select(col("doc_id").as("b"), col("sg"), col("pos").as("ib"), col("n").as("nb")),
+        indexed
+          .filter(col("df") <= dfCap)
+          .select(col("doc_id").as("b"), col("sg"), col("pos").as("ib"), col("n").as("nb")),
         Seq("sg"))
       .filter(col("a") =!= col("b"))
       .filter(col("nb").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))

@@ -433,17 +433,23 @@ object TextFunctions {
       val probe = graft.dedup.Dedup.publishedShingleIndex(spark, dir)
         .filter(col("sg") === phraseHash)
         .select("doc_id")
-      // Plain collect, deliberately NOT limit(cap+1): CollectLimit on a
-      // selective filter schedules incremental partition rounds
-      // (1→4→16→all, sequential) to prove the limit can't be met —
-      // 3-4 serial mini-jobs where one parallel wave does. The fetch
-      // is posting-list-sized (8 bytes × df(phrase)); the cap only
-      // picks the confirm-side plan.
-      val ids = probe.collect().map(_.getLong(0)).distinct
+      // Count-gate BEFORE the collect: df(phrase) is usually tiny (a
+      // point lookup), but a boilerplate phrase ("all rights reserved")
+      // in a web corpus can have an unbounded posting list, and
+      // collecting it first would be a multi-hundred-MB driver fetch
+      // with the cap only consulted afterwards. The count is the same
+      // pruned one-stage scan (deliberately NOT limit(cap+1):
+      // CollectLimit on a selective filter schedules incremental
+      // partition rounds — 1→4→16→all, sequential — to prove the limit
+      // can't be met; count runs one parallel wave). Only a ≤cap id set
+      // (8 bytes × df) ever reaches the driver; above the cap the
+      // confirm goes straight to the distributed join.
+      val df = probe.count()
       val confirmSide =
-        if (ids.length <= ProbeIdPushdownCap)
+        if (df <= ProbeIdPushdownCap) {
+          val ids = probe.collect().map(_.getLong(0)).distinct
           docs.filter(col("doc_id").isInCollection(ids.toSeq))
-        else docs.join(probe.distinct(), "doc_id")
+        } else docs.join(probe.distinct(), "doc_id")
       confirmCount(confirmSide)
     } else {
       val candidates = graft.dedup.Dedup.shingles(docs)

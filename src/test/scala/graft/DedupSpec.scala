@@ -236,6 +236,43 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("containment hot-shingle guard: inert below the cap, prunes boilerplate above it") {
+    import spark.implicits._
+    // The documented bound (ContainmentDfCap) must change NOTHING on the
+    // test corpora: max 3-gram df there is far below the cap, so capped
+    // and uncapped are row-identical.
+    val corpus = Tables.documents(spark, sfDir)
+    val maxDf = Dedup.shingles(corpus)
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect()(0).getLong(0)
+    assert(maxDf < Dedup.ContainmentDfCap,
+      s"test corpus max df $maxDf must sit below the cap for the inertness claim")
+    val capped = Dedup.containmentOf(corpus).collect().toSeq
+    spark.catalog.clearCache()
+    val uncapped = Dedup.containmentOf(corpus, dfCap = Long.MaxValue).collect().toSeq
+    spark.catalog.clearCache()
+    assert(capped == uncapped, "guard must be inert when every df < cap")
+
+    // Above the cap the guard drops pairs whose ONLY shared shingles
+    // are hot (pure boilerplate: 12 identical "c1 c2 c3 c4" docs, every
+    // shingle df=12 > cap=10), while a true quotation pair sharing RARE
+    // shingles (doc 2 a contiguous slice of doc 1) keeps its
+    // exact-verified containment.
+    val big = (1 to 40).map(i => s"t$i").mkString(" ")
+    val sub = (11 to 22).map(i => s"t$i").mkString(" ")
+    val hotDocs = (10 to 21).map(i => (i.toLong, "c1 c2 c3 c4"))
+    val docs = (Seq((1L, big), (2L, sub)) ++ hotDocs).toDF("doc_id", "text")
+    val unprunedCraft = Dedup.containmentOf(docs, dfCap = Long.MaxValue).count()
+    spark.catalog.clearCache()
+    assert(unprunedCraft == 12L * 11L + 1L,
+      s"uncapped witness must see all boilerplate pairs: $unprunedCraft")
+    val pruned = Dedup.containmentOf(docs, dfCap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    assert(pruned == Seq((2L, 1L)),
+      s"rare-shingle quotation survives, boilerplate-only pairs pruned: $pruned")
+  }
+
   test("source overlap equals the per-source-pair rollup of the near-dup links") {
     val matrix = SparkEntry.queries("q_source_overlap")(spark, sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
