@@ -221,12 +221,20 @@ object Clusters {
         settledPairs.select("a", "b"))
         .select(col("id").as("doc_id"), col("label").as("cluster_id")))
     // Batch-incident pairs from the SAME index (the dedupDelta shape).
+    // STAGED (r12): the pair frame is tiny by contract (batch-incident
+    // near-dup links) but its mine is the query's expensive subtree —
+    // unstaged, every downstream consumer (super-edge projection, the
+    // CC loop's vertex/singleton legs, the final batch join) re-ran the
+    // collision join + PPJoin groupBy + exact verify; the r11 stage
+    // audit measured the mine recomputed 3-4x, ~2/3 of query wall time.
     val batchPrefix = prefix.filter(isBatch(col("doc_id")))
-    val delta = Dedup.verifyJaccard(
-      Dedup.ppjoinCandidates(
-        Dedup.prefixCollisions(batchPrefix, prefix), 0.8)
-        .select("a", "b"),
-      sh, 0.8).select("a", "b")
+    val delta = graft.Staging.staged(
+      Dedup.verifyJaccard(
+        Dedup.ppjoinCandidates(
+          Dedup.prefixCollisions(batchPrefix, prefix), 0.8)
+          .select("a", "b"),
+        sh, 0.8).select("a", "b"),
+      "delta_pairs_cd")
     // Super-vertex projection + merge over the touched subgraph only.
     val mapped = delta
       .join(standing.toDF("a", "ca"), Seq("a"), "left")
@@ -235,9 +243,13 @@ object Clusters {
         coalesce(col("ca"), col("a")).as("sa"),
         coalesce(col("cb"), col("b")).as("sb"))
       .filter(col("sa") =!= col("sb"))
-    val supEdges = mapped
-      .select(least(col("sa"), col("sb")).as("a"), greatest(col("sa"), col("sb")).as("b"))
-      .distinct()
+    // Also staged: consumed by the CC edge checkpoint AND both vertex
+    // branches AND the singleton anti-join.
+    val supEdges = graft.Staging.staged(
+      mapped
+        .select(least(col("sa"), col("sb")).as("a"), greatest(col("sa"), col("sb")).as("b"))
+        .distinct(),
+      "sup_edges_cd")
     val supVertices = supEdges.select(col("a").as("id"))
       .union(supEdges.select(col("b").as("id"))).distinct()
     val merged = connectedComponents(supVertices, supEdges)
