@@ -128,7 +128,8 @@ object SparkEntry {
     "q_bpe_train"           -> ((s, d) => graft.functions.BpeTrain.trainTable(s, d)),
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d)),
     "q_html_extract"        -> ((s, d) => graft.functions.HtmlExtract.htmlExtract(s, d)),
-    "q_html_corpus_report"  -> ((s, d) => graft.functions.HtmlExtract.htmlCorpusReport(s, d))
+    "q_html_corpus_report"  -> ((s, d) => graft.functions.HtmlExtract.htmlCorpusReport(s, d)),
+    "q_model_lr"            -> (Model.trainPredict _)
   )
 
   private val SeqPackSql =

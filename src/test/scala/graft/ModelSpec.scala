@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Model
+
+/** q_model_lr — the Spark ML train/predict stand-in for the reference's
+  * Keras modeling tail (match_modeling.py:197). No SQL oracle
+  * (iterative optimization); verified here instead: determinism,
+  * coverage, schema, and learnability on the real frame.
+  */
+class ModelSpec extends SparkSpec {
+
+  test("LR fit is deterministic: identical coefficients across two fits") {
+    val c1 = Model.fitCoefficients(spark, sfDir)
+    val c2 = Model.fitCoefficients(spark, sfDir)
+    assert(c1.sameElements(c2),
+      s"two fits over the same frame must agree exactly: ${c1.toSeq} vs ${c2.toSeq}")
+  }
+
+  test("prediction frame covers every user exactly once with valid fields") {
+    val pred = Model.trainPredict(spark, sfDir)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(pred.count() == users, "one prediction row per user")
+    assert(pred.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val bad = pred.filter(
+      !col("actual").isin(0L, 1L) || !col("predicted").isin(0L, 1L) ||
+        col("p_converted") < 0.0 || col("p_converted") > 1.0).count()
+    assert(bad == 0, "labels/predictions binary, probability in [0,1]")
+  }
+
+  test("model beats the majority-class baseline on its training frame") {
+    // Not a generalization claim (train-set fit, like the reference's
+    // in-notebook fit/predict) — a learnability floor: the fitted model
+    // must beat predicting the majority class everywhere, proving the
+    // optimizer actually moved from the intercept-only solution.
+    val pred = Model.trainPredict(spark, sfDir).select("actual", "predicted")
+    val n = pred.count().toDouble
+    val acc = pred.filter(col("actual") === col("predicted")).count() / n
+    val majority = math.max(
+      pred.filter(col("actual") === 1L).count() / n,
+      pred.filter(col("actual") === 0L).count() / n)
+    assert(acc >= majority,
+      s"fit accuracy $acc must be at least the majority-class rate $majority")
+  }
+}

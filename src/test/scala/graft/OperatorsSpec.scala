@@ -114,7 +114,10 @@ class OperatorsSpec extends SparkSpec {
       "q_doc_fingerprint", "q_multimodal_pipeline",
       // iterative global-argmax training is not a DuckDB query; the
       // provenance spec (trained == published Bpe.Merges) is the gate:
-      "q_bpe_train")
+      "q_bpe_train",
+      // iterative LBFGS optimization is not a DuckDB query; ModelSpec
+      // (determinism + coverage + majority-class floor) is the gate:
+      "q_model_lr")
     assert(rowsOnly == documented,
       s"rows-only drift: extra=${rowsOnly.diff(documented)} missing=${documented.diff(rowsOnly)}")
   }
