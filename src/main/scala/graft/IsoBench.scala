@@ -1,0 +1,42 @@
+package graft
+
+/** Isolated per-query re-measure harness: warmup + min-of-3 for each
+  * named query, published-artifacts mode, one query at a time.
+  *
+  * The full `Bench` measures every query in one session; when a line
+  * there looks regressed, this answers "is it the plan or the host?"
+  * without the cross-query contamination a shared run can suffer
+  * (r11's committed bench recorded 45.5 s for a query that measures
+  * 1.7–2.1 s isolated — min-of-k inside one loaded session is not a
+  * defense against a systematically loaded session).
+  *
+  * Usage: `runMain graft.IsoBench q_cluster_delta q_knn_graph` with
+  * `SPARK_GRAFT_SF_DIR` set (defaults to sf0.1).
+  */
+object IsoBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local()
+    val artDir = new java.io.File("target/iso_artifacts")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (artDir.exists()) rm(artDir)
+    spark.conf.set("spark.graft.artifacts", artDir.toString)
+    args.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      run() // warmup (JIT + codegen + artifact publish, untimed)
+      val ts = (1 to 3).map(_ => run())
+      println(f"ISO $name%-24s min=${ts.min}%.2f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
