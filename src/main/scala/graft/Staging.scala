@@ -53,4 +53,25 @@ object Staging {
       case None =>
         df.persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** Release a `localCheckpoint`'d frame's persisted blocks.
+    *
+    * Local-checkpoint blocks are NOT CacheManager entries — the
+    * session-level `clearCache()` the harness runs between queries never
+    * frees them, so an iterative operator that checkpoints per round
+    * leaks executor storage for the session's lifetime unless it
+    * releases superseded rounds itself (r12 measured unrelated queries
+    * ~1.3-1.4× slower after checkpoint-heavy ones in one session).
+    *
+    * `df.rdd.unpersist()` would NOT do it: `.rdd` derives a fresh
+    * row-conversion RDD from the plan; the block-holding RDD is the one
+    * captured inside the checkpoint's LogicalRDD leaf. After release
+    * the frame is UNRECOVERABLE (checkpointing truncated its lineage) —
+    * callers must have materialized every consumer first.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false): Unit
+      case _ => ()
+    }
 }

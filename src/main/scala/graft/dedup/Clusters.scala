@@ -64,6 +64,17 @@ object Clusters {
       .localCheckpoint(true)
     val edgeVertices = edges.select(col("src").as("id")).distinct()
     var labels = edgeVertices.withColumn("label", col("id")).localCheckpoint(true)
+    // localCheckpoint blocks are NOT CacheManager entries: the
+    // session-level `clearCache()` the harness runs between queries
+    // never frees them, so without explicit release every CC invocation
+    // leaked 2 + 2·rounds persisted RDDs into executor storage for the
+    // session's lifetime (r12 measured UNRELATED queries ~1.3-1.4×
+    // slower after CC-heavy ones in one bench session, compounding
+    // round over round). Superseded rounds release eagerly below; the
+    // terminal checkpoint is copied into a clearCache-managed staged
+    // frame before release. An unpersisted local checkpoint is
+    // UNRECOVERABLE (truncated lineage), so release strictly follows
+    // materialization of whatever replaces it.
     // Labels only ever decrease, so the label sum strictly decreases
     // until the fixpoint. Summed as Decimal(38,0): a long sum can wrap
     // with adversarially large 64-bit ids, and a wrapped-equal sum would
@@ -89,6 +100,7 @@ object Clusters {
       val s = labelSum(jumped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      graft.Staging.releaseCheckpoint(labels)
       labels = jumped
       iter += 1
     }
@@ -97,7 +109,14 @@ object Clusters {
       .select("id")
       .join(labels.select("id"), Seq("id"), "left_anti")
       .withColumn("label", col("id"))
-    labels.unionByName(singletons)
+    // Copy the result into the session cache (clearCache-managed, and
+    // downstream consumers read the labels 2-3 times anyway), force it,
+    // then release the terminal checkpoint + edges.
+    val out = graft.Staging.staged(labels.unionByName(singletons), "cc_labels")
+    out.count()
+    graft.Staging.releaseCheckpoint(labels)
+    graft.Staging.releaseCheckpoint(edges)
+    out
   }
 
   /** Declared query: cluster the 3-gram-Jaccard near-dup pairs

@@ -69,6 +69,7 @@ object ParquetSink {
     val appended = fresh.localCheckpoint(true)
     val n = appended.count()
     if (n > 0) appended.write.mode(SaveMode.Append).parquet(path)
+    graft.Staging.releaseCheckpoint(appended)
     n
   }
 
@@ -137,6 +138,7 @@ object ParquetSink {
       case c => col(c)
     }: _*)
     writePartitioned(patched, path, Seq(partitionCol), overwritePartitions = true)
+    graft.Staging.releaseCheckpoint(joined)
     nPatched
   }
 
