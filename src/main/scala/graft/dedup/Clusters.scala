@@ -196,17 +196,24 @@ object Clusters {
         // join the version key — changing them must invalidate the
         // artifact, not silently serve yesterday's slice.
         s"$ArtifactVersion-batch${Dedup.DeltaBatchMod}r${Dedup.DeltaBatchRem}",
-        Seq(s"$dir/documents.parquet"))(standing),
+        Seq(s"$dir/documents.parquet"))(standing()),
       Some(Dedup.standingIndex(spark, dir)))
 
   /** Frame-level clusterDelta. `viaArtifact` wraps the standing-state
     * computation and `index` supplies the standing shingle+prefix index
     * (the declared query routes both through the Artifacts contract;
     * property tests pass the defaults to stay self-contained).
+    *
+    * The standing computation is passed as a THUNK (r12):
+    * `connectedComponents` is eager (its convergence loop runs actions
+    * at call time), so a `DataFrame` parameter would execute the full
+    * settled mine + clustering even when the published artifact makes
+    * it dead — in published mode the daily run must pay the
+    * batch-incident work only, which was the design claim all along.
     */
   private[graft] def clusterDeltaOf(
       allDocs: DataFrame,
-      viaArtifact: DataFrame => DataFrame = identity,
+      viaArtifact: (() => DataFrame) => DataFrame = th => th(),
       index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.sql.Column
     val isBatch = (c: Column) => pmod(c, lit(Dedup.DeltaBatchMod)) === lit(Dedup.DeltaBatchRem)
@@ -229,12 +236,11 @@ object Clusters {
     // Settled and delta candidate sets both pass the PPJoin+ filters
     // (r11, same conservative pruning as the full-corpus authority —
     // positions ride the shared/published prefix index).
-    val settledPairs = Dedup.verifyJaccard(
+    def settledPairs = Dedup.verifyJaccardIndexed(
       Dedup.ppjoinCandidates(
-        Dedup.prefixCollisions(settledPrefix, settledPrefix), 0.8)
-        .select("a", "b"),
+        Dedup.prefixCollisions(settledPrefix, settledPrefix), 0.8),
       sh, 0.8)
-    val standing = viaArtifact(
+    val standing = viaArtifact(() =>
       connectedComponents(
         allDocs.filter(!isBatch(col("doc_id"))).select(col("doc_id").as("id")),
         settledPairs.select("a", "b"))
@@ -248,10 +254,9 @@ object Clusters {
     // audit measured the mine recomputed 3-4x, ~2/3 of query wall time.
     val batchPrefix = prefix.filter(isBatch(col("doc_id")))
     val delta = graft.Staging.staged(
-      Dedup.verifyJaccard(
+      Dedup.verifyJaccardIndexed(
         Dedup.ppjoinCandidates(
-          Dedup.prefixCollisions(batchPrefix, prefix), 0.8)
-          .select("a", "b"),
+          Dedup.prefixCollisions(batchPrefix, prefix), 0.8),
         sh, 0.8).select("a", "b"),
       "delta_pairs_cd")
     // Super-vertex projection + merge over the touched subgraph only.

@@ -183,25 +183,30 @@ object Dedup {
         when(col("x") < col("y"), col("iy")).otherwise(col("ix")).as("ib"),
         when(col("x") < col("y"), col("ny")).otherwise(col("nx")).as("nb"))
 
-  /** Exact Jaccard verify restricted to candidate pairs ONLY: intersect
-    * shingle sets via two equi-joins against the (staged) index — the
-    * quadratic term is confined to pairs that already collided.
+  /** Exact Jaccard verify against an EXPLODED (doc_id, sg) index,
+    * bounded to candidate-incident docs (r12): gathers the per-doc
+    * shingle arrays for exactly the docs named by some candidate pair
+    * (semi-join + collect_list — shuffle volume is candidate-incident
+    * postings, never the corpus index), then intersects scan-locally
+    * via `verifyJaccardArrays`. Replaces the old exploded verify for
+    * the incremental/published-index consumers: that shape joined the
+    * FULL index twice and ran a pair-keyed groupBy count — two
+    * corpus-index shuffles per verify that this one avoids. Candidates
+    * must carry (na, nb) (ppjoinCandidates emits them — sizes ride the
+    * published positional prefix).
     */
-  private[graft] def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.toDF("a2", "sga"), col("a") === col("a2"))
-      .select(col("a"), col("b"), col("sga"))
-      .join(sh.toDF("b2", "sgb"), col("b") === col("b2") && col("sga") === col("sgb"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("a3", "na"), col("a") === col("a3"))
-      .join(sizes.toDF("b3", "nb"), col("b") === col("b3"))
-      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
-      .orderBy("a", "b")
+  private[graft] def verifyJaccardIndexed(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    // Staged: the candidate frame is pair-count-scale but its mine
+    // (collision join + PPJoin groupBy) is the expensive subtree, and
+    // this verify consumes it twice (id gathering + the verify join) —
+    // unstaged, both consumers re-ran the mine.
+    val cand = staged(candidates.select("a", "b"), "verify_cand")
+    val ids = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val arr = sh.join(ids, "doc_id")
+      .groupBy("doc_id")
+      .agg(collect_list(col("sg")).as("sh"))
+    verifyJaccardArrays(cand, arr, threshold)
   }
 
   /** Prefix-filtered exact Jaccard (AllPairs/PPJoin-style): identical
@@ -252,17 +257,21 @@ object Dedup {
   }
 
   /** Exact Jaccard verify over per-doc shingle ARRAY frames: candidate
-    * pairs (with sizes attached) join the array frame twice and
-    * intersect scan-locally — the pair-keyed groupBy count of the
-    * exploded-index verify disappears.
+    * pairs join the array frame twice and intersect scan-locally — the
+    * pair-keyed groupBy count of the exploded-index verify disappears.
+    * Set sizes come from the arrays themselves (identical to any
+    * index-carried n by construction: both are the per-doc DISTINCT
+    * shingle count), so candidates only need (a, b).
     */
   private[graft] def verifyJaccardArrays(
       candidates: DataFrame, arr: DataFrame, threshold: Double): DataFrame =
     candidates
+      .select("a", "b")
       .join(arr.toDF("a", "sha"), "a")
       .join(arr.toDF("b", "shb"), "b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .withColumn("jac",
+        col("inter") / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
       .orderBy("a", "b")
@@ -386,8 +395,8 @@ object Dedup {
     // pruning + exact verify as the inline authority, so the pair set
     // is identical (spec-pinned against q_dedup_jaccard_prefix).
     val (sh, prefix) = standingIndex(spark, dir, threshold)
-    verifyJaccard(
-      ppjoinCandidates(prefixCollisions(prefix, prefix), threshold).select("a", "b"),
+    verifyJaccardIndexed(
+      ppjoinCandidates(prefixCollisions(prefix, prefix), threshold),
       sh, threshold)
       .select("a", "b")
       .join(src.toDF("a", "src_x"), "a")
@@ -449,7 +458,6 @@ object Dedup {
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
       "shingle_arr")
-    val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
     val sig = arr.select(col("doc_id"), expr(s"graft_minhash(sh, $MinHashK)").as("sig"))
     val bands = sig
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bk"))
@@ -459,7 +467,11 @@ object Dedup {
       .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    verifyJaccard(candidates, sh, threshold)
+    // Scan-local array verify against the staged per-doc arrays (r12) —
+    // the exploded verify joined the full index twice and re-counted
+    // pair overlaps through a groupBy for a frame we already hold as
+    // arrays.
+    verifyJaccardArrays(candidates, arr, threshold)
   }
 
   /** 64-bit SimHash fingerprints: token-frequency-weighted bit vote.
@@ -814,9 +826,9 @@ object Dedup {
     // batch-incident collision set passes the same conservative length
     // + positional pruning as the full-corpus authority before the
     // exact verify pays for it.
-    val candidates = ppjoinCandidates(prefixCollisions(batchPrefix, prefix), threshold)
-      .select("a", "b")
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccardIndexed(
+      ppjoinCandidates(prefixCollisions(batchPrefix, prefix), threshold),
+      sh, threshold)
   }
 
   /** Block count for the exact all-pairs embedding compare. */
