@@ -32,8 +32,15 @@ object Tables {
     * DuckDB oracle, via epoch_us) expects. The session TZ is pinned to
     * UTC in [[GraftSession]], so the NTZ→TZ cast is value-preserving.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(t(spark, dir, "events"))
+
+  /** The generation-adaptive `ts` normalization, factored out so the
+    * contract spec can exercise BOTH branches on synthetic frames (the
+    * legacy int64-nanos branch is dead against current testdata but
+    * must keep working — the driver has shipped both schemas).
+    */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -41,7 +48,6 @@ object Tables {
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

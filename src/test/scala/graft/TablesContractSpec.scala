@@ -100,6 +100,27 @@ class TablesContractSpec extends SparkSpec {
     assert(nullTs == 0L, s"events.ts: $nullTs null timestamps after loader normalization")
   }
 
+  test("events ts normalization: all three generations land on the same instant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2020-01-01T00:00:00Z in nanos / micros.
+    val micros = 1577836800000000L
+    val legacyNanos = Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+    val ntz = Seq((1L, java.time.LocalDateTime.ofEpochSecond(micros / 1000000L, 0, java.time.ZoneOffset.UTC)))
+      .toDF("event_id", "ts")
+      .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"))
+    val tz = Seq((1L, new java.sql.Timestamp(micros / 1000L))).toDF("event_id", "ts")
+    Seq("legacy-nanos" -> legacyNanos, "ntz" -> ntz, "tz-passthrough" -> tz).foreach {
+      case (gen, df) =>
+        val out = Tables.normalizeEventsTs(df)
+        assert(out.schema("ts").dataType == TimestampType,
+          s"generation `$gen`: loader must normalize to TimestampType, got ${out.schema("ts").dataType}")
+        val got = out.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+        assert(got == micros,
+          s"generation `$gen`: expected $micros micros since epoch, got $got (UTC session pinned)")
+    }
+  }
+
   test("documents/embeddings contract") {
     assertSchema("documents", Seq(
       "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
