@@ -129,7 +129,8 @@ object SparkEntry {
     "q_tokenize_bpe"        -> ((s, d) => TextFunctions.tokenizeBpe(s, d)),
     "q_html_extract"        -> ((s, d) => graft.functions.HtmlExtract.htmlExtract(s, d)),
     "q_html_corpus_report"  -> ((s, d) => graft.functions.HtmlExtract.htmlCorpusReport(s, d)),
-    "q_model_lr"            -> (Model.trainPredict _)
+    "q_model_lr"            -> (Model.trainPredict _),
+    "q_model_eval"          -> (Model.evalTable _)
   )
 
   private val SeqPackSql =

@@ -69,4 +69,28 @@ object Model {
         graft.Num.round4(element_at(vector_to_array(col("probability")), 2)).as("p_converted"))
       .orderBy("user_id")
   }
+
+  /** q_model_eval: the evaluation table a training run publishes next
+    * to its model — per probability decile: volume, confusion counts,
+    * and calibration (predicted-vs-observed positive rate). The
+    * reference evaluates in-notebook after fit/predict
+    * (proto_data_analysis.py:697 onward); a pipeline publishes this as
+    * a table. One aggregate over the user-grain prediction frame (the
+    * decile is a scan-local floor, never an ntile window); output is
+    * ≤10 rows. Rows-only like q_model_lr (the predictions aren't
+    * SQL-derivable); the spec recomputes every cell driver-side.
+    */
+  def evalTable(spark: SparkSession, dir: String): DataFrame =
+    trainPredict(spark, dir)
+      .withColumn("decile", least(floor(col("p_converted") * 10).cast("long"), lit(9L)))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("actual") === 1L && col("predicted") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("actual") === 0L && col("predicted") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("actual") === 1L && col("predicted") === 0L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("actual") === 0L && col("predicted") === 0L, 1L).otherwise(0L)).as("tn"),
+        graft.Num.round4(avg(col("p_converted"))).as("mean_p"),
+        graft.Num.round4(avg(col("actual").cast("double"))).as("obs_rate"))
+      .orderBy("decile")
 }

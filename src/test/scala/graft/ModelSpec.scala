@@ -28,6 +28,31 @@ class ModelSpec extends SparkSpec {
     assert(bad == 0, "labels/predictions binary, probability in [0,1]")
   }
 
+  test("eval table is the exact decile rollup of the prediction frame") {
+    val pred = Model.trainPredict(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val evalRows = Model.evalTable(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val expected = pred
+      .groupBy { case (_, _, p) => math.min(math.floor(p * 10).toLong, 9L) }
+      .map { case (d, rows) =>
+        d -> (
+          rows.size.toLong,
+          rows.count { case (a, pr, _) => a == 1L && pr == 1L }.toLong,
+          rows.count { case (a, pr, _) => a == 0L && pr == 1L }.toLong,
+          rows.count { case (a, pr, _) => a == 1L && pr == 0L }.toLong,
+          rows.count { case (a, pr, _) => a == 0L && pr == 0L }.toLong)
+      }
+    assert(evalRows == expected, s"decile cells drifted: $evalRows vs $expected")
+    // confusion cells partition each decile's volume
+    evalRows.foreach { case (d, (n, tp, fp, fn, tn)) =>
+      assert(tp + fp + fn + tn == n, s"decile $d: confusion cells must sum to n")
+    }
+  }
+
   test("model beats the majority-class baseline on its training frame") {
     // Not a generalization claim (train-set fit, like the reference's
     // in-notebook fit/predict) — a learnability floor: the fitted model

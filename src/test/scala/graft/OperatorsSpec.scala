@@ -116,8 +116,9 @@ class OperatorsSpec extends SparkSpec {
       // provenance spec (trained == published Bpe.Merges) is the gate:
       "q_bpe_train",
       // iterative LBFGS optimization is not a DuckDB query; ModelSpec
-      // (determinism + coverage + majority-class floor) is the gate:
-      "q_model_lr")
+      // (determinism + coverage + majority-class floor, exact decile
+      // rollup for the eval table) is the gate:
+      "q_model_lr", "q_model_eval")
     assert(rowsOnly == documented,
       s"rows-only drift: extra=${rowsOnly.diff(documented)} missing=${documented.diff(rowsOnly)}")
   }
