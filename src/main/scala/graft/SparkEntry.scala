@@ -359,10 +359,17 @@ object SparkEntry {
         |WHERE a.event_type = 'error'
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
     "q_asof_lookback" ->
-      """SELECT event_id, user_id,
-        |  floor(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-        |    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING) * 10000 + 0.5) / 10000 AS avg_7d
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  floor((CAST(sum(v100) OVER w AS DOUBLE) / (count(v100) OVER w * 100.0)) * 10000 + 0.5) / 10000 AS avg_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,

@@ -83,11 +83,22 @@ object Windows {
       .partitionBy("user_id")
       .orderBy(col("ts_ms"))
       .rangeBetween(-7L * 24 * 3600 * 1000, -1)
+    // avg over EXACT scaled-integer sums (values are 2-decimal by
+    // schema): a double window-avg diverges between engines in the low
+    // bits — large RANGE frames go through DuckDB's segment-tree
+    // aggregation, whose association order differs from Spark's frame
+    // accumulation, and at sf0.1 16 of ~100k rows landed on the 4dp
+    // rounding boundary (sf0.01 never hit one; found by the r12
+    // sf0.1 cross-engine sweep). sum(v100)/(100·n) divides the SAME
+    // exact int64 operands in both engines → bit-identical IEEE result.
     Tables
       .events(spark, dir)
       .select("event_id", "user_id", "ts", "value")
       .withColumn("ts_ms", unix_millis(col("ts")))
-      .withColumn("avg_7d", graft.Num.round4(avg("value").over(w)))
+      .withColumn("v100", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("avg_7d",
+        graft.Num.round4(
+          sum("v100").over(w).cast("double") / (count("v100").over(w) * lit(100.0))))
       .select("event_id", "user_id", "avg_7d")
       .orderBy("event_id")
   }
