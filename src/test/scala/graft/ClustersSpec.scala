@@ -32,6 +32,27 @@ class ClustersSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L), "whole chain is one component labeled by its min")
   }
 
+  test("connectedComponents releases every checkpoint it creates (no session-lifetime leak)") {
+    // Local-checkpoint blocks are not CacheManager entries, so
+    // clearCache() can't free them — the r12 leak measured unrelated
+    // queries ~1.3-1.4x slower after CC-heavy ones in one bench
+    // session. This pins the explicit-release contract: after the
+    // result is consumed and the session cache cleared, the persistent
+    // RDD set must return to its pre-invocation state.
+    spark.catalog.clearCache()
+    System.gc() // let ContextCleaner retire any prior test's leftovers
+    Thread.sleep(200)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Clusters.connectedComponents(
+      (1L to 50L).toDF("id"),
+      (1L until 50L).map(i => (i + 1, i)).toDF("a", "b"))
+    out.count()
+    spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
+      s"CC leaked ${leaked.size} persisted RDD(s) past clearCache: ids $leaked")
+  }
+
   test("leakage-safe split keeps every near-dup cluster inside one split") {
     val s = SparkEntry.queries("q_split_leakage_safe")(spark, sfDir)
     val rows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
