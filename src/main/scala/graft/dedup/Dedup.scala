@@ -191,9 +191,9 @@ object Dedup {
     * via `verifyJaccardArrays`. Replaces the old exploded verify for
     * the incremental/published-index consumers: that shape joined the
     * FULL index twice and ran a pair-keyed groupBy count — two
-    * corpus-index shuffles per verify that this one avoids. Candidates
-    * must carry (na, nb) (ppjoinCandidates emits them — sizes ride the
-    * published positional prefix).
+    * corpus-index shuffles per verify that this one avoids. Only the
+    * (a, b) pair columns are consumed; set sizes are derived from the
+    * gathered arrays inside `verifyJaccardArrays`.
     */
   private[graft] def verifyJaccardIndexed(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -837,9 +837,15 @@ object Dedup {
   /** Embedding near-dup: exact cosine >= 0.4 over all pairs, executed as
     * a block-matrix equi-join: vectors land in EmbedBlocks buckets by id,
     * the left side is replicated once per partner block, and the join is
-    * a plain shuffled equi-join on the block id — partition-bounded work
-    * units instead of a CartesianProduct node. Exact all-pairs is
-    * inherently quadratic compute; the scale path that trades recall for
+    * an equi-join on the block id — partition-bounded work units instead
+    * of a CartesianProduct node. The build side is the whole (small, by
+    * this query's nature) vector set, explicitly `broadcast()` so the
+    * replicated left never shuffles — the explode happens map-side and
+    * parallelism comes from the left repartition, not from the block-key
+    * cardinality (a shuffled join on 8 distinct keys caps the quadratic
+    * phase at 8 cores). Exact all-pairs is inherently quadratic compute
+    * and only feasible when the vector set fits one machine anyway —
+    * broadcastability is implied; the scale path that trades recall for
     * linearity is similarity.LshAnn.
     */
   def embedNeardup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
@@ -850,9 +856,11 @@ object Dedup {
       .withColumn("blk", pmod(col("vec_id"), lit(EmbedBlocks)).cast("int"))
     val left = v
       .toDF("a", "ea", "na", "ba")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .withColumn("bj", explode(array((0 until EmbedBlocks).map(lit): _*)))
     val pairs = left
-      .join(v.toDF("b", "eb", "nb", "bb"), col("bb") === col("bj") && col("a") < col("b"))
+      .join(broadcast(v.toDF("b", "eb", "nb", "bb")),
+        col("bb") === col("bj") && col("a") < col("b"))
       .withColumn("dot", expr("graft_dot(ea, eb)"))
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
     pairs
