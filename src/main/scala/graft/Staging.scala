@@ -68,6 +68,17 @@ object Staging {
     * captured inside the checkpoint's LogicalRDD leaf. After release
     * the frame is UNRECOVERABLE (checkpointing truncated its lineage) —
     * callers must have materialized every consumer first.
+    *
+    * Fault-tolerance note: when the "consumer" is a MEMORY_AND_DISK
+    * staged copy (Clusters' cc_labels), releasing the checkpoint makes
+    * that cache the ONLY copy — in cluster mode an executor loss after
+    * release drops cached partitions whose lineage bottoms out in the
+    * released checkpoint and fails the query instead of recomputing.
+    * localCheckpoint already forfeits executor-loss tolerance, so this
+    * widens an existing window rather than opening a new one — and in
+    * deployment the scratch-parquet staging mode (SPARK_GRAFT_SCRATCH)
+    * closes it: the staged copy is then lake-resident and
+    * loss-tolerant by storage, not lineage.
     */
   def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {

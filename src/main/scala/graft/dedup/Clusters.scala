@@ -38,12 +38,19 @@ object Clusters {
     *
     * Each round does (1) hash-min propagation — every vertex takes the
     * min label over itself and its neighbors (one equi-join on src +
-    * one groupBy(id).min) — and (2) pointer jumping — label(v) <-
-    * label(label(v)) (a self-join on label), which doubles the distance
-    * a min travels per round and gives the O(log n) bound plain
-    * propagation (O(diameter)) lacks. Labels only ever decrease, so
-    * sum(label) strictly decreases until the fixpoint: convergence is
-    * ONE scalar aggregate per round, no change-count join.
+    * one groupBy(id).min) — and (2) DOUBLED pointer jumping — label(v)
+    * <- label(label(label(v))) (two chained self-joins on label), which
+    * quadruples the distance a min travels per round and gives the
+    * O(log n) bound plain propagation (O(diameter)) lacks. Two hops
+    * instead of one (r13): at production SF the per-round fixed job
+    * overhead (scheduling + checkpoint materialization + convergence
+    * aggregate) dominates the keyed joins, so trading one extra
+    * in-round join for ~half the rounds is a straight win; labels are
+    * always vertex ids present in the frame, so the second hop's join
+    * matches by the same invariant as the first. Labels only ever
+    * decrease, so sum(label) strictly decreases until the fixpoint:
+    * convergence is ONE scalar aggregate per round, no change-count
+    * join.
     *
     * Scale shape: both joins shuffle on (id | label) — high-cardinality
     * keys, never the payload. The loop runs over EDGE-INCIDENT vertices
@@ -86,37 +93,48 @@ object Clusters {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < MaxIterations) {
-      val msgs = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"))
-      val propagated = labels.union(msgs).groupBy("id").agg(min("label").as("label"))
-      // Pointer jump. Every label IS a vertex id (labels start as ids
-      // and min only selects among them), so the join always matches.
-      val jumped = propagated
-        .join(propagated.select(col("id").as("pid"), col("label").as("plabel")), col("label") === col("pid"))
-        .select(col("id"), col("plabel").as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(jumped)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+    // try/finally (r13): if any in-loop action throws (or the
+    // convergence require fires), the current labels and the edges
+    // checkpoints must still be released — a long-lived session that
+    // catches and retries would otherwise re-accumulate exactly the
+    // storage leak releaseCheckpoint exists to prevent. unpersist is
+    // idempotent, so the finally may double-release the happy path's
+    // already-released frames harmlessly.
+    try {
+      while (!converged && iter < MaxIterations) {
+        val msgs = edges
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .select(col("dst").as("id"), col("label"))
+        val propagated = labels.union(msgs).groupBy("id").agg(min("label").as("label"))
+        // Doubled pointer jump. Every label IS a vertex id (labels
+        // start as ids and min only selects among them) and each hop
+        // preserves that invariant, so both joins always match.
+        def jump(df: DataFrame): DataFrame = df
+          .join(df.select(col("id").as("pid"), col("label").as("plabel")), col("label") === col("pid"))
+          .select(col("id"), col("plabel").as("label"))
+        val jumped = jump(jump(propagated)).localCheckpoint(true)
+        val s = labelSum(jumped)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        graft.Staging.releaseCheckpoint(labels)
+        labels = jumped
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $MaxIterations rounds")
+      val singletons = vertices
+        .select("id")
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .withColumn("label", col("id"))
+      // Copy the result into the session cache (clearCache-managed, and
+      // downstream consumers read the labels 2-3 times anyway), force
+      // it, then release the terminal checkpoint + edges (the finally).
+      val out = graft.Staging.staged(labels.unionByName(singletons), "cc_labels")
+      out.count()
+      out
+    } finally {
       graft.Staging.releaseCheckpoint(labels)
-      labels = jumped
-      iter += 1
+      graft.Staging.releaseCheckpoint(edges)
     }
-    require(converged, s"connectedComponents did not converge in $MaxIterations rounds")
-    val singletons = vertices
-      .select("id")
-      .join(labels.select("id"), Seq("id"), "left_anti")
-      .withColumn("label", col("id"))
-    // Copy the result into the session cache (clearCache-managed, and
-    // downstream consumers read the labels 2-3 times anyway), force it,
-    // then release the terminal checkpoint + edges.
-    val out = graft.Staging.staged(labels.unionByName(singletons), "cc_labels")
-    out.count()
-    graft.Staging.releaseCheckpoint(labels)
-    graft.Staging.releaseCheckpoint(edges)
-    out
   }
 
   /** Declared query: cluster the 3-gram-Jaccard near-dup pairs

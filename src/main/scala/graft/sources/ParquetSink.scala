@@ -67,10 +67,13 @@ object ParquetSink {
     // the lineage entirely — unlike cache(), a lost cached partition
     // cannot trigger recompute that re-lists the sink mid-append.
     val appended = fresh.localCheckpoint(true)
-    val n = appended.count()
-    if (n > 0) appended.write.mode(SaveMode.Append).parquet(path)
-    graft.Staging.releaseCheckpoint(appended)
-    n
+    // finally (r13): a failed append must still release the checkpoint
+    // blocks, or a retrying session leaks storage per attempt.
+    try {
+      val n = appended.count()
+      if (n > 0) appended.write.mode(SaveMode.Append).parquet(path)
+      n
+    } finally graft.Staging.releaseCheckpoint(appended)
   }
 
   /** Repair scan: rows whose required columns are incomplete (NULL).
@@ -130,16 +133,18 @@ object ParquetSink {
     // Materialize the patched slice BEFORE overwriting the partitions it
     // was read from (same barrier rationale as upsertByAntiJoin).
     val joined = slice.join(patchSide, keys, "left").localCheckpoint(true)
-    val nPatched = joined
-      .filter(patchCols.map(c => col(c).isNull && col(s"__patch_$c").isNotNull).reduce(_ || _))
-      .count()
-    val patched = joined.select(existing.columns.toSeq.map {
-      case c if patchCols.contains(c) => coalesce(col(c), col(s"__patch_$c")).as(c)
-      case c => col(c)
-    }: _*)
-    writePartitioned(patched, path, Seq(partitionCol), overwritePartitions = true)
-    graft.Staging.releaseCheckpoint(joined)
-    nPatched
+    // finally (r13): same retry-leak rationale as upsertByAntiJoin.
+    try {
+      val nPatched = joined
+        .filter(patchCols.map(c => col(c).isNull && col(s"__patch_$c").isNotNull).reduce(_ || _))
+        .count()
+      val patched = joined.select(existing.columns.toSeq.map {
+        case c if patchCols.contains(c) => coalesce(col(c), col(s"__patch_$c")).as(c)
+        case c => col(c)
+      }: _*)
+      writePartitioned(patched, path, Seq(partitionCol), overwritePartitions = true)
+      nPatched
+    } finally graft.Staging.releaseCheckpoint(joined)
   }
 
   /** The bounded read patchIncomplete rewrites from: a plain isin filter

@@ -39,16 +39,22 @@ class ClustersSpec extends SparkSpec {
     // session. This pins the explicit-release contract: after the
     // result is consumed and the session cache cleared, the persistent
     // RDD set must return to its pre-invocation state.
+    // Track only the ids ADDED by this invocation (r13): the old
+    // gc+sleep baseline stabilization was timing-dependent — a slow
+    // async cleanup before the snapshot left stale ids in `before`
+    // that could mask a real leak, and a loaded host could flake it.
+    // Intersecting the post-clearCache set with the ids the call
+    // created needs no timing assumptions at all.
     spark.catalog.clearCache()
-    System.gc() // let ContextCleaner retire any prior test's leftovers
-    Thread.sleep(200)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Clusters.connectedComponents(
       (1L to 50L).toDF("id"),
       (1L until 50L).map(i => (i + 1, i)).toDF("a", "b"))
     out.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(added.nonEmpty, "the call must have persisted at least its staged result")
     spark.catalog.clearCache()
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.intersect(added)
     assert(leaked.isEmpty,
       s"CC leaked ${leaked.size} persisted RDD(s) past clearCache: ids $leaked")
   }
