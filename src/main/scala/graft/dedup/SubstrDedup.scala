@@ -65,14 +65,23 @@ object SubstrDedup {
             expr(s"transform(sequence(0, size(w) - $w), s -> xxhash64(slice(th, s + 1, $w)))"))
             .otherwise(expr("cast(array() as array<bigint>)"))),
       "substr_windows")
-    val occurrences = toks.select(col("doc_id"), posexplode(col("ghs")).as(Seq("s", "gh")))
-    val repeated = occurrences
+    // ONE full-volume shuffle (r13): repeat detection and coverage
+    // collection share a single groupBy(gh) — the occurrence list is
+    // gathered alongside the repeat test, and the distinct-doc floor is
+    // evaluated scan-locally on the gathered list (windows repeat a
+    // bounded number of times in a deduplicatable corpus, so per-gh
+    // lists are small; a pathological universal window is exactly what
+    // LineDedup's df>=3 boilerplate pass removes first). The previous
+    // shape exploded the window frame twice and shuffled it twice —
+    // once through countDistinct's two-phase agg and once through the
+    // join-back — for the same answer.
+    val covered = toks
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("s", "gh")))
       .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= MinDocs)
-      .select("gh")
-    val covered = occurrences
-      .join(repeated, "gh")
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("occ"))
+      .filter(expr(s"size(array_distinct(transform(occ, o -> o.doc_id))) >= $MinDocs"))
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
       .groupBy("doc_id")
       .agg(collect_list(col("s")).as("starts"))
     toks
