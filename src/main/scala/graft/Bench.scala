@@ -41,7 +41,10 @@ object Bench {
       "q_knn_graph", "q_diversity_sample", "q_ann_ivfpq", "q_semdedup",
       // r11: the source-overlap diagnostic and the curation funnel read
       // the published standing index / cluster table in published mode
-      "q_source_overlap", "q_curation_run")
+      "q_source_overlap", "q_curation_run",
+      // r13: scoring + eval read the published coefficient artifact
+      // (one LBFGS fit per pipeline, landed in the warmup publish)
+      "q_model_lr", "q_model_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -53,6 +53,31 @@ class ModelSpec extends SparkSpec {
     }
   }
 
+  test("published model artifact: one fit serves every consumer, rows identical to inline") {
+    val root = java.nio.file.Files.createTempDirectory("graft_model_art").toString
+    val inlinePred = Model.trainPredict(spark, sfDir).collect().map(_.toSeq)
+    val inlineEval = Model.evalTable(spark, sfDir).collect().map(_.toSeq)
+    spark.conf.set("spark.graft.artifacts", root)
+    try {
+      val pubPred = Model.trainPredict(spark, sfDir).collect().map(_.toSeq)
+      // the coefficient table is committed, tiny, and well-formed
+      val artDirs = new java.io.File(s"$root/model_lr").listFiles()
+      assert(artDirs != null && artDirs.exists(_.getName.startsWith("fp=")),
+        "fit must publish a fingerprinted coefficient artifact")
+      val coefRows = spark.read
+        .parquet(artDirs.find(_.getName.startsWith("fp=")).get.toString)
+        .collect()
+      assert(coefRows.length == 5, "4 feature weights + intercept")
+      // a second consumer (evalTable) reads the SAME committed fit; its
+      // output must be the inline answer bit-for-bit
+      val pubEval = Model.evalTable(spark, sfDir).collect().map(_.toSeq)
+      assert(pubPred.toSeq == inlinePred.toSeq,
+        "published-model predictions must equal inline-fit predictions")
+      assert(pubEval.toSeq == inlineEval.toSeq,
+        "published-model eval table must equal inline-fit eval table")
+    } finally spark.conf.unset("spark.graft.artifacts")
+  }
+
   test("model beats the majority-class baseline on its training frame") {
     // Not a generalization claim (train-set fit, like the reference's
     // in-notebook fit/predict) — a learnability floor: the fitted model
