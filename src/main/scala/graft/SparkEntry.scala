@@ -1307,6 +1307,27 @@ object SparkEntry {
     "q_quality_gopher" -> QualityGopherSql,
     "q_quality_sample" -> QualitySampleSql,
     "q_tokenize_bpe" -> graft.functions.Bpe.oracleSql,
+    // graft_fingerprint replayed byte-by-byte: h = h*31 + byte over the
+    // UTF-8 bytes, 64-bit wrap. DuckDB BIGINT overflow errors rather
+    // than wraps, so the accumulator runs in HUGEINT mod 2^64 and maps
+    // to signed at the end. ord(char) = the UTF-8 byte only for ASCII —
+    // exactly what the generator emits; a future non-ASCII regeneration
+    // fails this compare loudly (multi-byte chars advance one char but
+    // several bytes), never silently.
+    "q_doc_fingerprint" ->
+      """WITH RECURSIVE fp AS (
+        |  SELECT doc_id, text, 0 AS i, length(text) AS n, 0::HUGEINT AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, i + 1, n,
+        |         (h * 31 + ord(substr(text, i + 1, 1))) % 18446744073709551616::HUGEINT
+        |  FROM fp WHERE i < n
+        |)
+        |SELECT doc_id,
+        |       (CASE WHEN h >= 9223372036854775808::HUGEINT
+        |             THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS fp
+        |FROM fp WHERE i = n
+        |ORDER BY doc_id""".stripMargin,
     "q_quality_c4" -> QualityC4Sql,
     // The composed curation funnel: every stage flag re-derived from
     // the SAME oracle machinery its standalone query is gated by (C4 +

@@ -110,8 +110,10 @@ class OperatorsSpec extends SparkSpec {
       "q_ann_ivf", "q_ann_ivfpq", "q_semdedup", "q_knn_graph", "q_diversity_sample",
       // sketches (approximate by design):
       "q_distinct_agg_approx", "q_percentiles_approx",
-      // custom codegen hash / binary decode (spec-verified instead):
-      "q_doc_fingerprint", "q_multimodal_pipeline",
+      // binary decode (spec-verified instead; q_doc_fingerprint left
+      // this set r13 — its rolling hash is replayed byte-by-byte as a
+      // HUGEINT-mod-2^64 recursive CTE):
+      "q_multimodal_pipeline",
       // iterative global-argmax training is not a DuckDB query; the
       // provenance spec (trained == published Bpe.Merges) is the gate:
       "q_bpe_train",

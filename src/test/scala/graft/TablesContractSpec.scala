@@ -98,6 +98,18 @@ class TablesContractSpec extends SparkSpec {
     val ev = Tables.events(spark, sfDir)
     val nullTs = ev.filter(ev("ts").isNull).count()
     assert(nullTs == 0L, s"events.ts: $nullTs null timestamps after loader normalization")
+    // events.value sits exactly on the 2-decimal grid — the as-of
+    // lookback's engine-exact average (Windows.scala) quantizes via
+    // floor(value*100+0.5) on BOTH engines, which is only the true
+    // average under this data property. Pinned here so a driver
+    // regeneration with finer precision fails loudly in one place
+    // instead of silently shifting avg_7d on both engines at once.
+    import org.apache.spark.sql.functions.{abs => sqlAbs, col, floor, lit}
+    val offGrid = ev.filter(
+      sqlAbs(col("value") - floor(col("value") * 100 + lit(0.5)) / 100.0) > lit(1e-9)).count()
+    assert(offGrid == 0L,
+      s"events.value: $offGrid values off the 2-decimal grid — driver regenerated with finer " +
+        "precision; the as-of lookback's scaled-int quantization is now lossy on real data")
   }
 
   test("events ts normalization: all three generations land on the same instant") {
