@@ -118,7 +118,7 @@ object Bench {
     // fraction over the timed window, and the calibration probe vs its
     // pinned idle-host reference (load_factor ~1.0 = trustworthy run).
     val calibRef = "\"calib\"\\s*:\\s*(-?[0-9.]+)".r
-      .findFirstMatchIn(scala.util.Try(scala.io.Source.fromFile("bench_baseline.json").mkString).getOrElse(""))
+      .findFirstMatchIn(baselineText())
       .map(_.group(1).toDouble).getOrElse(-1.0)
     def r3d(x: Double): Double = math.rint(x * 1000) / 1000
     val loadFactor = if (calibRef > 0) r3d(math.max(calibPre, calibPost) / calibRef) else -1.0
@@ -159,11 +159,26 @@ object Bench {
     * query set only, so adding queries can't game the ratio; emitted as
     * extra JSON fields, "" when the file or sf doesn't match.
     */
+  /** bench_baseline.json as text, decoded as UTF-8 EXPLICITLY: the
+    * forked bench JVM inherits the harness's POSIX locale, so the
+    * default charset is US-ASCII and `Source.fromFile` throws
+    * MalformedInputException on the first multibyte character — which
+    * the surrounding Try used to swallow, silently dropping the
+    * vs_r3/vs_duckdb ratios AND the calibration reference from the
+    * committed artifact (r13 found BENCH_DETAIL with calib_ref -1 and
+    * no ratio fields the first time a pin comment used an em-dash).
+    * "" when the file is missing.
+    */
+  private def baselineText(): String =
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("bench_baseline.json"),
+      java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")
+
   private def baselineRatios(sfDir: String, results: Map[String, Double]): String = {
     // Same poisoning rule as the headline total: a failed query must not
     // shrink the shared set and flatter the ratio.
     if (results.values.exists(_ < 0)) return ""
-    val txt = scala.util.Try(scala.io.Source.fromFile("bench_baseline.json").mkString).getOrElse("")
+    val txt = baselineText()
     val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).exists(m => sfDir.endsWith(m.group(1)))
     if (!sfOk) return ""
     def section(name: String): Map[String, Double] =

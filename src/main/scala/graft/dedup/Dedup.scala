@@ -474,23 +474,20 @@ object Dedup {
     verifyJaccardArrays(candidates, arr, threshold)
   }
 
-  /** 64-bit SimHash fingerprints: token-frequency-weighted bit vote.
-    * One explode + one groupBy with 64 codegen'd conditional sums —
-    * linear in corpus size, no per-row driver logic.
+  /** 64-bit SimHash fingerprints: token-frequency-weighted bit vote,
+    * computed SCAN-LOCALLY per row by the `graft_simhash` codegen
+    * Expression (r13). The r3-r12 shape exploded the token frame and
+    * ran a 64-column ±1 vote aggregate — a full corpus-token shuffle
+    * (every token row leaves the scan just to rejoin its own doc) for
+    * what is a per-row function of the doc's own tokens. Bit-identical
+    * by construction (SimHashExprSpec pins the identity against the
+    * explode+aggregate composition); docs with null text drop out via
+    * the filter exactly as explode dropped them.
     */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitAggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val votes = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("doc_id"), fp.as("fp"))
-  }
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("graft_simhash(split(text, ' '))").as("fp"))
 
   /** SimHash block layout. Pigeonhole: any pair at hamming <= maxHamming
     * shares at least one intact block as long as blocks > maxHamming, so
@@ -515,9 +512,9 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     require(SimHashBlocks > maxHamming, "need more blocks than the hamming budget")
     // Staged: the fingerprint frame feeds FOUR subtrees (both band
-    // sides + both verify joins), and each would otherwise replay the
-    // explode + 64-way vote aggregation — four corpus scans for one
-    // fingerprint pass (the r8 scan audit caught this).
+    // sides + both verify joins). Since r13 the fingerprint is a
+    // scan-local graft_simhash pass (no explode/aggregate), but staging
+    // still collapses four full-text scans into one.
     val fps = staged(simhashFingerprints(Tables.documents(spark, dir)), "simhash_fp")
     val blockMask = (1L << SimHashBlockBits) - 1
     val blockCols = (0 until SimHashBlocks).map { j =>
