@@ -27,6 +27,7 @@ object GraftSession {
         graft.functions.DotProductExpr.register(ext)
         graft.functions.MinHashExpr.register(ext)
         graft.functions.SimHashExpr.register(ext)
+        graft.functions.LshSigExpr.register(ext)
         graft.functions.BpeExpr.register(ext)
         graft.functions.BloomExpr.register(ext)
         graft.functions.CmsExpr.register(ext)

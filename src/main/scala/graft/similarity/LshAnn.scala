@@ -41,29 +41,26 @@ object LshAnn {
   val BandBits: Int = NumBits / NumBands
   private val BandMask: Long = (1L << BandBits) - 1
 
-  /** Fixed hyperplanes from a seeded PRNG: deterministic across runs and
-    * executors, shipped to the plan as literal arrays (64*64 doubles —
-    * a few KB of constants folded into codegen).
+  /** Fixed hyperplanes from a seeded PRNG: deterministic across runs
+    * and executors — the exact table used since r3, now owned by
+    * LshSigExpr (the fused signature Expression) and aliased here for
+    * the specs that replay the per-plane composition.
     */
-  private[similarity] val hyperplanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumBits, Dim)(rnd.nextGaussian())
-  }
+  private[similarity] val hyperplanes: Array[Array[Double]] =
+    graft.functions.LshSigExpr.planes
 
-  /** signature bit i = (v · plane_i) > 0, packed into a long. Uses the
-    * graft_dot codegen Expression against a constant plane array —
-    * Double.toString/parse round-trips exactly, and the interpreted
-    * aggregate(zip_with(...)) fold it replaces allocates per row × per
-    * plane (the measured 20x tax documented on DotProductExpr).
+  /** signature bit i = (v · plane_i) > 0, packed into a long, via the
+    * fused `graft_lsh_sig` codegen Expression (r13). The r3-r12 form —
+    * 64 `graft_dot(e, <64 literal doubles>)` columns OR-folded —
+    * shipped ~80 KB of plane literals into every LSH plan (0.6 s of
+    * driver parse/analyze per query build, measured) and re-read the
+    * vector through ArrayData accessors once per plane; the fused
+    * Expression carries the planes as one reference object and is
+    * bit-identical by construction (LshSigExprSpec pins the identity
+    * against the per-plane composition).
     */
-  private[similarity] def signature(vecCol: String): Column = {
-    val bits = hyperplanes.zipWithIndex.map { case (plane, i) =>
-      val planeSql = plane.mkString("array(", "D, ", "D)")
-      val dot = expr(s"graft_dot($vecCol, $planeSql)")
-      when(dot > 0d, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private[similarity] def signature(vecCol: String): Column =
+    expr(s"graft_lsh_sig($vecCol)")
 
   private def bandKey(sig: Column, j: Int): Column =
     shiftright(sig, j * BandBits).bitwiseAND(lit(BandMask))
