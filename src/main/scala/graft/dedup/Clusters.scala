@@ -68,9 +68,14 @@ object Clusters {
     val edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      // Lazy: the initial labelSum's job depends on this RDD through
+      // edgeVertices → labels, so both checkpoints materialize in that
+      // one job instead of two eager up-front jobs.
+      .localCheckpoint(false)
     val edgeVertices = edges.select(col("src").as("id")).distinct()
-    var labels = edgeVertices.withColumn("label", col("id")).localCheckpoint(true)
+    // Lazy, like the in-loop rounds: the initial labelSum below is the
+    // first action and materializes this checkpoint in the same job.
+    var labels = edgeVertices.withColumn("label", col("id")).localCheckpoint(false)
     // localCheckpoint blocks are NOT CacheManager entries: the
     // session-level `clearCache()` the harness runs between queries
     // never frees them, so without explicit release every CC invocation
@@ -112,7 +117,13 @@ object Clusters {
         def jump(df: DataFrame): DataFrame = df
           .join(df.select(col("id").as("pid"), col("label").as("plabel")), col("label") === col("pid"))
           .select(col("id"), col("plabel").as("label"))
-        val jumped = jump(jump(propagated)).localCheckpoint(true)
+        // LAZY checkpoint (r13): the convergence aggregate right below is
+        // the round's first action, so it materializes the checkpoint as
+        // it runs — one job per round where eager-checkpoint-then-sum
+        // paid two (per-round fixed job overhead is the dominant cost at
+        // small SF and the driver-side floor at any SF). Lineage is
+        // truncated at materialization exactly as with the eager form.
+        val jumped = jump(jump(propagated)).localCheckpoint(false)
         val s = labelSum(jumped)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
