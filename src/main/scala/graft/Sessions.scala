@@ -22,17 +22,10 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .withExtensions { ext =>
-        graft.functions.FingerprintExpr.register(ext)
-        graft.functions.DotProductExpr.register(ext)
-        graft.functions.MinHashExpr.register(ext)
-        graft.functions.SimHashExpr.register(ext)
-        graft.functions.LshSigExpr.register(ext)
-        graft.functions.BpeExpr.register(ext)
-        graft.functions.BloomExpr.register(ext)
-        graft.functions.CmsExpr.register(ext)
-        ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
-      }
+      // The same extension class a cluster deployment names via
+      // `spark.sql.extensions=graft.GraftExtensions` — one registration
+      // list, tested and deployed identically.
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
