@@ -90,4 +90,26 @@ class SimHashExprSpec extends SparkSpec {
     val fps = graft.dedup.Dedup.simhashFingerprints(withNull)
     assert(fps.count() == 1 && fps.head.getLong(0) == 1L)
   }
+
+  test("graft_simhash matches the composition on randomized multibyte unicode tokens") {
+    import spark.implicits._
+    // The corpus identity test covers ASCII only; the hashing contract
+    // (XXH64.hashUTF8String == xxhash64 over the UTF-8 bytes) must hold
+    // on multibyte input too — 2/3/4-byte sequences exercise the
+    // tail-handling paths of the hash.
+    val rnd = new scala.util.Random(20260814)
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "héllo", "naïve", "日本語", "データ", "обучение", "مرحبا", "🙂", "🚀🔥",
+      "mix日本", "ö", "a", "ß", "çà", "한국어", "ข้อความ", "é") // combining accent
+    val docs = (1L to 60L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(30))(pool(rnd.nextInt(pool.size))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fast = graft.dedup.Dedup.simhashFingerprints(df).toDF("doc_id", "fast")
+    val slow = aggregateFingerprints(df).toDF("doc_id", "slow")
+    val j = fast.join(slow, "doc_id")
+    assert(j.count() == 60)
+    assert(j.filter(col("fast") =!= col("slow")).count() == 0,
+      "multibyte tokens diverge between scan-local and aggregate simhash")
+  }
 }
