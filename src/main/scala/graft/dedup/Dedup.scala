@@ -789,7 +789,20 @@ object Dedup {
     */
   private[graft] def standingIndex(
       spark: SparkSession, dir: String, threshold: Double = 0.8): (DataFrame, DataFrame) = {
-    val sh = staged(publishedShingleIndex(spark, dir), "shingle_standing")
+    // The shingle table is staged only when computed INLINE (no
+    // artifacts root): there it feeds both the prefix build and the
+    // exact verify, so the persist saves a corpus re-scan. With a root
+    // configured it is a published parquet read and every consumer
+    // (dedupDelta, sourceOverlap, clusterDelta) touches it exactly ONCE
+    // — inside `verifyJaccardIndexed`'s candidate-incident gather — so
+    // staging would materialize the whole corpus-scale index into
+    // executor storage ahead of a single scan (r13; the same
+    // point-probe argument `substrSearch` already documents). The
+    // prefix stays staged either way: its consumers self-join or
+    // filter it twice per query.
+    val published = graft.sources.Artifacts.rootDir(spark).nonEmpty
+    val shRaw = publishedShingleIndex(spark, dir)
+    val sh = if (published) shRaw else staged(shRaw, "shingle_standing")
     val prefix = staged(
       graft.sources.Artifacts.publishedOrCompute(
         spark, "shingle_index_prefix", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
