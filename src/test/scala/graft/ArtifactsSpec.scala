@@ -149,6 +149,30 @@ class ArtifactsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("published-mode standing index: shingle table scanned directly, prefix staged") {
+    // r13: with a root configured the shingle table is a published
+    // parquet every consumer touches exactly once (the candidate-
+    // incident gather), so staging it would materialize the whole
+    // corpus-scale index into executor storage ahead of a single scan.
+    // The prefix stays staged — its consumers filter/self-join it twice.
+    spark.catalog.clearCache()
+    withRoot { _ =>
+      graft.dedup.Dedup.dedupDelta(spark, sfDir).collect() // publish pass
+      spark.catalog.clearCache()
+      val df = graft.dedup.Dedup.dedupDelta(spark, sfDir)
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val cached = df.queryExecution.optimizedPlan
+        .collect { case r: InMemoryRelation => r.cachedPlan.toString }
+      assert(!cached.exists(_.contains("shingle_index_sh")),
+        "published shingle index must not be staged (it has a single scan per consumer)")
+      assert(cached.exists(_.contains("shingle_index_prefix")),
+        "published prefix index must stay staged (filtered/self-joined twice per query)")
+      assert(df.queryExecution.executedPlan.toString.contains("shingle_index_sh"),
+        "the plan must scan the published shingle parquet directly")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("decontaminateBloom consumes the published eval index and stays exact") {
     spark.catalog.clearCache()
     val inline = graft.dedup.Dedup.decontaminateBloom(spark, sfDir).collect().map(_.toSeq).toSeq
