@@ -51,6 +51,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("index-backed pair mine equals inline jaccardPrefix on random corpora") {
+    // The standing-index consumers (dedupDelta, sourceOverlap,
+    // clusterDelta) mine pairs as prefixCollisions over a prefix index
+    // + candidate-incident verifyJaccardIndexed, while the build
+    // authority (jaccardPrefixOf) stages per-doc arrays and verifies
+    // against those. The architecture's incremental = full-recompute
+    // claim rests on these two paths emitting the SAME pair set; pin it
+    // on adversarial corpora, not just the fixed testdata.
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val docs = randomCorpus(60).toDF("doc_id", "text")
+      val inline = Dedup.jaccardPrefixOf(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sh = Dedup.shingles(docs).select(col("doc_id"), xxhash64(col("sg")).as("sg"))
+      val prefix = Dedup.prefixIndex(sh, 0.8)
+      val indexed = Dedup.verifyJaccardIndexed(
+        Dedup.ppjoinCandidates(Dedup.prefixCollisions(prefix, prefix), 0.8), sh, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      assert(indexed == inline,
+        s"trial $trial: missing=${inline.diff(indexed).take(5)} extra=${indexed.diff(inline).take(5)}")
+    }
+  }
+
   test("containment pruning is lossless on adversarial random corpora") {
     import spark.implicits._
     for (trial <- 1 to 3) {
