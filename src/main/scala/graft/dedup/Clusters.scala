@@ -29,6 +29,71 @@ object Clusters {
     */
   val MaxIterations = 40
 
+  /** Edge-count gate for the driver-local CC fast path (default; the
+    * `spark.graft.cc.driverEdgeCap` conf overrides, and 0 forces the
+    * distributed loop — how the equivalence spec pins both paths on
+    * one graph). 100k edges is ~1.6 MB collected — the same
+    * bounded-by-contract collect class as `substrSearch`'s count-gated
+    * match fetch, and the count runs BEFORE the collect decides.
+    */
+  val DriverCcEdgeCapDefault = 100000L
+
+  /** Adaptive connected components: same contract as
+    * `connectedComponents`, with the execution strategy picked at
+    * runtime from the measured edge count — the adaptivity AQE applies
+    * to join strategy, applied to the CC loop. Near-dup edge sets are
+    * SPARSE relative to the corpus (dedup clusters are small; most
+    * docs are singletons that never enter the loop), so at moderate SF
+    * the distributed loop's per-round fixed job overhead dwarfs the
+    * actual propagation work: a graph under the edge cap is solved as
+    * one driver union-find (min-root union = min-label by induction)
+    * and one broadcast join, replacing ~8-12 scheduled jobs with two.
+    * Above the cap — the 100 TB corpus build, or a delta batch whose
+    * touched-component graph outgrows the gate — the hash-min +
+    * pointer-jumping loop runs unchanged. The edge frame is staged
+    * first so the gate's count() never re-runs the (expensive) pair
+    * mine that produced it, and BOTH paths read the same staged frame.
+    */
+  private[graft] def connectedComponentsAdaptive(
+      vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    val cap = spark.conf.getOption("spark.graft.cc.driverEdgeCap")
+      .map(_.toLong).getOrElse(DriverCcEdgeCapDefault)
+    val edges = graft.Staging.staged(pairs.select("a", "b"), "cc_edges_in")
+    if (edges.count() <= cap) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      // Union by MIN root: every node starts as its own root, so a
+      // component's root is always its minimum member id — exactly the
+      // min-label the distributed loop converges to.
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      import spark.implicits._
+      val labelDf = parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+      val out = graft.Staging.staged(
+        vertices
+          .join(broadcast(labelDf), Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label")),
+        "cc_labels")
+      out.count()
+      out
+    } else connectedComponents(vertices, edges)
+  }
+
   /** Min-label connected components over undirected pair edges.
     *
     * @param vertices single column `id` (long): every node, including
@@ -159,7 +224,7 @@ object Clusters {
 
   /** Frame-level dedupClusters: any (doc_id, text) frame. */
   private[graft] def dedupClustersOf(docs: DataFrame): DataFrame =
-    connectedComponents(
+    connectedComponentsAdaptive(
       docs.select(col("doc_id").as("id")),
       Dedup.jaccardPrefixOf(docs).select("a", "b"))
       .select(
@@ -270,7 +335,7 @@ object Clusters {
         Dedup.prefixCollisions(settledPrefix, settledPrefix), 0.8),
       sh, 0.8)
     val standing = viaArtifact(() =>
-      connectedComponents(
+      connectedComponentsAdaptive(
         allDocs.filter(!isBatch(col("doc_id"))).select(col("doc_id").as("id")),
         settledPairs.select("a", "b"))
         .select(col("id").as("doc_id"), col("label").as("cluster_id")))
@@ -305,7 +370,7 @@ object Clusters {
       "sup_edges_cd")
     val supVertices = supEdges.select(col("a").as("id"))
       .union(supEdges.select(col("b").as("id"))).distinct()
-    val merged = connectedComponents(supVertices, supEdges)
+    val merged = connectedComponentsAdaptive(supVertices, supEdges)
     val settledFinal = standing
       .join(merged.toDF("cluster_id", "nl"), Seq("cluster_id"), "left")
       .select(col("doc_id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id"))

@@ -59,6 +59,33 @@ class ClustersSpec extends SparkSpec {
       s"CC leaked ${leaked.size} persisted RDD(s) past clearCache: ids $leaked")
   }
 
+  test("adaptive CC: driver union-find fast path equals the distributed loop exactly") {
+    // The conf cap forces each path in turn on the SAME graph: a huge
+    // cap takes the driver union-find, cap 0 the hash-min loop. Random
+    // multi-edge graphs with self-dups and both orientations exercise
+    // the min-label invariant beyond the fixed testdata.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 3) {
+      val n = 200L
+      val pairs = Seq.fill(150)((rnd.nextInt(200).toLong + 1, rnd.nextInt(200).toLong + 1))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val vertices = (1L to n).toDF("id")
+      spark.conf.set("spark.graft.cc.driverEdgeCap", "1000000")
+      val fast = Clusters.connectedComponentsAdaptive(vertices, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+      val dist = Clusters.connectedComponentsAdaptive(vertices, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.unset("spark.graft.cc.driverEdgeCap")
+      spark.catalog.clearCache()
+      assert(fast.size == n && fast == dist,
+        s"trial $trial: paths disagree on ${fast.toSet.diff(dist.toSet).take(5)}")
+    }
+  }
+
   test("leakage-safe split keeps every near-dup cluster inside one split") {
     val s = SparkEntry.queries("q_split_leakage_safe")(spark, sfDir)
     val rows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
