@@ -84,6 +84,28 @@ class ClustersSpec extends SparkSpec {
       assert(fast.size == n && fast == dist,
         s"trial $trial: paths disagree on ${fast.toSet.diff(dist.toSet).take(5)}")
     }
+    // Extreme ids: negative and near-Long.MaxValue vertices exercise the
+    // distributed path's Decimal(38) convergence sum (a long sum could
+    // wrap to a false fixpoint) and the driver path's min-root ordering
+    // on the same graph.
+    val ids = Seq(Long.MinValue + 1, -7L, -1L, 0L, 5L, Long.MaxValue - 1, Long.MaxValue)
+    val extremePairs = Seq(
+      (Long.MinValue + 1, Long.MaxValue),
+      (Long.MaxValue - 1, Long.MaxValue),
+      (-7L, 5L)).toDF("a", "b")
+    val extremeVerts = ids.toDF("id")
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "1000000")
+    val fastX = Clusters.connectedComponentsAdaptive(extremeVerts, extremePairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    val distX = Clusters.connectedComponentsAdaptive(extremeVerts, extremePairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.unset("spark.graft.cc.driverEdgeCap")
+    spark.catalog.clearCache()
+    assert(fastX == distX, s"extreme-id graph: $fastX vs $distX")
+    assert(fastX(Long.MaxValue) == Long.MinValue + 1 && fastX(-7L) == -7L && fastX(0L) == 0L,
+      s"extreme-id labels wrong: $fastX")
   }
 
   test("leakage-safe split keeps every near-dup cluster inside one split") {
