@@ -30,11 +30,13 @@ object Clusters {
   val MaxIterations = 40
 
   /** Edge-count gate for the driver-local CC fast path (default; the
-    * `spark.graft.cc.driverEdgeCap` conf overrides, and 0 forces the
-    * distributed loop — how the equivalence spec pins both paths on
-    * one graph). 100k edges is ~1.6 MB collected — the same
-    * bounded-by-contract collect class as `substrSearch`'s count-gated
-    * match fetch, and the count runs BEFORE the collect decides.
+    * `spark.graft.cc.driverEdgeCap` conf overrides, and a cap of 0 — or
+    * any non-positive value — NEVER takes the driver path, even on an
+    * empty edge set: that is how the equivalence spec pins both paths
+    * on one graph, and `0 <= 0` must not silently un-force it (r14).
+    * 100k edges is ~1.6 MB collected — the same bounded-by-contract
+    * collect class as `substrSearch`'s count-gated match fetch, and the
+    * count runs BEFORE the collect decides.
     */
   val DriverCcEdgeCapDefault = 100000L
 
@@ -60,7 +62,7 @@ object Clusters {
     val cap = spark.conf.getOption("spark.graft.cc.driverEdgeCap")
       .map(_.toLong).getOrElse(DriverCcEdgeCapDefault)
     val edges = graft.Staging.staged(pairs.select("a", "b"), "cc_edges_in")
-    if (edges.count() <= cap) {
+    if (cap > 0 && edges.count() <= cap) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -84,10 +86,24 @@ object Clusters {
       }
       import spark.implicits._
       val labelDf = parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+      // Contract parity with the distributed loop (r14): `connectedComponents`
+      // emits a row for every EDGE-INCIDENT id even when it is absent from
+      // `vertices` (its output is labels ∪ vertex singletons), so the fast
+      // path must too — otherwise a caller whose pairs mention an id outside
+      // the vertex frame would get cap-dependent row sets. Membership is
+      // resolved with one broadcast left-semi scan of the vertex frame
+      // (build side is the ≤2·cap endpoint set — no shuffle), and the
+      // collect is bounded by the same edge cap that admitted this path.
+      val presentEndpoints = vertices.select("id")
+        .join(broadcast(labelDf.select("id")), Seq("id"), "left_semi")
+        .collect().map(_.getLong(0)).toSet
+      val extra = parent.keys.toSeq.filterNot(presentEndpoints)
+        .map(id => (id, find(id))).toDF("id", "label")
       val out = graft.Staging.staged(
         vertices
           .join(broadcast(labelDf), Seq("id"), "left")
-          .select(col("id"), coalesce(col("label"), col("id")).as("label")),
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+          .unionByName(extra),
         "cc_labels")
       out.count()
       out

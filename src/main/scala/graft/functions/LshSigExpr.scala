@@ -24,12 +24,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * builds thousands of plans per day and every LSH site paid that 80 KB
   * tax — and the per-row accessor savings come free.
   *
-  * Bit-exact with the composition BY CONSTRUCTION: same plane values
-  * (shared `LshSigExpr.planes` — the seeded PRNG table LshAnn has used
-  * since r3), same ascending-index accumulation as `graft_dot`, same
-  * raw `getDouble` reads (null slots read as 0.0 exactly like
-  * graft_dot's unsafe path), same STRICT `> 0` bit rule, and the same
-  * loud length-mismatch failure instead of a silent truncation.
+  * Bit-exact with the composition BY CONSTRUCTION — for non-null
+  * vectors: same plane values (shared `LshSigExpr.planes` — the seeded
+  * PRNG table LshAnn has used since r3), same ascending-index
+  * accumulation as `graft_dot`, same raw `getDouble` reads (null slots
+  * read as 0.0 exactly like graft_dot's unsafe path), same STRICT `> 0`
+  * bit rule, and the same loud length-mismatch failure instead of a
+  * silent truncation.
+  *
+  * NULL-vector divergence, INTENDED (r14): the old composition's
+  * `when(null > 0).otherwise(0)` OR-fold produced signature 0L for a
+  * null embedding, silently banding every null row together with the
+  * all-negative-dot vectors; this Expression is `nullIntolerant`, so a
+  * null vector yields a NULL signature → null band keys → the row drops
+  * out of ANN candidate generation entirely. Dropping rows with no
+  * embedding is the correct semantics for a similarity index (a null
+  * vector has no meaningful neighbors) and is pinned by
+  * LshSigExprSpec's null-vector case; the corpus tables carry no null
+  * embeddings, so production plans see no behavior change.
   */
 case class LshSigExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -56,8 +56,11 @@ object LshAnn {
     * driver parse/analyze per query build, measured) and re-read the
     * vector through ArrayData accessors once per plane; the fused
     * Expression carries the planes as one reference object and is
-    * bit-identical by construction (LshSigExprSpec pins the identity
-    * against the per-plane composition).
+    * bit-identical by construction for non-null vectors (LshSigExprSpec
+    * pins the identity against the per-plane composition). Null
+    * embeddings now yield a NULL signature (the composition produced
+    * 0L): null band keys never collide, so embedding-less rows drop out
+    * of candidate generation — the intended contract, spec-pinned.
     */
   private[similarity] def signature(vecCol: String): Column =
     expr(s"graft_lsh_sig($vecCol)")

@@ -106,6 +106,44 @@ class ClustersSpec extends SparkSpec {
     assert(fastX == distX, s"extreme-id graph: $fastX vs $distX")
     assert(fastX(Long.MaxValue) == Long.MinValue + 1 && fastX(-7L) == -7L && fastX(0L) == 0L,
       s"extreme-id labels wrong: $fastX")
+    // Edge endpoints ABSENT from the vertex frame (r14): the distributed
+    // loop emits a row for every edge-incident id (labels ∪ vertex
+    // singletons) even when it is not in `vertices`; the driver fast
+    // path must return the identical row SET, not just agree on the
+    // vertices — otherwise results would depend on the cap.
+    val vSub = Seq(1L, 2L, 9L).toDF("id")             // 3 and 4 only appear in pairs
+    val pSub = Seq((1L, 3L), (3L, 4L)).toDF("a", "b") // component {1,3,4}, 2 and 9 singletons
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "1000000")
+    val fastS = Clusters.connectedComponentsAdaptive(vSub, pSub)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    val distS = Clusters.connectedComponentsAdaptive(vSub, pSub)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.unset("spark.graft.cc.driverEdgeCap")
+    spark.catalog.clearCache()
+    assert(fastS == distS, s"endpoint-outside-vertices graph: $fastS vs $distS")
+    assert(fastS == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 9L -> 9L),
+      s"edge-incident non-vertices must be labeled too: $fastS")
+  }
+
+  test("driverEdgeCap=0 forces the distributed loop even on an empty edge set") {
+    // `0 <= 0` used to admit the driver path for empty graphs, silently
+    // un-forcing the spec's pin (r14: gate is now cap > 0 && count <= cap).
+    // The distributed loop is observable by the local checkpoints it
+    // creates and releases; the driver path creates none.
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    try {
+      val out = Clusters.connectedComponentsAdaptive(
+        (1L to 4L).toDF("id"), Seq.empty[(Long, Long)].toDF("a", "b"))
+      assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        (1L to 4L).map(i => i -> i).toMap)
+    } finally {
+      spark.conf.unset("spark.graft.cc.driverEdgeCap")
+      spark.catalog.clearCache()
+    }
   }
 
   test("leakage-safe split keeps every near-dup cluster inside one split") {

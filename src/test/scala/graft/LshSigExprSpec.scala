@@ -50,6 +50,30 @@ class LshSigExprSpec extends SparkSpec {
     assert(byId(2L) == 0L, "zero vector must produce the zero signature (strict > 0 bit rule)")
   }
 
+  test("graft_lsh_sig maps a null vector to NULL (row drops from ANN banding)") {
+    // Intended divergence from the retired per-plane composition, which
+    // OR-folded `when(null > 0).otherwise(0)` into signature 0L and so
+    // silently banded embedding-less rows with the all-negative-dot
+    // vectors. The fused Expression is nullIntolerant: NULL signature →
+    // null band keys → no candidate pairs for the row. This pin is the
+    // contract; see the LshSigExpr scaladoc.
+    import spark.implicits._
+    val dim = graft.functions.LshSigExpr.Dim
+    val df = Seq(
+      (1L, Option(Array.tabulate(dim)(j => math.sin(j + 1).toDouble))),
+      (2L, Option.empty[Array[Double]])).toDF("vec_id", "e")
+    val sigs = df.withColumn("sig", expr("graft_lsh_sig(e)"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(sigs(1L).isDefined, "real vector keeps its signature")
+    assert(sigs(2L).isEmpty, "null vector must produce a NULL signature, not 0L")
+    // and a null-sig row joins with nothing on a band-key equi-join
+    val bands = df.withColumn("sig", expr("graft_lsh_sig(e)"))
+      .select(col("vec_id"), col("sig").bitwiseAND(lit(0xFFFFL)).as("band0"))
+    val pairs = bands.as("x").join(bands.as("y"),
+      col("x.band0") === col("y.band0") && col("x.vec_id") < col("y.vec_id"))
+    assert(pairs.count() == 0, "a null band key must never collide")
+  }
+
   test("graft_lsh_sig rejects a wrong-dimension vector loudly") {
     import spark.implicits._
     val bad = Seq((1L, Array.fill(8)(1.0d))).toDF("vec_id", "e")
