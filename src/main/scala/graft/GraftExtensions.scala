@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.BpeExpr.register(ext)
     graft.functions.BloomExpr.register(ext)
     graft.functions.CmsExpr.register(ext)
+    graft.functions.CollectCappedAgg.register(ext)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

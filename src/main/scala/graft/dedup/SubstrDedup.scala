@@ -43,11 +43,34 @@ object SubstrDedup {
   /** A window seen in >= this many DISTINCT docs is a repeat. */
   val MinDocs = 2
 
+  /** Hot-window guard (r14, a DOCUMENTED bound — the substr twin of
+    * `Dedup.ContainmentDfCap`): a window hash whose total occurrence
+    * count exceeds this cap is classified BOILERPLATE and excluded from
+    * substring removal. The per-hash occurrence list was the engine's
+    * one remaining unbounded per-key aggregate: a corpus-wide viral
+    * 8-gram (a legal disclaimer, a BOM artifact) would concentrate
+    * every occurrence on a single reducer at 100 TB. The cap is
+    * enforced INSIDE the single-shuffle aggregate (`graft_collect_capped`
+    * holds O(cap) state per key and O(1) once overflowed — see
+    * CollectCappedAgg), so the one-pass plan r13 fused is preserved.
+    *
+    * Why exclusion is semantically safe: occurrences >= distinct docs,
+    * so an over-cap window sits in up to `cap` docs — at that df the
+    * span is boilerplate, not quotation, and boilerplate removal is
+    * LineDedup's job (its df >= 3 chunk pass runs first in the curation
+    * order and is a bounded count aggregate, not a list). On the test
+    * corpora the hottest window has far fewer occurrences than the cap,
+    * so capped == uncapped exactly (spec-pinned, alongside a planted
+    * viral-window test proving the cap prunes); the DuckDB oracle
+    * stays the uncapped formulation for that reason.
+    */
+  val SubstrOccCap = 1000
+
   def substrDedup(spark: SparkSession, dir: String): DataFrame =
     substrDedupOf(Tables.documents(spark, dir))
 
   /** Frame-level substrDedup: any (doc_id, text) frame. */
-  def substrDedupOf(docs: DataFrame): DataFrame = {
+  def substrDedupOf(docs: DataFrame, occCap: Int = SubstrOccCap): DataFrame = {
     val w = WindowTokens
     // Window key = xxhash64 of the window's 8 TOKEN-HASHES, not of a
     // rebuilt window string: windows overlap W-fold, so string keys
@@ -68,17 +91,19 @@ object SubstrDedup {
     // ONE full-volume shuffle (r13): repeat detection and coverage
     // collection share a single groupBy(gh) — the occurrence list is
     // gathered alongside the repeat test, and the distinct-doc floor is
-    // evaluated scan-locally on the gathered list (windows repeat a
-    // bounded number of times in a deduplicatable corpus, so per-gh
-    // lists are small; a pathological universal window is exactly what
-    // LineDedup's df>=3 boilerplate pass removes first). The previous
-    // shape exploded the window frame twice and shuffled it twice —
-    // once through countDistinct's two-phase agg and once through the
-    // join-back — for the same answer.
+    // evaluated scan-locally on the gathered list. The previous shape
+    // exploded the window frame twice and shuffled it twice — once
+    // through countDistinct's two-phase agg and once through the
+    // join-back — for the same answer. The list aggregate is CAPPED
+    // (r14): `graft_collect_capped` yields NULL for a window hash with
+    // more than `occCap` occurrences, so the hottest key holds bounded
+    // reducer state and a viral boilerplate window drops out of
+    // substring removal by contract (see SubstrOccCap).
     val covered = toks
       .select(col("doc_id"), posexplode(col("ghs")).as(Seq("s", "gh")))
       .groupBy("gh")
-      .agg(collect_list(struct(col("doc_id"), col("s"))).as("occ"))
+      .agg(expr(s"graft_collect_capped(struct(doc_id, s), $occCap)").as("occ"))
+      .filter(col("occ").isNotNull)
       .filter(expr(s"size(array_distinct(transform(occ, o -> o.doc_id))) >= $MinDocs"))
       .select(explode(col("occ")).as("o"))
       .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))

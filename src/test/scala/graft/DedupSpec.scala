@@ -218,6 +218,43 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._1 == 0L, "a repeat WITHIN one doc is not cross-doc — MinDocs counts distinct docs")
   }
 
+  test("substrDedup's hot-window cap is inert on the corpus and prunes a planted viral window") {
+    import spark.implicits._
+    // Inert on real data: the documented SubstrOccCap must change
+    // nothing at sf level — capped and effectively-uncapped runs agree
+    // row for row (the same witness pattern as ContainmentDfCap's).
+    val docs = Tables.documents(spark, sfDir)
+    val capped = graft.dedup.SubstrDedup.substrDedupOf(docs)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    val uncapped = graft.dedup.SubstrDedup.substrDedupOf(docs, occCap = Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(capped == uncapped, "SubstrOccCap must be inert on the test corpus")
+
+    // Planted viral window: a disclaimer 8-gram pasted into MANY docs
+    // overflows a small cap — the viral span is classified boilerplate
+    // and NOT removed, while an ordinary 2-doc repeat in the same corpus
+    // is still removed. This is the 100 TB contract: the hot key's
+    // occurrence list never materializes past the cap.
+    val viral = (1 to 8).map(i => s"viral$i").mkString(" ")
+    val pair = (1 to 8).map(i => s"pair$i").mkString(" ")
+    val planted = ((1 to 40).map(i => (i.toLong, s"u${i}a u${i}b $viral u${i}c u${i}d")) ++
+      Seq((100L, s"x1 x2 x3 $pair x4 x5"), (101L, s"y1 y2 y3 $pair y4 y5")))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.SubstrDedup.substrDedupOf(planted, occCap = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 0L && out(1L)._2.contains("viral1"),
+      s"over-cap viral window must be skipped as boilerplate: ${out(1L)}")
+    assert((1 to 40).forall(i => out(i.toLong)._1 == 0L), "no viral doc loses tokens")
+    assert(out(100L) == (8L, "x1 x2 x3 x4 x5") && out(101L) == (8L, "y1 y2 y3 y4 y5"),
+      s"an under-cap 2-doc repeat must still be removed: ${out(100L)}, ${out(101L)}")
+    // and with the default cap the viral window IS removed (40 < 1000):
+    val defaultOut = graft.dedup.SubstrDedup.substrDedupOf(planted)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(defaultOut(1L) == 8L, "under the default cap the shared phrase is a plain repeat")
+  }
+
   test("containment surfaces the subset doc Jaccard is blind to") {
     import spark.implicits._
     // sub is a contiguous 12-token slice of big: every 3-gram of sub is
