@@ -328,6 +328,37 @@ class DedupSpec extends SparkSpec {
     assert(matrix == expected, s"matrix=$matrix expected=$expected")
   }
 
+  test("published pair artifact equals the inline mine; source overlap consumes it without re-mining") {
+    // Inline authority: publishedPairs with no root configured is the
+    // standing-index mine, and it must equal the jaccardPrefix pair set
+    // exactly (same PPJoin+ pruning + exact verify, different staging).
+    val authority = SparkEntry.queries("q_dedup_jaccard_prefix")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    val inline = Dedup.publishedPairs(spark, sfDir).collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(inline == authority, "inline publishedPairs must equal the jaccardPrefix authority")
+    val inlineOverlap = Dedup.sourceOverlap(spark, sfDir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+
+    val root = java.nio.file.Files.createTempDirectory("graft_artifacts_pairs").toString
+    spark.conf.set("spark.graft.artifacts", root)
+    try {
+      // First call mines once and publishes the pair table...
+      val pubOverlap = Dedup.sourceOverlap(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(new java.io.File(s"$root/neardup_pairs").exists(), "pair artifact was not published")
+      assert(pubOverlap == inlineOverlap, "published-mode overlap must equal inline mode")
+      spark.catalog.clearCache()
+      // ...subsequent consumers read the committed parquet and the pair
+      // SET is byte-identical to the inline mine.
+      val pub = Dedup.publishedPairs(spark, sfDir).collect().map(_.toSeq).toSet
+      assert(pub == inline, "published pair table must equal the inline mine")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("shingling produces distinct 3-gram shingles per doc") {
     val sh = Dedup.shingles(Tables.documents(spark, sfDir))
     val dup = sh.groupBy("doc_id", "sg").count().filter(col("count") > 1).count()
