@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic sf1 test-corpus generator for the SCALE-TRAJECTORY
+  * measurements in SURVEY §6.
+  *
+  * The driver ships sf0.001/0.01/0.1 fixtures only; one decade of
+  * measured sf0.1 → sf1 scaling grounds the 100 TB argument that
+  * otherwise rests on plan-shape reasoning alone. This generator
+  * reproduces the OBSERVED statistical shape of the driver's
+  * `documents` and `embeddings` tables at 10× sf0.1 row counts — same
+  * 31-word vocabulary, uniform 10..100-token lengths, `src{id%20}`
+  * sources, ~41% `en` language mix, ~5%-of-docs planted near-dup
+  * involvement (perturbed copies at 1-2 token substitutions, plus a
+  * small exact-dup tail), and 64-dim unit-norm embeddings drawn around
+  * 10 labeled centers. Absolute pair/cluster densities differ slightly
+  * from the driver's plants; scaling EXPONENTS (the thing being
+  * measured) only need the per-doc densities to stay constant across
+  * the decade, which this construction guarantees by planting at a
+  * fixed rate. Seeded; output goes under target/ (never committed,
+  * regenerate on demand).
+  *
+  * Usage: `sbt "runMain graft.tools.GenScale target/testdata/sf1 50000 20000"`.
+  */
+object GenScale {
+
+  val Vocab: Array[String] = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order", "part",
+    "query", "row", "scan", "slow", "small", "sort", "spark", "stream",
+    "table", "the", "value", "vector", "window")
+
+  val Langs: Array[(String, Double)] =
+    Array("en" -> 0.41, "fr" -> 0.15, "es" -> 0.15, "de" -> 0.14, "zh" -> 0.15)
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/testdata/sf1")
+    val nDocs = args.lift(1).map(_.toInt).getOrElse(50000)
+    val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)
+    val spark = graft.GraftSession.local()
+    import spark.implicits._
+
+    // Documents: generated per-partition from a partition-seeded PRNG
+    // (deterministic and parallel; no driver-side row building). Plants
+    // reference docs from the SAME partition so no shuffle is needed to
+    // resolve the source text; pair density per doc is what matters.
+    val parts = 32
+    val perPart = (nDocs + parts - 1) / parts
+    val docs = spark.sparkContext.parallelize(0 until parts, parts).flatMap { p =>
+      val rnd = new scala.util.Random(42L * 1000003 + p)
+      val base = p * perPart
+      val texts = new Array[Array[String]](perPart)
+      (0 until perPart).flatMap { i =>
+        val id = base + i
+        if (id >= nDocs) None
+        else {
+          val plantNear = i > 10 && rnd.nextDouble() < 0.025
+          val plantExact = i > 10 && !plantNear && rnd.nextDouble() < 0.002
+          val w: Array[String] =
+            if (plantExact) texts(rnd.nextInt(i)).clone()
+            else if (plantNear) {
+              val src = texts(rnd.nextInt(i))
+              val c = src.clone()
+              val subs = 1 + rnd.nextInt(2)
+              (0 until subs).foreach { _ =>
+                c(rnd.nextInt(c.length)) = Vocab(rnd.nextInt(Vocab.length))
+              }
+              c
+            } else Array.fill(10 + rnd.nextInt(91))(Vocab(rnd.nextInt(Vocab.length)))
+          texts(i) = w
+          val text = w.mkString(" ")
+          val u = rnd.nextDouble()
+          val lang = {
+            var acc = 0.0; var k = 0
+            while (k < Langs.length - 1 && { acc += Langs(k)._2; acc < u }) k += 1
+            Langs(k)._1
+          }
+          Some((id.toLong, text, lang, s"src${id % 20}", text.length.toLong))
+        }
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // Embeddings: 10 gaussian centers, unit-norm 64-dim vectors.
+    val centers = {
+      val r = new scala.util.Random(7)
+      Array.fill(10)(Array.fill(64)(r.nextGaussian()))
+    }
+    val vecs = spark.sparkContext.parallelize(0 until parts, parts).flatMap { p =>
+      val rnd = new scala.util.Random(99L * 1000003 + p)
+      val per = (nVecs + parts - 1) / parts
+      val base = p * per
+      (0 until per).flatMap { i =>
+        val id = base + i
+        if (id >= nVecs) None
+        else {
+          val label = rnd.nextInt(10)
+          val raw = centers(label).map(c => c + 0.6 * rnd.nextGaussian())
+          val n = math.sqrt(raw.map(x => x * x).sum)
+          Some((id.toLong, raw.map(x => (x / n).toFloat), label))
+        }
+      }
+    }.toDF("vec_id", "embedding", "label")
+    vecs.repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"GENSCALE wrote $nDocs docs + $nVecs vecs to $outDir")
+    spark.stop()
+  }
+}
