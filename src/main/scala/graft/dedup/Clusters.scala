@@ -377,16 +377,19 @@ object Clusters {
         coalesce(col("ca"), col("a")).as("sa"),
         coalesce(col("cb"), col("b")).as("sb"))
       .filter(col("sa") =!= col("sb"))
-    // Also staged: consumed by the CC edge checkpoint AND both vertex
-    // branches AND the singleton anti-join.
-    val supEdges = graft.Staging.staged(
-      mapped
-        .select(least(col("sa"), col("sb")).as("a"), greatest(col("sa"), col("sb")).as("b"))
-        .distinct(),
-      "sup_edges_cd")
-    val supVertices = supEdges.select(col("a").as("id"))
-      .union(supEdges.select(col("b").as("id"))).distinct()
-    val merged = connectedComponentsAdaptive(supVertices, supEdges)
+    // Super-edges go to CC raw (r14): min-label CC is invariant to edge
+    // multiplicity and orientation, so the least/greatest + distinct
+    // canonicalization bought nothing but a full shuffle of the edge
+    // frame, and the CC contract (r14: BOTH paths emit a label for
+    // every edge-incident id) makes the vertex frame redundant here —
+    // every super-vertex IS an endpoint; the touched subgraph has no
+    // singletons by construction. Three scheduled jobs (distinct
+    // shuffle, vertex union-distinct, the extra staging count) drop
+    // from the per-batch fixed cost, which the CPU-phase profile showed
+    // dominates this query's wall time at small SF.
+    val merged = connectedComponentsAdaptive(
+      mapped.sparkSession.range(0).toDF("id"),
+      mapped.select(col("sa").as("a"), col("sb").as("b")))
     val settledFinal = standing
       .join(merged.toDF("cluster_id", "nl"), Seq("cluster_id"), "left")
       .select(col("doc_id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
