@@ -49,4 +49,64 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(sig == comp, "extension-registered signature must match the plane table")
   }
+
+  test("registered graft_* functions equal the set the SparkEntry query plans reference") {
+    // Registry parity (r14): a custom Expression must never ship
+    // registered-but-unused (dead registration) or used-but-registered-
+    // only-in-a-test-session. Both directions are checked against the
+    // ONE registration list (GraftExtensions, which GraftSession.local
+    // routes through): every graft_* call in an ANALYZED SparkEntry
+    // plan must resolve from the session registry, and every registered
+    // name must be referenced by at least one declared query.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val spark = SparkSpec.session
+    val sfDir = "/root/testdata/sf0.001"
+    // name -> implementation class, straight from the live registry.
+    // Matching is by CLASS, not prettyName: two of the registrations
+    // (graft_bloom_agg / graft_might_contain) reuse Spark's own bloom
+    // Expressions, whose prettyNames are not graft_-prefixed.
+    val registry = spark.sessionState.functionRegistry
+    val registered: Map[String, String] = registry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_"))
+      .map(n => n -> registry.lookupFunction(FunctionIdentifier(n)).get.getClassName)
+      .toMap
+    assert(registered.nonEmpty, "registry must carry the graft functions")
+
+    def classesIn(plan: LogicalPlan): Set[String] = {
+      val exprs = plan.flatMap(_.expressions)
+      val direct = exprs.flatMap(_.collect { case e => e.getClass.getName })
+      val sub = exprs
+        .flatMap(_.collect { case s: SubqueryExpression => s })
+        .flatMap(s => classesIn(s.plan))
+      (direct ++ sub).toSet
+    }
+
+    // Building each frame analyzes its plan through THIS session's
+    // registry (and runs any eager stages), so a graft_* call that was
+    // not registered by GraftExtensions would throw right here — that
+    // is the used-but-unregistered direction of the parity check.
+    val usedClasses = SparkEntry.queries.toSeq.flatMap { case (_, fn) =>
+      try classesIn(fn(spark, sfDir).queryExecution.analyzed)
+      finally spark.catalog.clearCache()
+    }.toSet
+
+    // Functions invoked only while BUILDING a driver-side sketch whose
+    // bytes enter the final plan as a literal: the call resolves through
+    // the registry at query-build time (the queries above just exercised
+    // it), but by construction its class cannot appear in a final
+    // analyzed plan. This exception list is deliberately explicit — a
+    // new Expression that is registered but referenced nowhere must
+    // extend a query or this list, visibly, to get the suite green.
+    val eagerBuilders = Set("graft_bloom_agg")
+    val dead = registered.collect {
+      case (name, cls) if !usedClasses.contains(cls) && !eagerBuilders.contains(name) => name
+    }
+    assert(dead.isEmpty, s"registered but unreferenced by any query plan: $dead")
+    val staleExceptions = eagerBuilders.filter(n =>
+      registered.get(n).forall(usedClasses.contains))
+    assert(staleExceptions.isEmpty,
+      s"eager-builder exceptions that now appear in plans (tighten the list): $staleExceptions")
+  }
 }
