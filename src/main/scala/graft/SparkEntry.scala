@@ -800,6 +800,12 @@ object SparkEntry {
     },
     // prefix-filtered variant is LOSSLESS — identical oracle.
     "q_dedup_jaccard_prefix" -> NgramJaccardSql,
+    // MinHash-LSH (r14): full cross-engine replay of the seeded XXH64
+    // chain — band keys reproduced bit-for-bit in DuckDB HUGEINT mod
+    // 2^64 arithmetic, candidates from the replayed buckets, then the
+    // same exact >= tau verify. See MinHashOracle for the generator and
+    // its two loud-failure domain assumptions (ASCII, shingles < 32 B).
+    "q_dedup_minhash_lsh" -> graft.dedup.MinHashOracle.sql,
     // One-sided containment: same shingle CTEs, ORDERED pairs (<>), the
     // divisor is the contained side's set size only. The one-sided
     // prefix + positional pruning is lossless, so the oracle is the

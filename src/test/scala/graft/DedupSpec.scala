@@ -359,6 +359,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash oracle domain assumptions hold on the corpus (ASCII, shingles < 32 bytes)") {
+    // MinHashOracle replays XXH64 in DuckDB under two documented
+    // assumptions: shingle strings are ASCII (ord(char) = utf8 byte)
+    // and under 32 bytes (the 4-accumulator stripe path is not
+    // replayed). Violations fail the driver compare loudly; this spec
+    // catches them earlier, at the corpus itself.
+    val bad = Dedup.shingles(Tables.documents(spark, sfDir))
+      .filter(length(col("sg")) >= 32 || col("sg").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(bad == 0, s"$bad shingles violate the minhash-oracle replay domain")
+    // and the generated SQL itself stays structurally sane
+    val sql = graft.dedup.MinHashOracle.sql
+    assert(sql.startsWith("WITH RECURSIVE") && sql.contains("bandfold") &&
+      sql.contains(s"range(0, ${Dedup.MinHashK})") && sql.length < 60000)
+  }
+
   test("shingling produces distinct 3-gram shingles per doc") {
     val sh = Dedup.shingles(Tables.documents(spark, sfDir))
     val dup = sh.groupBy("doc_id", "sg").count().filter(col("count") > 1).count()
