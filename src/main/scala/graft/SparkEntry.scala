@@ -806,6 +806,10 @@ object SparkEntry {
     // same exact >= tau verify. See MinHashOracle for the generator and
     // its two loud-failure domain assumptions (ASCII, shingles < 32 B).
     "q_dedup_minhash_lsh" -> graft.dedup.MinHashOracle.sql,
+    // SimHash (r14): same XXH64 string replay — every token occurrence
+    // votes, fingerprint bits from strictly-positive vote sums, block
+    // keys off the unsigned fingerprint, bit_count(xor) hamming verify.
+    "q_dedup_simhash" -> graft.dedup.MinHashOracle.simhashSql,
     // One-sided containment: same shingle CTEs, ORDERED pairs (<>), the
     // divisor is the contained side's set size only. The one-sided
     // prefix + positional pruning is lossless, so the oracle is the

@@ -118,11 +118,12 @@ object MinHashOracle {
   private def byteAt(k: Int): String =
     s"(CASE WHEN pos + $k < n THEN ord(substr(sg, pos + $k + 1, 1)) ELSE 0 END)::HUGEINT"
 
-  lazy val sql: String = {
-    val kMinhash = Dedup.MinHashK
-    val nBands = Dedup.NumBands
-    val bandRows = Dedup.BandRows
-    val tau = 0.8
+  /** The sub-32-byte XXH64 string-hash recursion: hashes the distinct
+    * strings of column `sg` in CTE `srcCte`, landing the UNSIGNED
+    * result in `hashedCte(sg, sghu)`. Shared by the MinHash and SimHash
+    * oracles — the one definition both replays ride.
+    */
+  private def stringHashCtes(srcCte: String, hashedCte: String): Seq[String] = {
     val w8 = (0 until 8).map(k => s"${byteAt(k)} * ${BigInt(1) << (8 * k)}::HUGEINT").mkString(" + ")
     val w4 = (0 until 4).map(k => s"${byteAt(k)} * ${BigInt(1) << (8 * k)}::HUGEINT").mkString(" + ")
     // The three chunk arms of the sub-32-byte XXH64 body: 8-byte word,
@@ -147,6 +148,21 @@ object MinHashOracle {
         "CASE WHEN rem >= 8 THEN hy8 WHEN rem >= 4 THEN hy4 ELSE hy1 END AS h " +
         s"FROM $strRec"
     val hInit = s"(42::HUGEINT + $P5::HUGEINT + length(sg)::HUGEINT) % $HU"
+    Seq(
+      s"""shrec(sg, n, pos, h) AS (
+         |  SELECT sg, length(sg) AS n, 0 AS pos, $hInit AS h FROM $srcCte
+         |  UNION ALL
+         |  $strRecTerm
+         |)""".stripMargin) ++
+      cteChain("(SELECT sg, h FROM shrec WHERE pos = n)", "sgh", fmixStages("h", "sf")) ++
+      Seq(s"$hashedCte AS (SELECT sg, sff3 AS sghu FROM sgh)")
+  }
+
+  lazy val sql: String = {
+    val kMinhash = Dedup.MinHashK
+    val nBands = Dedup.NumBands
+    val bandRows = Dedup.BandRows
+    val tau = 0.8
     val foldInner =
       s"(SELECT bf.doc_id, bf.j, bf.r, bf.h, ${unsigned("g.ms")} AS x" +
         s" FROM bandfold bf JOIN sig g ON g.doc_id = bf.doc_id AND g.i = bf.j * $bandRows + bf.r" +
@@ -167,14 +183,8 @@ object MinHashOracle {
         |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
         |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
         |)""".stripMargin,
-      "sgs AS (SELECT DISTINCT sg FROM shl)",
-      s"""shrec(sg, n, pos, h) AS (
-         |  SELECT sg, length(sg) AS n, 0 AS pos, $hInit AS h FROM sgs
-         |  UNION ALL
-         |  $strRecTerm
-         |)""".stripMargin) ++
-      cteChain("(SELECT sg, h FROM shrec WHERE pos = n)", "sgh", fmixStages("h", "sf")) ++
-      Seq("sghash AS (SELECT sg, sff3 AS sghu FROM sgh)") ++
+      "sgs AS (SELECT DISTINCT sg FROM shl)") ++
+      stringHashCtes("sgs", "sghash") ++
       cteChain("sghash", "tchain", hashLongStages("sghu", "42::HUGEINT", "t")) ++
       Seq("tmap AS (SELECT sg, tf3 AS tu FROM tchain)") ++
       cteChain(
@@ -218,6 +228,68 @@ object MinHashOracle {
        |JOIN sizes sa ON c.a = sa.doc_id
        |JOIN sizes sb ON c.b = sb.doc_id
        |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $tau
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** DuckDB oracle for `q_dedup_simhash` (r14), riding the same XXH64
+    * string replay: per-token hashes (ALL occurrences vote, not
+    * distinct tokens), bit i of the fingerprint set iff the ±1 vote sum
+    * is strictly positive (2·n_set > n_toks), block keys from the
+    * unsigned fingerprint ((ufp >> 16j) & 0xFFFF — identical to Spark's
+    * arithmetic shiftright + mask because the mask discards the sign
+    * extension), candidates from same-(block, key) pairs, hamming via
+    * bit_count(xor) ≤ maxHamming. Powers of two come from a recursive
+    * doubling CTE (DuckDB's power() is float — useless for exact bit
+    * work). Same loud-failure domain assumptions as the MinHash replay.
+    */
+  lazy val simhashSql: String = {
+    val blocks = Dedup.SimHashBlocks
+    val blockBits = Dedup.SimHashBlockBits
+    val maxHamming = 3
+    val bandVals = (0 until blocks).map { j =>
+      s"($j, (ufp // ${BigInt(1) << (blockBits * j)}::HUGEINT) % ${BigInt(1) << blockBits}::HUGEINT)"
+    }.mkString(", ")
+    val ctes = Seq(
+      """tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |)""".stripMargin,
+      "sgs AS (SELECT DISTINCT w AS sg FROM tok)") ++
+      stringHashCtes("sgs", "tokhash") ++
+      Seq(
+        """p2(b, v) AS (
+          |  SELECT 0, 1::HUGEINT
+          |  UNION ALL
+          |  SELECT b + 1, v * 2 FROM p2 WHERE b < 63
+          |)""".stripMargin,
+        """votes AS (
+          |  SELECT t.doc_id, p.b,
+          |         count(*) AS n_toks,
+          |         sum(((th.sghu // p.v) % 2)::BIGINT) AS n_set
+          |  FROM tok t JOIN tokhash th ON t.w = th.sg, p2 p
+          |  GROUP BY t.doc_id, p.b
+          |)""".stripMargin,
+        """fpu AS (
+          |  SELECT v.doc_id, sum(CASE WHEN 2 * v.n_set > v.n_toks THEN p.v ELSE 0::HUGEINT END) AS ufp
+          |  FROM votes v JOIN p2 p ON p.b = v.b
+          |  GROUP BY v.doc_id
+          |)""".stripMargin,
+        s"""bands AS (
+           |  SELECT doc_id, bx.band, bx.key
+           |  FROM fpu, LATERAL (VALUES $bandVals) AS bx(band, key)
+           |)""".stripMargin,
+        """cand AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+          |)""".stripMargin)
+    s"""WITH RECURSIVE
+       |${ctes.mkString(",\n")}
+       |SELECT c.a AS a, c.b AS b,
+       |  bit_count(xor(fa.ufp::UBIGINT, fb.ufp::UBIGINT))::INT AS hamming
+       |FROM cand c
+       |JOIN fpu fa ON fa.doc_id = c.a
+       |JOIN fpu fb ON fb.doc_id = c.b
+       |WHERE bit_count(xor(fa.ufp::UBIGINT, fb.ufp::UBIGINT)) <= $maxHamming
        |ORDER BY a, b""".stripMargin
   }
 }

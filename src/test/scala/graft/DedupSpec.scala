@@ -369,10 +369,20 @@ class DedupSpec extends SparkSpec {
       .filter(length(col("sg")) >= 32 || col("sg").rlike("[^\\x00-\\x7F]"))
       .count()
     assert(bad == 0, s"$bad shingles violate the minhash-oracle replay domain")
+    // raw tokens too: the simhash replay hashes every token occurrence,
+    // including those of docs too short to shingle
+    val badTok = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 32 || col("w").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(badTok == 0, s"$badTok tokens violate the simhash-oracle replay domain")
     // and the generated SQL itself stays structurally sane
     val sql = graft.dedup.MinHashOracle.sql
     assert(sql.startsWith("WITH RECURSIVE") && sql.contains("bandfold") &&
       sql.contains(s"range(0, ${Dedup.MinHashK})") && sql.length < 60000)
+    val ssql = graft.dedup.MinHashOracle.simhashSql
+    assert(ssql.startsWith("WITH RECURSIVE") && ssql.contains("bit_count") &&
+      ssql.contains("p2(b, v)") && ssql.length < 60000)
   }
 
   test("shingling produces distinct 3-gram shingles per doc") {
