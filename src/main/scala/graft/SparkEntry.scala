@@ -970,9 +970,14 @@ object SparkEntry {
         |       ELSE floor(list_max(list_transform(range(1, len(v) + 1), i -> abs(qv[i] * sc - v[i]))) * 10000 + 0.5) / 10000
         |  END AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
-    // q_ann_lsh is rows-checked: its signatures use seeded JVM-side
-    // hyperplanes DuckDB can't replicate; its recall is asserted against
-    // q_knn_cosine in the ScalaTest suite instead.
+    // LSH embedding queries (r14): fully oracle-backed after all — the
+    // hyperplane table inlines as round-trip double literals and
+    // DuckDB's list_dot_product matches graft_dot's accumulation order
+    // bit-for-bit (the identity q_knn_cosine's oracle has relied on
+    // since r3), so signatures, band keys, multi-probe, and the exact
+    // cosine verify all replay. See LshOracle.
+    "q_embed_neardup_lsh" -> graft.similarity.LshOracle.neardupSql,
+    "q_ann_lsh" -> graft.similarity.LshOracle.annSql,
     "q_knn_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
