@@ -104,8 +104,11 @@ class OperatorsSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     val documented = Set(
-      // seeded JVM hashes / hyperplanes DuckDB can't replicate:
-      "q_dedup_minhash_lsh", "q_dedup_simhash", "q_embed_neardup_lsh", "q_ann_lsh",
+      // NOTE (r14): the seeded-hash and hyperplane-LSH queries LEFT
+      // this set — q_dedup_minhash_lsh/q_dedup_simhash replay XXH64 in
+      // HUGEINT mod-2^64 arithmetic (MinHashOracle) and
+      // q_embed_neardup_lsh/q_ann_lsh replay the plane table +
+      // order-identical dot accumulation (LshOracle).
       // learned k-means cells (non-deterministic across engines):
       "q_ann_ivf", "q_ann_ivfpq", "q_semdedup", "q_knn_graph", "q_diversity_sample",
       // sketches (approximate by design):
