@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.BloomExpr.register(ext)
     graft.functions.CmsExpr.register(ext)
     graft.functions.CollectCappedAgg.register(ext)
+    graft.functions.WindowHashExpr.register(ext)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

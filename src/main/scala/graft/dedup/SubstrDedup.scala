@@ -79,14 +79,14 @@ object SubstrDedup {
     // (Hashing the hash array is as collision-bounded as hashing the
     // text: distinct windows get distinct hash arrays up to the same
     // 64-bit collision trade already accepted.)
+    // Computed by the fused `graft_window_hashes` codegen Expression
+    // (r14): the transform→transform(slice) HOF composition it replaces
+    // ran as two interpreted lambdas with a per-window slice allocation
+    // — bit-identical by construction, spec-pinned (WindowHashExprSpec).
     val toks = graft.Staging.staged(
       docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .withColumn("th", expr("transform(w, t -> xxhash64(t))"))
-        .withColumn("ghs",
-          when(size(col("w")) >= w,
-            expr(s"transform(sequence(0, size(w) - $w), s -> xxhash64(slice(th, s + 1, $w)))"))
-            .otherwise(expr("cast(array() as array<bigint>)"))),
+        .withColumn("ghs", expr(s"graft_window_hashes(w, $w)")),
       "substr_windows")
     // ONE full-volume shuffle (r13): repeat detection and coverage
     // collection share a single groupBy(gh) — the occurrence list is
