@@ -57,6 +57,32 @@ class CollectCappedAggSpec extends SparkSpec {
     assert(out == Map(1L -> Set("10:1", "11:2"), 2L -> Set("20:3")), s"got $out")
   }
 
+  test("sort-based aggregation fallback round-trips buffers through serialize/deserialize") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation after
+    // `fallbackThreshold` distinct keys per partition, and the sort path
+    // serializes every in-flight buffer — at corpus scale (hundreds of
+    // thousands of window hashes per partition) this IS the production
+    // path, so pin it explicitly with a threshold of 2.
+    val prev = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    try {
+      val rows = (1 to 200).flatMap(k => (1 to (k % 7 + 1)).map(i => (k.toLong, k * 100 + i)))
+      val out = rows.toDF("k", "v").repartition(4).groupBy("k")
+        .agg(expr("graft_collect_capped(v, 5)").as("occ"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Int](1).toSet))).toMap
+      assert(out.size == 200)
+      (1 to 200).foreach { k =>
+        val expected = (1 to (k % 7 + 1)).map(i => k * 100 + i).toSet
+        if (expected.size > 5) assert(out(k.toLong).isEmpty, s"key $k should overflow")
+        else assert(out(k.toLong).contains(expected), s"key $k lost elements through the sort path")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+      case None    => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    }
+  }
+
   test("a non-literal or non-positive cap is rejected loudly") {
     val df = Seq((1L, 1)).toDF("k", "v")
     val exNonLit = intercept[Exception] {
