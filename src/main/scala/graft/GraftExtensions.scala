@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.CmsExpr.register(ext)
     graft.functions.CollectCappedAgg.register(ext)
     graft.functions.WindowHashExpr.register(ext)
+    graft.functions.RemoveCoveredExpr.register(ext)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

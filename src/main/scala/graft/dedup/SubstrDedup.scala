@@ -109,12 +109,16 @@ object SubstrDedup {
       .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
       .groupBy("doc_id")
       .agg(collect_list(col("s")).as("starts"))
+    // Removal is a single fused pass (r14, `graft_remove_covered`): the
+    // expand-then-probe composition it replaces (covered-index array +
+    // per-token array_contains) is O(n·|cov|) per doc — quadratic on
+    // the heavily-duplicated corpora this operator exists for; the
+    // Expression paints a coverage bitmap once and copies survivors in
+    // one scan (bit-identical, spec-pinned).
     toks
       .join(covered, Seq("doc_id"), "left")
       .withColumn("starts", coalesce(col("starts"), expr("cast(array() as array<int>)")))
-      .withColumn("cov",
-        expr(s"array_distinct(flatten(transform(starts, s -> sequence(s, s + $w - 1))))"))
-      .withColumn("clean", expr("filter(w, (t, i) -> NOT array_contains(cov, i))"))
+      .withColumn("clean", expr(s"graft_remove_covered(w, starts, $w)"))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
