@@ -85,7 +85,13 @@ object LineDedup {
       .groupBy("doc_id")
       .agg(collect_list("line_no").as("rm"))
     // reassembly is scan-local: the in-row chunks array is already in
-    // line order, so filtering by removed slot index IS the clean text
+    // line order, so dropping the removed slot indexes IS the clean
+    // text. Removal reuses `graft_remove_covered` with width 1 (r14): a
+    // removed line slot is a covered span of one — the lambda+
+    // array_contains probe it replaces was O(lines·|rm|) per doc, which
+    // a boilerplate-heavy long document turns quadratic (the same tail
+    // that dominated substrDedup; here the lists are line-grain so the
+    // sf-level cost was small, but the shape fix is free).
     chunks
       .join(removed, Seq("doc_id"), "left")
       .withColumn("rm", coalesce(col("rm"), array()))
@@ -93,7 +99,7 @@ object LineDedup {
         col("doc_id"),
         size(col("chunks")).cast("long").as("n_lines"),
         size(col("rm")).cast("long").as("n_removed"),
-        expr("array_join(filter(chunks, (c, i) -> NOT array_contains(rm, i)), ' ')").as("clean_text"))
+        expr("array_join(graft_remove_covered(chunks, rm, 1), ' ')").as("clean_text"))
       .orderBy("doc_id")
   }
 }
