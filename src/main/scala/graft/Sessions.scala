@@ -18,9 +18,15 @@ object GraftSession {
       .getOrElse(Runtime.getRuntime.availableProcessors.min(32))
 
   def local(cores: Int = defaultCores): SparkSession = {
+    // SPARK_GRAFT_MASTER overrides the master URL so the SAME Verify /
+    // Bench entrypoints run under multi-JVM masters (e.g.
+    // local-cluster[2,2,2048]) — the deployment-shaped smoke for custom
+    // Expression classloading and aggregate-buffer ser/de across a real
+    // executor boundary. Unset → identical local[$cores] behavior.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName("graft")
       // The same extension class a cluster deployment names via
       // `spark.sql.extensions=graft.GraftExtensions` — one registration
