@@ -1272,15 +1272,21 @@ object SparkEntry {
         |ORDER BY l.doc_id""".stripMargin,
     // ExactSubstr-style: the oracle keys on gram STRINGS where the plan
     // keys on xxhash64 longs — identical output modulo the documented
-    // 1e-10 collision trade.
+    // 1e-10 collision trade. The engine's SubstrOccCap boilerplate
+    // exclusion (a window hash with > cap total occurrences drops out
+    // of removal — see SubstrDedup.SubstrOccCap) is replicated here as
+    // the count(*) <= cap HAVING term, so the oracle/engine contract
+    // holds UNCONDITIONALLY, not only on corpora where the cap is inert.
     "q_substr_dedup" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |), g AS (
         |  SELECT doc_id, s, array_to_string(w[s + 1 : s + 8], ' ') AS gram
         |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS s FROM t)
         |), rep AS (
-        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |     AND count(*) <= ${graft.dedup.SubstrDedup.SubstrOccCap}
         |), cov AS (
         |  SELECT doc_id, list_distinct(flatten(list(range(s, s + 8)))) AS covered
         |  FROM g JOIN rep USING (gram) GROUP BY doc_id

@@ -6,6 +6,27 @@ import java.nio.file.{Files, Paths}
   * nonzero — failures must never silently vanish from the gate.
   */
 object Verify {
+  /** The two oracles that replay XXH64 over corpus TEXT (MinHashOracle's
+    * documented domain: ASCII, 3-gram shingles < 32 bytes). The
+    * embedding-replay oracles (LshOracle) have no text-domain dependency.
+    */
+  val textReplayOracles: Set[String] = Set("q_dedup_minhash_lsh", "q_dedup_simhash")
+
+  /** True iff the corpus satisfies the XXH64 text-replay domain:
+    * pure-ASCII text (octet_length == length) and a conservative
+    * shingle bound (3·maxTokenBytes + 2 separators < 32 — may downgrade
+    * a corpus whose actual 3-grams all stay short, never the reverse).
+    */
+  def textReplayDomainOk(docs: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.functions._
+    val r = docs.select(
+      max(when(octet_length(col("text")) =!= length(col("text")), 1)
+        .otherwise(0)).as("multibyte"),
+      max(expr("array_max(transform(split(text, ' '), t -> octet_length(t)))"))
+        .as("max_tok")).first()
+    r.getInt(0) == 0 && 3 * r.getInt(1) + 2 < 32
+  }
+
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-list of query names] — the optional
     // filter is for local iteration only; the driver always passes 2.
@@ -39,7 +60,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Pre-compare domain probe (r15, per ADVICE): the two XXH64
+    // text-replay oracles assume an ASCII corpus whose 3-gram shingles
+    // stay under 32 bytes (MinHashOracle's documented stripe-path
+    // limit). On a corpus that violates either, the Spark answer is
+    // still correct but the replay arithmetic diverges — downgrade
+    // those two queries to rows-only WITH a diagnostic instead of
+    // letting the gate report a misleading hash mismatch. One cheap
+    // aggregate over the documents table; conservative bound
+    // (3·maxTokenBytes + 2 separator bytes >= 32 triggers even if no
+    // actual 3-gram reaches 32).
+    val domainOk = try {
+      val ok = textReplayDomainOk(Tables.documents(spark, sfDir))
+      if (!ok) System.err.println(
+        "[verify] XXH64 replay domain violated: downgrading " +
+          textReplayOracles.mkString(", ") + " to rows-only")
+      ok
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] domain probe failed ($e); keeping oracles")
+      true
+    }
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => domainOk || !textReplayOracles.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(

@@ -57,7 +57,8 @@ object Clusters {
     * mine that produced it, and BOTH paths read the same staged frame.
     */
   private[graft] def connectedComponentsAdaptive(
-      vertices: DataFrame, pairs: DataFrame): DataFrame = {
+      vertices: DataFrame, pairs: DataFrame,
+      verticesCoverEdges: Boolean = false): DataFrame = {
     val spark = vertices.sparkSession
     val cap = spark.conf.getOption("spark.graft.cc.driverEdgeCap")
       .map(_.toLong).getOrElse(DriverCcEdgeCapDefault)
@@ -94,11 +95,21 @@ object Clusters {
       // resolved with one broadcast left-semi scan of the vertex frame
       // (build side is the ≤2·cap endpoint set — no shuffle), and the
       // collect is bounded by the same edge cap that admitted this path.
-      val presentEndpoints = vertices.select("id")
-        .join(broadcast(labelDf.select("id")), Seq("id"), "left_semi")
-        .collect().map(_.getLong(0)).toSet
-      val extra = parent.keys.toSeq.filterNot(presentEndpoints)
-        .map(id => (id, find(id))).toDF("id", "label")
+      // Callers whose pairs are BY CONSTRUCTION mined from the vertex
+      // frame (dedupClusters: vertices = all doc ids; cluster_delta's
+      // standing pass: settled docs × settled index) declare it via
+      // `verticesCoverEdges` and skip the probe — the extras set is
+      // provably empty there, and the probe's full vertex scan is the
+      // fast path's only corpus-scale job (r15, per ADVICE).
+      val extra =
+        if (verticesCoverEdges) spark.emptyDataset[(Long, Long)].toDF("id", "label")
+        else {
+          val presentEndpoints = vertices.select("id")
+            .join(broadcast(labelDf.select("id")), Seq("id"), "left_semi")
+            .collect().map(_.getLong(0)).toSet
+          parent.keys.toSeq.filterNot(presentEndpoints)
+            .map(id => (id, find(id))).toDF("id", "label")
+        }
       val out = graft.Staging.staged(
         vertices
           .join(broadcast(labelDf), Seq("id"), "left")
@@ -242,7 +253,9 @@ object Clusters {
   private[graft] def dedupClustersOf(docs: DataFrame): DataFrame =
     connectedComponentsAdaptive(
       docs.select(col("doc_id").as("id")),
-      Dedup.jaccardPrefixOf(docs).select("a", "b"))
+      Dedup.jaccardPrefixOf(docs).select("a", "b"),
+      // Pairs are mined FROM docs, so every endpoint is a vertex.
+      verticesCoverEdges = true)
       .select(
         col("id").as("doc_id"),
         col("label").as("cluster_id"),
@@ -353,7 +366,9 @@ object Clusters {
     val standing = viaArtifact(() =>
       connectedComponentsAdaptive(
         allDocs.filter(!isBatch(col("doc_id"))).select(col("doc_id").as("id")),
-        settledPairs.select("a", "b"))
+        settledPairs.select("a", "b"),
+        // Settled pairs are mined settled × settled: endpoints ⊆ vertices.
+        verticesCoverEdges = true)
         .select(col("id").as("doc_id"), col("label").as("cluster_id")))
     // Batch-incident pairs from the SAME index (the dedupDelta shape).
     // STAGED (r12): the pair frame is tiny by contract (batch-incident
