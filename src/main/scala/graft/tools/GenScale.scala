@@ -22,6 +22,12 @@ import org.apache.spark.sql.SparkSession
   * regenerate on demand).
   *
   * Usage: `sbt "runMain graft.tools.GenScale target/testdata/sf1 50000 20000"`.
+  * A fourth arg `adversarial` switches on the hot-key plants (fixed
+  * boilerplate 8-gram in ~30% of docs, one viral near-dup cluster) that
+  * force the engine's bound mechanisms — `SubstrDedup.SubstrOccCap`,
+  * `Dedup.ContainmentDfCap`, the LSH bucket caps — to ENGAGE rather
+  * than sit inert; `tools.ScaleBench` then measures the per-task
+  * shuffle ceilings under that shape.
   */
 object GenScale {
 
@@ -34,11 +40,38 @@ object GenScale {
   val Langs: Array[(String, Double)] =
     Array("en" -> 0.41, "fr" -> 0.15, "es" -> 0.15, "de" -> 0.14, "zh" -> 0.15)
 
+  /** Adversarial-mode boilerplate: a fixed 8-token legal-disclaimer
+    * stand-in appended to ~30% of docs, so ONE window hash accumulates
+    * 0.3·nDocs occurrences — far past `SubstrDedup.SubstrOccCap` (1000)
+    * and every containment df bound. This is the corpus shape the caps
+    * exist for; clean-shape runs never engage them.
+    */
+  val Boilerplate: Array[String] = Array(
+    "the", "small", "table", "value", "window", "merge", "sort", "scan")
+
+  /** Adversarial-mode viral cluster: docs with id % `ViralEvery` == 0
+    * are 1-token perturbations of one fixed template — a single giant
+    * near-dup cluster (0.1% of the corpus) that concentrates one LSH
+    * band bucket and one CC component.
+    */
+  val ViralEvery = 1000
+  val ViralTemplate: Array[String] =
+    Array.tabulate(40)(i => Vocab(i % Vocab.length))
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/testdata/sf1")
     val nDocs = args.lift(1).map(_.toInt).getOrElse(50000)
     val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)
+    val adversarial = args.lift(3).contains("adversarial")
     val spark = graft.GraftSession.local()
+    generate(spark, outDir, nDocs, nVecs, adversarial)
+    println(s"GENSCALE wrote $nDocs docs + $nVecs vecs to $outDir")
+    spark.stop()
+  }
+
+  /** Session-borrowing body (specs call this; main owns its session). */
+  def generate(spark: SparkSession, outDir: String, nDocs: Int, nVecs: Int,
+               adversarial: Boolean = false): Unit = {
     import spark.implicits._
 
     // Documents: generated per-partition from a partition-seeded PRNG
@@ -57,8 +90,16 @@ object GenScale {
         else {
           val plantNear = i > 10 && rnd.nextDouble() < 0.025
           val plantExact = i > 10 && !plantNear && rnd.nextDouble() < 0.002
+          val viral = adversarial && id % ViralEvery == 0
+          val boiler = adversarial && !viral && rnd.nextDouble() < 0.30
           val w: Array[String] =
-            if (plantExact) texts(rnd.nextInt(i)).clone()
+            if (viral) {
+              // One shared template, one substituted token — a single
+              // corpus-wide near-dup cluster / viral LSH bucket.
+              val c = ViralTemplate.clone()
+              c((id / ViralEvery) % c.length) = Vocab(rnd.nextInt(Vocab.length))
+              c
+            } else if (plantExact) texts(rnd.nextInt(i)).clone()
             else if (plantNear) {
               val src = texts(rnd.nextInt(i))
               val c = src.clone()
@@ -67,7 +108,10 @@ object GenScale {
                 c(rnd.nextInt(c.length)) = Vocab(rnd.nextInt(Vocab.length))
               }
               c
-            } else Array.fill(10 + rnd.nextInt(91))(Vocab(rnd.nextInt(Vocab.length)))
+            } else {
+              val base = Array.fill(10 + rnd.nextInt(91))(Vocab(rnd.nextInt(Vocab.length)))
+              if (boiler) base ++ Boilerplate else base
+            }
           texts(i) = w
           val text = w.mkString(" ")
           val u = rnd.nextDouble()
@@ -103,8 +147,5 @@ object GenScale {
       }
     }.toDF("vec_id", "embedding", "label")
     vecs.repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
-    println(s"GENSCALE wrote $nDocs docs + $nVecs vecs to $outDir")
-    spark.stop()
   }
 }
