@@ -1328,6 +1328,11 @@ object SparkEntry {
     "q_quality_gopher" -> QualityGopherSql,
     "q_quality_sample" -> QualitySampleSql,
     "q_tokenize_bpe" -> graft.functions.Bpe.oracleSql,
+    // r15: the training LOOP graduates from rows-only — the lexicon is
+    // bounded by contract, so the whole merge iteration replays as one
+    // recursive CTE carrying the lexicon as a single state row (exact
+    // argmax + tie-break + greedy merge semantics; see BpeTrainOracle).
+    "q_bpe_train" -> graft.functions.BpeTrainOracle.oracleSql,
     // graft_fingerprint replayed byte-by-byte: h = h*31 + byte over the
     // UTF-8 bytes, 64-bit wrap. DuckDB BIGINT overflow errors rather
     // than wraps, so the accumulator runs in HUGEINT mod 2^64 and maps

@@ -117,9 +117,9 @@ class OperatorsSpec extends SparkSpec {
       // this set r13 — its rolling hash is replayed byte-by-byte as a
       // HUGEINT-mod-2^64 recursive CTE):
       "q_multimodal_pipeline",
-      // iterative global-argmax training is not a DuckDB query; the
-      // provenance spec (trained == published Bpe.Merges) is the gate:
-      "q_bpe_train",
+      // NOTE (r15): q_bpe_train LEFT this set — the merge loop runs
+      // over a BOUNDED lexicon, so BpeTrainOracle replays the whole
+      // iteration as a recursive CTE over one lexicon-state row.
       // iterative LBFGS optimization is not a DuckDB query; ModelSpec
       // (determinism + coverage + majority-class floor, exact decile
       // rollup for the eval table) is the gate:
