@@ -100,8 +100,12 @@ object Relational {
     Tables
       .customer(spark, dir)
       .select("c_mktsegment", "c_custkey", "c_acctbal")
-      .withColumn("rn", row_number().over(w).cast("long")) // bigint: oracle row_number() is 64-bit
+      // Rank filter on the raw attribute → native WindowGroupLimit
+      // (map-side per-group top-3 before the exchange, r15); the long
+      // cast (oracle row_number() is 64-bit) happens after the filter.
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
+      .withColumn("rn", col("rn").cast("long"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 

@@ -18,13 +18,15 @@ import org.apache.spark.sql.expressions.Window
   * degenerates as the corpus grows. A fixed constant would silently
   * stop pruning: 64 cells at 10⁹ vectors is ~10⁷ rows per probed cell.
   * The k-means coarse quantizer trains on a deterministic hashed sample
-  * capped at 8·cells rows (enough for a stable quantizer; training cost
-  * grows with √n, not n), then ONE assignment pass maps every vector to
-  * its nearest centroid cell. Query: rank the k centroids per query,
-  * probe the nprobe = max(8, cells/8) nearest cells (proportional —
-  * scan fraction stays ~1/8 of the corpus as cells grow), exact cosine
-  * ONLY within probed cells via an equi-join on cell id — no all-pairs
-  * term, AQE splits any hot cell.
+  * capped at 32·cells rows (see trainCapFor — a starved sample skews
+  * the fitted cells and the skew is a measured superlinear term in
+  * candidate volume; training cost still grows with √n, not n), then
+  * ONE assignment pass maps every vector to its nearest centroid cell. Query: rank the k centroids per query,
+  * probe the nprobe = clamp(cells/8, 8, MaxProbes) nearest cells
+  * (proportional while the index is small, CONSTANT at scale — an
+  * unbounded cells/8 fraction makes candidate volume n²/8; see
+  * numProbesFor), exact cosine ONLY within probed cells via an
+  * equi-join on cell id — no all-pairs term, AQE splits any hot cell.
   *
   * In production the index (centroids + assignments) is built offline
   * and reused across query batches; the declared query rebuilds it
@@ -37,9 +39,10 @@ object IvfAnn {
   /** Upper clamp on the cell count, set by QUANTIZER-TRAINING
     * feasibility, not plan size (centroid ranking is a broadcast join —
     * O(1) plan nodes in k): the k-means fit runs on a deterministic
-    * coalesce(1) sample of 8·cells rows, costing ~samples·k·iters
-    * distance ops on one core — at 4096 cells that is ~1.3e9, seconds;
-    * at 65536 it would be ~3.4e12, untrainable. 4096 cells is reached at
+    * coalesce(1) sample of 32·cells rows, costing ~samples·k·iters
+    * distance ops on one core — at 4096 cells that is ~1e10, tens of
+    * seconds of offline index build; at 65536 it would be ~2.7e13,
+    * untrainable. 4096 cells is reached at
     * n ≈ 1.7e7 vectors; beyond that the probed fraction grows with n/k,
     * and the escape hatch is a HIERARCHICAL quantizer (a second IVF
     * level inside each coarse cell — k₁·k₂ effective cells with two
@@ -55,16 +58,47 @@ object IvfAnn {
     math.min(math.max(root, MinCells), MaxCells).min(math.max(n, 1L).min(Int.MaxValue).toInt)
   }
 
-  /** nprobe proportional to the cell count (floor 8): recall stays tied
-    * to a fixed scan FRACTION, not a fixed cell count.
+  /** Upper clamp on nprobe (r15). The old policy — nprobe = cells/8,
+    * unbounded — tied recall to a fixed scan FRACTION, which silently
+    * destroyed the family's asymptotics: candidate volume became
+    * n · (cells/8) · (n/cells) = n²/8, quadratic REGARDLESS of the cell
+    * count, and the second measured scaling decade caught exactly that
+    * (q_knn_graph 50k→500k exponent 2.03, 547 s, 9.8 GB peak task
+    * memory — vs the n^1.5 the scaladoc promised). A bounded nprobe is
+    * what the standard IVF recall model prescribes: neighbors
+    * concentrate in the query's few nearest cells (the data's cluster
+    * count, not the index's cell count, governs how many), so nprobe is
+    * a CONSTANT recall knob at scale. Kept proportional below the clamp
+    * so small indexes (few cells, coarse quantization boundaries) still
+    * probe a meaningful fraction; fixture-scale plans (cells ≤ 128,
+    * nprobe = 8..16) are unchanged.
     */
-  private[graft] def numProbesFor(cells: Int): Int = math.max(8, cells / 8)
+  val MaxProbes = 16
 
-  /** Training-sample cap: 8 samples per centroid (hash-ordered —
-    * deterministic, id-uncorrelated). The coalesce(1) this sample feeds
-    * is bounded by construction: ≤ 8·cells ≤ 2^19 rows even at MaxCells.
+  /** nprobe = clamp(cells/8, 8, MaxProbes): probed-candidate volume is
+    * then Θ(n·nprobe·n/cells) = Θ(n^1.5 · nprobe) at cells ≈ √n — the
+    * documented contract (measured across the 50k→500k decade: wall
+    * exponent 2.00 → 1.77, candidate-volume exponent 1.69 with the
+    * clamp + the 32-sample training fix; residual above 1.5 is cell
+    * skew on clustered data — see SURVEY §6).
     */
-  private[graft] def trainCapFor(cells: Int): Int = math.max(4096, 8 * cells)
+  private[graft] def numProbesFor(cells: Int): Int =
+    math.min(math.max(8, cells / 8), MaxProbes)
+
+  /** Training-sample cap: 32 samples per centroid (hash-ordered —
+    * deterministic, id-uncorrelated). 8/centroid through r14 — and that
+    * starvation was a measured scale defect, not a tuning nit: with ~9
+    * noisy samples per centroid the fitted cells skew (max cell 9.3×
+    * the mean at the 500k-doc decade point), probes concentrate on the
+    * big cells (candidates = Σ probes_c·s_c ≈ Σ s_c²), and the
+    * candidate-volume exponent measured 1.84 instead of the designed
+    * 1.5. At 32/centroid + 20 Lloyd iterations the same corpus fits
+    * max cell 3.3× mean, candidate volume −27%, and the per-task sort
+    * ceiling (hottest cell's candidate mass) −3×. The coalesce(1) this
+    * sample feeds stays bounded by construction: ≤ 32·cells = 2^17 rows
+    * at MaxCells.
+    */
+  private[graft] def trainCapFor(cells: Int): Int = math.max(4096, 32 * cells)
 
   /** Normalized + staged vector frame (vec_id, e, norm, u, fv) — the
     * ONE embeddings materialization every family member builds on.
@@ -80,7 +114,7 @@ object IvfAnn {
     val cells = numCellsFor(v.count())
     val train = v.orderBy(xxhash64(col("vec_id"))).limit(trainCapFor(cells)).coalesce(1)
     new KMeans()
-      .setK(cells).setSeed(42).setMaxIter(10)
+      .setK(cells).setSeed(42).setMaxIter(20)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(train)
   }
@@ -117,7 +151,7 @@ object IvfAnn {
   /** Version tag for the published coarse index (bump on any change to
     * cell derivation, seeding, or training-sample contract).
     */
-  val IndexArtifactVersion = "ivf-coarse-sqrtcells-seed42-v1"
+  val IndexArtifactVersion = "ivf-coarse-sqrtcells-seed42-v2"
 
   /** Coarse index + assigned corpus via the Artifacts contract — the
     * production shape: the quantizer is TRAINED ONCE, its centroids and
@@ -206,11 +240,34 @@ object IvfAnn {
       .join(assigned.toDF("nbr_id", "ce", "cn", "cell2"),
         col("cell2") === col("cell") && col("nbr_id") =!= col("q_id"))
       .withColumn("cos", expr("graft_dot(qe, ce)") / (col("qn") * col("cn")))
+    topKPerQuery(scored)
+  }
+
+  /** Per-query top-k over a (q_id, nbr_id, cos) candidate stream,
+    * written so Catalyst's InferWindowGroupLimit fires: the filter
+    * compares the raw row_number ATTRIBUTE against a literal (the long
+    * cast happens AFTER the filter — r10..r14 cast first, which hid
+    * the pattern from the rule and silently bought the naive window
+    * plan: a full candidate-volume shuffle + sort, 8.8 GB peak task
+    * memory at the 500k-doc decade point). With the rule matched, the
+    * physical plan carries WindowGroupLimitExec in Partial mode BEFORE
+    * the exchange — a per-key bounded top-k on the map side, so each
+    * mapper ships at most k rows per q_id it saw — and Final mode
+    * after, with the actual Window running over ≤k rows per key.
+    * Native operator, whole plan codegen-eligible, no custom code on
+    * the hot path (a custom TypedImperativeAggregate heap was
+    * prototyped and dropped: ObjectHashAggregate's 128-key sort-based
+    * fallback re-materializes the candidate sort for any
+    * high-cardinality grouping — same memory shape as the naive
+    * window, none of the native path's codegen/plan-visibility).
+    */
+  private[graft] def topKPerQuery(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Knn.TopK)
-      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"), col("rn"))
+      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"),
+        col("rn").cast("long").as("rn"))
       .orderBy("q_id", "rn")
   }
 
@@ -228,8 +285,9 @@ object IvfAnn {
     * Scale shape: ONE staged embeddings scan feeds quantizer training,
     * assignment, probe side, and corpus side; the probe fanout is
     * bounded (×nprobe per vector); the candidate join is cell-keyed
-    * equi (AQE splits hot cells); the top-k window partitions by q_id —
-    * bounded candidate groups, never a global sort. Self-pairs drop;
+    * equi (AQE splits hot cells); per-query top-k rides the native
+    * WindowGroupLimit (r15, see topKPerQuery — Partial mode bounds
+    * what each mapper ships to ≤k rows per q_id). Self-pairs drop;
     * emitted cosines are exact (round4'd for output stability).
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -247,12 +305,7 @@ object IvfAnn {
           col("norm").as("cn"), col("cell").as("cell2")),
         col("cell2") === col("cell") && col("nbr_id") =!= col("q_id"))
       .withColumn("cos", expr("graft_dot(qe, ce)") / (col("qn") * col("cn")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= Knn.TopK)
-      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"), col("rn"))
-      .orderBy("q_id", "rn")
+    topKPerQuery(scored)
   }
 
   /** The full assigned corpus frame (vec_id, e, norm, cell), built from

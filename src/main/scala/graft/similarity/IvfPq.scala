@@ -265,9 +265,10 @@ object IvfPq {
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= RerankDepth)
       .withColumn("cos", expr("graft_dot(qe, ce)") / (col("qn") * col("cn")))
-      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .withColumn("rn", row_number().over(wCos))
       .filter(col("rn") <= Knn.TopK)
-      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"), col("rn"))
+      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"),
+        col("rn").cast("long").as("rn"))
       .orderBy("q_id", "rn")
   }
 

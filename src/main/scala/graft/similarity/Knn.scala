@@ -48,10 +48,16 @@ object Knn {
       .withColumn("dot", expr("graft_dot(qe, ce)"))
       .withColumn("cos", col("dot") / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    // Rank filter on the RAW row_number attribute (cast to long only
+    // after) so InferWindowGroupLimit fires: the physical plan carries
+    // WindowGroupLimitExec in Partial mode before the exchange — each
+    // mapper ships ≤ TopK rows per q_id instead of its whole block's
+    // candidate volume (r15; the pre-filter cast hid the pattern).
     scored
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
-      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"), col("rn"))
+      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"),
+        col("rn").cast("long").as("rn"))
       .orderBy("q_id", "rn")
   }
 }

@@ -151,10 +151,12 @@ object LshAnn {
       .withColumn("dot", expr("graft_dot(qe, ce)"))
       .withColumn("cos", col("dot") / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    // Rank filter before the long cast → native WindowGroupLimit (r15).
     scored
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Knn.TopK)
-      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"), col("rn"))
+      .select(col("q_id"), col("nbr_id"), Num.round4(col("cos")).as("cos"),
+        col("rn").cast("long").as("rn"))
       .orderBy("q_id", "rn")
   }
 }

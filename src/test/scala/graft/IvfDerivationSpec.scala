@@ -18,8 +18,12 @@ class IvfDerivationSpec extends SparkSpec {
     assert(IvfAnn.numCellsFor(1000000L) == 1000, "sqrt growth in the open range")
     assert(IvfAnn.numCellsFor(100000000L) == IvfAnn.MaxCells,
       "upper clamp at the quantizer-training feasibility bound")
-    assert(IvfAnn.numProbesFor(64) == 8 && IvfAnn.numProbesFor(1024) == 128,
-      "nprobe stays a fixed fraction of the cell count above the floor")
+    assert(IvfAnn.numProbesFor(64) == 8 && IvfAnn.numProbesFor(128) == 16,
+      "nprobe tracks cells/8 between the floor and the clamp")
+    assert(IvfAnn.numProbesFor(1024) == IvfAnn.MaxProbes
+        && IvfAnn.numProbesFor(IvfAnn.MaxCells) == IvfAnn.MaxProbes,
+      "nprobe is CONSTANT at scale — an unbounded cells/8 fraction made " +
+        "probed-candidate volume n²/8 (caught by the 50k→500k decade)")
   }
 
   test("centroid ranking plan is O(1) in the cell count (no per-centroid literals)") {
@@ -30,6 +34,26 @@ class IvfDerivationSpec extends SparkSpec {
     val plan = df.queryExecution.analyzed.toString
     val dots = "graft_dot".r.findAllIn(plan).length
     assert(dots <= 8, s"plan embeds per-centroid expressions: $dots graft_dot nodes")
+    spark.catalog.clearCache()
+  }
+
+  test("kNN top-k rides the native WindowGroupLimit — partial mode before the exchange") {
+    // The r10..r14 formulation cast the row_number to long BEFORE the
+    // rank filter, which hid the Filter(rn <= k)-over-Window pattern
+    // from InferWindowGroupLimit and silently bought the naive plan (a
+    // full candidate-volume shuffle + sort: 8.8 GB peak task memory at
+    // the 500k-doc decade point). The rank filter now compares the raw
+    // attribute, and this pin makes the regression impossible to
+    // reintroduce: the physical plan must carry WindowGroupLimit in
+    // BOTH modes — Partial (map-side per-key bounded top-k, ≤k rows
+    // per q_id leave each mapper) and Final.
+    for (df <- Seq(IvfAnn.knnGraph(spark, sfDir), IvfAnn.ivfTopK(spark, sfDir))) {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("WindowGroupLimit"),
+        s"native window group limit missing from plan:\n${phys.take(2000)}")
+      assert(phys.contains("Partial") && phys.contains("Final"),
+        "expected partial (pre-shuffle) AND final WindowGroupLimit modes")
+    }
     spark.catalog.clearCache()
   }
 
