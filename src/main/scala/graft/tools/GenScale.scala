@@ -37,6 +37,28 @@ object GenScale {
     "query", "row", "scan", "slow", "small", "sort", "spark", "stream",
     "table", "the", "value", "vector", "window")
 
+  /** Corpus-size-scaled vocabulary (r15): |V| grows as nDocs^(1/3),
+    * anchored so corpora up to 50k docs keep the original 31 words
+    * bit-identically. Rationale — the measurement contract of the §6
+    * scale table is CONSTANT per-doc density, and with 3-gram shingles
+    * the distinct-shingle space is |V|³: a fixed vocab makes shingle
+    * df grow linearly with the corpus, so prefix-filter selectivity
+    * collapses (no shingle is rare) and candidate volume grows
+    * ~quadratically — an adversarial density regime, not algorithmic
+    * scaling. |V| ∝ n^(1/3) holds |V|³ ∝ n, i.e. constant df and
+    * constant per-doc collision density across decades. (The fixed-
+    * vocab regime remains reachable on purpose — generate a big corpus
+    * with the 50k anchor — and is documented in SURVEY §5/§6 as the
+    * AllPairs degeneracy boundary.)
+    */
+  def vocabFor(nDocs: Int): Array[String] = {
+    val target = math.max(
+      Vocab.length,
+      math.round(Vocab.length * math.cbrt(nDocs / 50000.0)).toInt)
+    Vocab ++ (0 until target - Vocab.length).map(i =>
+      Vocab(i % Vocab.length) + ((i / Vocab.length) + 1).toString)
+  }
+
   val Langs: Array[(String, Double)] =
     Array("en" -> 0.41, "fr" -> 0.15, "es" -> 0.15, "de" -> 0.14, "zh" -> 0.15)
 
@@ -80,6 +102,9 @@ object GenScale {
     // resolve the source text; pair density per doc is what matters.
     val parts = 32
     val perPart = (nDocs + parts - 1) / parts
+    // Density-held vocabulary (see vocabFor): identical to Vocab at the
+    // 50k anchor and below, so existing corpora regenerate bit-for-bit.
+    val vocab = vocabFor(nDocs)
     val docs = spark.sparkContext.parallelize(0 until parts, parts).flatMap { p =>
       val rnd = new scala.util.Random(42L * 1000003 + p)
       val base = p * perPart
@@ -97,7 +122,7 @@ object GenScale {
               // One shared template, one substituted token — a single
               // corpus-wide near-dup cluster / viral LSH bucket.
               val c = ViralTemplate.clone()
-              c((id / ViralEvery) % c.length) = Vocab(rnd.nextInt(Vocab.length))
+              c((id / ViralEvery) % c.length) = vocab(rnd.nextInt(vocab.length))
               c
             } else if (plantExact) texts(rnd.nextInt(i)).clone()
             else if (plantNear) {
@@ -105,11 +130,11 @@ object GenScale {
               val c = src.clone()
               val subs = 1 + rnd.nextInt(2)
               (0 until subs).foreach { _ =>
-                c(rnd.nextInt(c.length)) = Vocab(rnd.nextInt(Vocab.length))
+                c(rnd.nextInt(c.length)) = vocab(rnd.nextInt(vocab.length))
               }
               c
             } else {
-              val base = Array.fill(10 + rnd.nextInt(91))(Vocab(rnd.nextInt(Vocab.length)))
+              val base = Array.fill(10 + rnd.nextInt(91))(vocab(rnd.nextInt(vocab.length)))
               if (boiler) base ++ Boilerplate else base
             }
           texts(i) = w
