@@ -52,10 +52,10 @@ object Diversity {
   }
 
   private[graft] def diversitySampleOf(spark: SparkSession, vectors: DataFrame): DataFrame = {
-    val (v, model) = IvfAnn.indexOf(vectors)
+    val (v, q) = IvfAnn.indexOf(spark, vectors)
     selectFrom(
-      model.transform(v).select(col("vec_id"), col("u"), col("cell")),
-      IvfAnn.coarseIndexOf(spark, model).centroids)
+      q.assign(spark, v).select(col("vec_id"), col("u"), col("cell")),
+      q.index.centroids)
   }
 
   private def selectFrom(assigned: DataFrame, centroidsDf: DataFrame): DataFrame = {

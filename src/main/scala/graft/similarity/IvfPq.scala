@@ -73,8 +73,10 @@ object IvfPq {
     * Returns the staged vector frame, the coarse model, and the
     * subspace models (codebook j covers u[j·dsub, (j+1)·dsub)).
     */
-  private[graft] def indexOf(vectors: DataFrame): (DataFrame, KMeansModel, Array[KMeansModel], Int) = {
-    val (v, coarse) = IvfAnn.indexOf(vectors)
+  private[graft] def indexOf(
+      spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame): (DataFrame, IvfAnn.Quantizer, Array[KMeansModel], Int) = {
+    val (v, coarse) = IvfAnn.indexOf(spark, vectors)
     val d = v.select(size(col("u"))).head().getInt(0)
     val m = subspacesFor(d)
     val dsub = d / m
@@ -153,12 +155,14 @@ object IvfPq {
     * shuffle.
     */
   private[graft] def encodedOf(
-      v: DataFrame, coarse: KMeansModel, models: Array[KMeansModel], dsub: Int): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession,
+      v: DataFrame, coarse: IvfAnn.Quantizer,
+      models: Array[KMeansModel], dsub: Int): DataFrame = {
     val m = models.length
     val withSubs = (0 until m).foldLeft(v) { (df, j) =>
       df.withColumn(s"fv$j", array_to_vector(expr(s"slice(u, ${j * dsub + 1}, $dsub)")))
     }
-    val coded = models.foldLeft(coarse.transform(withSubs))((df, mj) => mj.transform(df))
+    val coded = models.foldLeft(coarse.assign(spark, withSubs))((df, mj) => mj.transform(df))
     coded.select(
       col("vec_id"), col("e"), col("norm"), col("cell"),
       array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
@@ -187,13 +191,13 @@ object IvfPq {
     }
 
   private def ivfPqTopKInline(spark: SparkSession, dir: String): DataFrame = {
-    val (v, coarse, models, dsub) = indexOf(Knn.vectors(spark, dir))
+    val (v, coarse, models, dsub) = indexOf(spark, Knn.vectors(spark, dir))
     val m = models.length
     val kPq = models.head.getK
-    val encoded = encodedOf(v, coarse, models, dsub)
+    val encoded = encodedOf(spark, v, coarse, models, dsub)
     val flatCb: Array[Double] =
       models.flatMap(_.clusterCenters.flatMap(_.toArray))
-    adcQuery(spark, v, encoded, IvfAnn.coarseIndexOf(spark, coarse), flatCb, m, kPq, dsub)
+    adcQuery(spark, v, encoded, coarse.index, flatCb, m, kPq, dsub)
   }
 
   private def ivfPqTopKPublished(spark: SparkSession, dir: String): DataFrame = {
@@ -276,7 +280,7 @@ object IvfPq {
     * and determinism specs — same build as ivfPqTopK by construction.
     */
   private[graft] def codes(spark: SparkSession, dir: String): DataFrame = {
-    val (v, coarse, models, dsub) = indexOf(Knn.vectors(spark, dir))
-    encodedOf(v, coarse, models, dsub).select(col("vec_id"), col("codes"))
+    val (v, coarse, models, dsub) = indexOf(spark, Knn.vectors(spark, dir))
+    encodedOf(spark, v, coarse, models, dsub).select(col("vec_id"), col("codes"))
   }
 }

@@ -60,6 +60,11 @@ class DeltaSemSpec extends SparkSpec {
       case f: FileSourceScanExec => if (hit(f.relation.location.rootPaths)) 1 else 0
       case im: InMemoryTableScanExec =>
         if (seen.add(System.identityHashCode(im.relation.cachedPlan))) phys(im.relation.cachedPlan) else 0
+      // AQE wraps cached subplans that contain joins (the balanced
+      // quantizer's broadcast sign-test joins, r15); the captured plan
+      // is a FIELD, not a child, so collect() alone stops here.
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        phys(aqe.inputPlan)
     }.sum
     def logi(p: LogicalPlan): Int = p.collect {
       case im: InMemoryRelation =>

@@ -67,22 +67,69 @@ class IvfDerivationSpec extends SparkSpec {
   test("assignmentsOf derives k from the corpus and assigns every vector an in-range cell") {
     val small = 300
     val large = 20000
-    val (kSmall, aSmall) = IvfAnn.assignmentsOf(synthVectors(small))
-    val (kLarge, aLarge) = IvfAnn.assignmentsOf(synthVectors(large))
-    assert(kSmall == IvfAnn.numCellsFor(small) && kSmall == IvfAnn.MinCells)
-    assert(kLarge == IvfAnn.numCellsFor(large) && kLarge == math.ceil(math.sqrt(large)).toInt,
-      s"derived k must follow sqrt(n): got $kLarge")
+    val (kSmall, aSmall) = IvfAnn.assignmentsOf(spark, synthVectors(small))
+    val (kLarge, aLarge) = IvfAnn.assignmentsOf(spark, synthVectors(large))
+    // Leaf count = derived base cells plus any balance splits (each
+    // split nets +1 leaf); uniform hash-synthetic corpora rarely
+    // trigger splits, but the derivation contract is >= base, bounded.
+    assert(kSmall >= IvfAnn.numCellsFor(small) && kSmall <= 2 * IvfAnn.numCellsFor(small))
+    assert(kLarge >= IvfAnn.numCellsFor(large) && kLarge <= 2 * IvfAnn.numCellsFor(large),
+      s"derived k must follow sqrt(n) within the balance-split factor: got $kLarge")
     assert(kLarge > kSmall, "a larger corpus must derive more cells")
     for ((a, n, k) <- Seq((aSmall, small, kSmall), (aLarge, large, kLarge))) {
       val rows = a.collect().map(r => (r.getLong(0), r.getInt(1)))
       assert(rows.length == n && rows.map(_._1).distinct.length == n,
         "every vector gets exactly one cell")
-      assert(rows.forall { case (_, c) => c >= 0 && c < k }, "cells within [0, k)")
+      assert(rows.forall { case (_, c) => c >= 0 && c < k },
+        "cells within [0, k) — leaf ids are compact")
       // the quantizer actually partitions the space — the corpus must not
       // collapse into a handful of cells
       assert(rows.map(_._2).distinct.length > k / 4,
         s"expected a spread assignment, got ${rows.map(_._2).distinct.length} of $k cells used")
     }
+    spark.catalog.clearCache()
+  }
+
+  private def synthSkewed(n: Int): DataFrame =
+    // 10% of vectors sit in one tight blob (~14x the mean cell mass —
+    // past CellBalance but within MaxSplitRounds' 2^3 reduction); the
+    // rest are hash-uniform. The blob is what k-means leaves as one hot
+    // cell: its diameter (1e-3) is far below inter-centroid spacing.
+    spark.range(n)
+      .select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(0, 7), i ->
+          CASE WHEN id % 10 = 0
+          THEN 0.5 + cast(pmod(xxhash64(id, i), 97) as double) / 97000.0
+          ELSE cast(pmod(xxhash64(id * 31 + 7, i), 997) as double) / 997.0 + 0.001
+          END)""").as("e"))
+      .withColumn("norm", sqrt(expr("graft_dot(e, e)")))
+
+  test("balanced quantizer splits the hot cell and cuts corpus skew (r15)") {
+    val (v, q) = IvfAnn.indexOf(spark, synthSkewed(20000))
+    assert(q.rounds.nonEmpty, "a 14x-mean blob must trigger at least one split round")
+    val sizes = q.assign(spark, v).groupBy("cell").count().collect().map(_.getLong(1))
+    val avg = sizes.sum.toDouble / q.k
+    // Base (unsplit) fit on the same staged frame for comparison.
+    val base = IvfAnn.fitCoarse(v)
+    val baseSizes = base.transform(v).groupBy("cell").count().collect().map(_.getLong(1))
+    val baseAvg = baseSizes.sum.toDouble / base.getK
+    assert(sizes.max / avg <= 0.5 * (baseSizes.max / baseAvg),
+      s"balance must at least halve max/mean skew: " +
+        s"balanced ${sizes.max}/$avg vs base ${baseSizes.max}/$baseAvg")
+    // Probe/assign consistency: every assigned cell id exists in the
+    // leaf centroid table (what probeCells ranks).
+    val leafIds = q.index.centroids.select("cell").collect().map(_.getInt(0)).toSet
+    assert(leafIds == (0 until q.k).toSet, "centroid table ids are exactly [0, k)")
+    val usedIds = q.assign(spark, v).select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(usedIds.subsetOf(leafIds), "assignments target only leaf centroids")
+    // Determinism: an independent rebuild reproduces the centroid table.
+    val q2 = IvfAnn.balancedQuantizerOf(spark, v)
+    assert(q2.k == q.k &&
+      q2.index.centroids.select("cell", "centroid").collect().toSeq ==
+        q.index.centroids.select("cell", "centroid").collect().toSeq,
+      "quantizer build is deterministic")
     spark.catalog.clearCache()
   }
 }
