@@ -84,6 +84,8 @@ object SparkEntry {
     "q_knn_cosine"         -> ((s, d) => Knn.bruteTopK(s, d)),
     "q_embed_quantize"     -> ((s, d) => graft.similarity.Quantize.quantizeStats(s, d)),
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
+    "q_ann_recall"         -> ((s, d) => graft.similarity.AnnRecall.annRecall(s, d)),
+    "q_hybrid_search"      -> ((s, d) => graft.similarity.Hybrid.hybridSearch(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_ann_ivfpq"          -> ((s, d) => graft.similarity.IvfPq.ivfPqTopK(s, d)),
     "q_knn_graph"          -> ((s, d) => graft.similarity.IvfAnn.knnGraph(s, d)),
@@ -978,6 +980,64 @@ object SparkEntry {
     // cosine verify all replay. See LshOracle.
     "q_embed_neardup_lsh" -> graft.similarity.LshOracle.neardupSql,
     "q_ann_lsh" -> graft.similarity.LshOracle.annSql,
+    "q_ann_recall" -> graft.similarity.LshOracle.recallSql,
+    // Hybrid RRF fusion: BM25's exact-rational int64 scoring (see
+    // q_bm25_search) for the query doc's top-3 terms + bit-identical
+    // cosine ranking (see q_knn_cosine), fused as two IEEE divisions
+    // of exact integers summed in fixed order before round4.
+    "q_hybrid_search" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+           |), qdoc AS (
+           |  SELECT d.doc_id AS q_doc FROM documents d
+           |  JOIN embeddings e ON e.vec_id = d.doc_id
+           |  ORDER BY d.n_chars DESC, d.doc_id LIMIT 1
+           |), tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+           |), dl AS (
+           |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+           |), totals AS (
+           |  SELECT count(*) AS n_docs, sum(dl) AS t_tok FROM dl
+           |), dfreq AS (
+           |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+           |), qtoks AS (
+           |  SELECT tf.tok FROM tf JOIN qdoc ON tf.doc_id = qdoc.q_doc
+           |  ORDER BY tf.tf DESC, tf.tok LIMIT 3
+           |), idf AS (
+           |  SELECT tok, CAST(floor((n_docs - df + 0.5) / (df + 0.5) * 10000 + 0.5) AS BIGINT) AS idf4
+           |  FROM qtoks JOIN dfreq USING (tok), totals
+           |), lexs AS (
+           |  SELECT tf.doc_id, sum(
+           |    CAST(floor(CAST(idf.idf4 * 22 * tf.tf * t.t_tok AS DOUBLE)
+           |      / CAST(10 * tf.tf * t.t_tok + 3 * t.t_tok + 9 * dl.dl * t.n_docs AS DOUBLE)
+           |      + 0.5) AS BIGINT)) AS s4
+           |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), totals t, qdoc
+           |  WHERE tf.doc_id <> qdoc.q_doc
+           |  GROUP BY tf.doc_id
+           |), lex AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY s4 DESC, doc_id) AS lex_rank
+           |  FROM (SELECT * FROM lexs ORDER BY s4 DESC, doc_id LIMIT 50)
+           |), vec AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |), nv AS (
+           |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
+           |), qv AS (
+           |  SELECT nv.* FROM nv JOIN qdoc ON nv.vec_id = qdoc.q_doc
+           |), sems AS (
+           |  SELECT c.vec_id AS doc_id, list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm) AS cos
+           |  FROM nv c, qv WHERE c.vec_id <> qv.vec_id
+           |), sem AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+           |  FROM (SELECT * FROM sems ORDER BY cos DESC, doc_id LIMIT 50)
+           |)
+           |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           |  CAST(coalesce(l.lex_rank, -1) AS BIGINT) AS lex_rank,
+           |  CAST(coalesce(s.sem_rank, -1) AS BIGINT) AS sem_rank,
+           |  floor((coalesce(1::DOUBLE / (60 + l.lex_rank), 0)
+           |       + coalesce(1::DOUBLE / (60 + s.sem_rank), 0)) * 10000 + 0.5) / 10000 AS rrf
+           |FROM lex l FULL JOIN sem s ON s.doc_id = l.doc_id
+           |ORDER BY rrf DESC, doc_id""".stripMargin,
     "q_knn_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

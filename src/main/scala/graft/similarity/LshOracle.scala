@@ -100,16 +100,13 @@ object LshOracle {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** `q_ann_lsh`: multi-probe on the query side, every candidate scored
-    * exactly, top-k by (cos DESC, nbr_id ASC) — rank order is exact
-    * because the cosines themselves are bit-identical across engines.
+  /** The ann candidate→score→rank CTE chain, shared by `annSql` (which
+    * projects the ranked list) and `recallSql` (which joins it against
+    * the exact list) so the two oracles can never drift apart.
     */
-  lazy val annSql: String = {
+  private def annCtes: String = {
     val numQueries = Knn.NumQueries
-    val topK = Knn.TopK
-    s"""WITH RECURSIVE
-       |$common,
-       |cand AS (
+    s"""cand AS (
        |  SELECT DISTINCT p.vec_id AS a, x.vec_id AS b
        |  FROM probes p JOIN bands x ON p.band = x.band AND p.key = x.key AND p.vec_id <> x.vec_id
        |  WHERE p.vec_id < $numQueries
@@ -128,9 +125,64 @@ object LshOracle {
        |  SELECT q_id, nbr_id, cos,
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id ASC) AS rn
        |  FROM scored
-       |)
+       |)""".stripMargin
+  }
+
+  /** `q_ann_lsh`: multi-probe on the query side, every candidate scored
+    * exactly, top-k by (cos DESC, nbr_id ASC) — rank order is exact
+    * because the cosines themselves are bit-identical across engines.
+    */
+  lazy val annSql: String = {
+    val topK = Knn.TopK
+    s"""WITH RECURSIVE
+       |$common,
+       |$annCtes
        |SELECT q_id, nbr_id, floor(cos * 10000 + 0.5) / 10000 AS cos, rn::BIGINT AS rn
        |FROM ranked WHERE rn <= $topK
        |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** `q_ann_recall`: the ANN ranked list joined against an exact
+    * brute-force ranked list (the `q_knn_cosine` oracle's shape, here
+    * sharing the `vec`/`norms` CTEs) — per-query hit counts and
+    * recall@k as one exact int64/int64 division, round4'd.
+    */
+  lazy val recallSql: String = {
+    val numQueries = Knn.NumQueries
+    val topK = Knn.TopK
+    s"""WITH RECURSIVE
+       |$common,
+       |$annCtes,
+       |ann AS (SELECT q_id, nbr_id FROM ranked WHERE rn <= $topK),
+       |bscored AS (
+       |  SELECT va.vec_id AS q_id, vb.vec_id AS nbr_id,
+       |         list_dot_product(va.e, vb.e) / (na.norm * nb.norm) AS cos
+       |  FROM vec va JOIN vec vb ON vb.vec_id <> va.vec_id
+       |  JOIN norms na ON na.vec_id = va.vec_id
+       |  JOIN norms nb ON nb.vec_id = vb.vec_id
+       |  WHERE va.vec_id < $numQueries
+       |),
+       |brute AS (
+       |  SELECT q_id, nbr_id FROM (
+       |    SELECT q_id, nbr_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id ASC) AS rn
+       |    FROM bscored
+       |  ) WHERE rn <= $topK
+       |),
+       |ex AS (SELECT q_id, count(*) AS n_exact FROM brute GROUP BY q_id),
+       |an AS (SELECT q_id, count(*) AS n_ann FROM ann GROUP BY q_id),
+       |hit AS (
+       |  SELECT b.q_id, count(*) AS n_hit
+       |  FROM brute b JOIN ann a ON a.q_id = b.q_id AND a.nbr_id = b.nbr_id
+       |  GROUP BY b.q_id
+       |)
+       |SELECT ex.q_id, ex.n_exact,
+       |  coalesce(an.n_ann, 0) AS n_ann,
+       |  coalesce(hit.n_hit, 0) AS n_hit,
+       |  floor(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE) * 10000 + 0.5) / 10000 AS recall
+       |FROM ex
+       |LEFT JOIN an ON an.q_id = ex.q_id
+       |LEFT JOIN hit ON hit.q_id = ex.q_id
+       |ORDER BY ex.q_id""".stripMargin
   }
 }

@@ -43,6 +43,58 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.35, s"ANN recall collapsed: $recall")
   }
 
+  test("q_ann_recall matches the set-computed recall of ANN vs brute force, per query") {
+    val brute = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ann = SparkEntry.queries("q_ann_lsh")(spark, sfDir)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bByQ = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val aByQ = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sfDir).collect()
+    assert(rows.length == graft.similarity.Knn.NumQueries, "one row per query, misses included")
+    rows.foreach { r =>
+      val (q, nExact, nAnn, nHit, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nExact == bByQ(q).size.toLong)
+      assert(nAnn == aByQ.getOrElse(q, Set.empty[Long]).size.toLong)
+      assert(nHit == bByQ(q).intersect(aByQ.getOrElse(q, Set.empty[Long])).size.toLong)
+      val expected = math.floor(nHit.toDouble / nExact.toDouble * 10000 + 0.5) / 10000
+      assert(recall == expected, s"q $q: recall $recall != $expected")
+      assert(nHit <= math.min(nExact, nAnn))
+    }
+    // n_exact is k for every query, so the table's micro recall equals
+    // the overall set recall the floor test above measures.
+    val micro = rows.map(_.getLong(3)).sum.toDouble / rows.map(_.getLong(1)).sum
+    assert(micro >= 0.35, s"aggregate recall collapsed: $micro")
+  }
+
+  test("q_hybrid_search RRF fusion: query doc excluded, ranks dense, scores recompute") {
+    import graft.similarity.Hybrid
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecIds = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val qDoc = docs.filter(d => vecIds.contains(d._1)).maxBy(d => (d._2, -d._1))._1
+    val rows = SparkEntry.queries("q_hybrid_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 2 * Hybrid.TopN)
+    assert(!rows.exists(_.getLong(0) == qDoc), "query doc must not retrieve itself")
+    val lexRanks = rows.map(_.getLong(1)).filter(_ != -1L).sorted
+    val semRanks = rows.map(_.getLong(2)).filter(_ != -1L).sorted
+    assert(lexRanks.sameElements(1L to lexRanks.length), "lex ranks must be dense 1..n")
+    assert(semRanks.sameElements(1L to semRanks.length), "sem ranks must be dense 1..n")
+    assert(semRanks.length == math.min(Hybrid.TopN, vecIds.size - 1))
+    rows.foreach { r =>
+      val (lex, sem, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val raw = (if (lex != -1L) 1.0 / (Hybrid.RrfK + lex) else 0.0) +
+        (if (sem != -1L) 1.0 / (Hybrid.RrfK + sem) else 0.0)
+      val expected = math.floor(raw * 10000 + 0.5) / 10000
+      assert(rrf == expected, s"doc ${r.getLong(0)}: rrf $rrf != $expected")
+    }
+    // Fused order is by rrf desc (doc_id tiebreak): verify the sort key.
+    val sortKeys = rows.map(r => (-r.getDouble(3), r.getLong(0)))
+    assert(sortKeys.sameElements(sortKeys.sorted), "output must be ordered by (rrf desc, doc_id)")
+  }
+
   test("LSH band keys stay fine-grained: buckets bounded, cardinality scales") {
     val bands = graft.similarity.LshAnn.corpusBands(spark, sfDir)
     val n = bands.filter(col("band") === 0).count()
