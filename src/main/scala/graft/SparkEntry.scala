@@ -70,6 +70,8 @@ object SparkEntry {
     "q_source_overlap"     -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q_curation_run"       -> (graft.operators.CurationRun.curationRun _),
     "q_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q_dedup_recall"       -> ((s, d) => graft.dedup.DedupQa.dedupRecall(s, d)),
+    "q_index_stats"        -> ((s, d) => graft.dedup.DedupQa.indexStats(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_clusters"     -> ((s, d) => graft.dedup.Clusters.dedupClusters(s, d)),
     "q_cluster_delta"      -> ((s, d) => graft.dedup.Clusters.clusterDelta(s, d)),
@@ -808,6 +810,10 @@ object SparkEntry {
     // same exact >= tau verify. See MinHashOracle for the generator and
     // its two loud-failure domain assumptions (ASCII, shingles < 32 B).
     "q_dedup_minhash_lsh" -> graft.dedup.MinHashOracle.sql,
+    // Recall gate and index health report share the SAME replay chain
+    // (pairCtes) as the LSH oracle, so the three cannot drift.
+    "q_dedup_recall" -> graft.dedup.MinHashOracle.recallSql,
+    "q_index_stats" -> graft.dedup.MinHashOracle.indexStatsSql,
     // SimHash (r14): same XXH64 string replay — every token occurrence
     // votes, fingerprint bits from strictly-positive vote sums, block
     // keys off the unsigned fingerprint, bit_count(xor) hamming verify.

@@ -469,29 +469,40 @@ object Dedup {
     struct(lit(j).as("band"), expr(s"xxhash64($rows, $j)").as("key"))
   }
 
+  /** The staged per-doc shingle-hash ARRAY frame (doc_id, sh) — staged
+    * as the array, not the exploded index: signatures then come from
+    * graft_minhash per row — one codegen pass, ZERO shuffle (the 32-way
+    * min groupBy this replaces re-shuffled the whole exploded index) —
+    * and the verify subtrees explode the same persisted frame without
+    * re-scanning the corpus. Hashing before array_distinct dedups the
+    * same set (xxhash64 collisions aside, the documented 1e-10 trade
+    * every hashed index here makes).
+    */
+  private[graft] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    staged(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
+      "shingle_arr")
+
+  /** The exploded LSH band-key frame (doc_id, band, key) the bucket
+    * equi-join runs on — also the frame `DedupQa.indexStats` audits.
+    */
+  private[graft] def minhashBandsOf(arr: DataFrame): DataFrame =
+    arr
+      .select(col("doc_id"), expr(s"graft_minhash(sh, $MinHashK)").as("sig"))
+      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** MinHash+LSH near-dup: k seeded xxhash64 minhashes per doc → b band
     * keys → bucket equi-join for candidates → exact Jaccard verify on the
     * candidate set ONLY. All-pairs work never happens; the quadratic term
     * is confined to docs that actually collide in a band.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    // Staged as the per-doc shingle-hash ARRAY (not the exploded index):
-    // signatures then come from graft_minhash per row — one codegen pass,
-    // ZERO shuffle (the 32-way min groupBy this replaces re-shuffled the
-    // whole exploded index) — and the verify subtrees explode the same
-    // persisted frame without re-scanning the corpus. Hashing before
-    // array_distinct dedups the same set (xxhash64 collisions aside, the
-    // documented 1e-10 trade every hashed index here makes).
-    val arr = staged(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
-      "shingle_arr")
-    val sig = arr.select(col("doc_id"), expr(s"graft_minhash(sh, $MinHashK)").as("sig"))
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val arr = shingleArrays(spark, dir)
+    val bands = minhashBandsOf(arr)
     val candidates = bands
       .toDF("a", "band", "key")
       .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))

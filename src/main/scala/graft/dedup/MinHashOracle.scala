@@ -158,11 +158,19 @@ object MinHashOracle {
       Seq(s"$hashedCte AS (SELECT sg, sff3 AS sghu FROM sgh)")
   }
 
-  lazy val sql: String = {
+  private val Tau = 0.8
+
+  /** The full MinHash replay chain — shingles, XXH64 string/long hash
+    * recursions, signatures, band-key folds, banded candidates, exact
+    * intersection counts, set sizes — shared by `sql`, `recallSql`, and
+    * `indexStatsSql` so the three oracles can never drift apart (DuckDB
+    * binds CTEs lazily: each final select pays only the chain prefix it
+    * references).
+    */
+  private lazy val pairCtes: Seq[String] = {
     val kMinhash = Dedup.MinHashK
     val nBands = Dedup.NumBands
     val bandRows = Dedup.BandRows
-    val tau = 0.8
     val foldInner =
       s"(SELECT bf.doc_id, bf.j, bf.r, bf.h, ${unsigned("g.ms")} AS x" +
         s" FROM bandfold bf JOIN sig g ON g.doc_id = bf.doc_id AND g.i = bf.j * $bandRows + bf.r" +
@@ -171,7 +179,7 @@ object MinHashOracle {
     // b-prefixed (bka..bf3) so they never collide with the state column h.
     val foldRec = nestedChain(foldInner, hashLongStages("x", "h", "b"))
 
-    val ctes = Seq(
+    Seq(
       """tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
         |         generate_subscripts(string_split(text, ' '), 1) AS i
@@ -218,18 +226,62 @@ object MinHashOracle {
           |  GROUP BY 1, 2
           |)""".stripMargin,
         "sizes AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY doc_id)")
+  }
 
+  lazy val sql: String =
     s"""WITH RECURSIVE
-       |${ctes.mkString(",\n")}
+       |${pairCtes.mkString(",\n")}
        |SELECT c.a AS a, c.b AS b,
        |  floor(i.inter * 1.0 / (sa.n + sb.n - i.inter) * 10000 + 0.5) / 10000 AS jac
        |FROM cand c
        |JOIN inter i ON i.a = c.a AND i.b = c.b
        |JOIN sizes sa ON c.a = sa.doc_id
        |JOIN sizes sb ON c.b = sb.doc_id
-       |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $tau
+       |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $Tau
        |ORDER BY a, b""".stripMargin
-  }
+
+  /** `q_dedup_recall`: every exact Jaccard-τ pair (the `inter`/`sizes`
+    * formulation — identical to the `q_dedup_ngram_jaccard` oracle)
+    * LEFT-joined against the banded candidate set; `found` = candidate
+    * membership. A candidate that IS an exact pair passes the engine's
+    * verify by definition (same Jaccard, same τ), so joining `cand`
+    * here is equivalent to joining the verified output — and the
+    * verified set being a subset of the exact set makes `found` exactly
+    * the engine's membership flag.
+    */
+  lazy val recallSql: String =
+    s"""WITH RECURSIVE
+       |${pairCtes.mkString(",\n")}
+       |SELECT i.a AS a, i.b AS b,
+       |  floor(i.inter * 1.0 / (sa.n + sb.n - i.inter) * 10000 + 0.5) / 10000 AS jac,
+       |  CAST(CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found
+       |FROM inter i
+       |JOIN sizes sa ON i.a = sa.doc_id
+       |JOIN sizes sb ON i.b = sb.doc_id
+       |LEFT JOIN cand c ON c.a = i.a AND c.b = i.b
+       |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $Tau
+       |ORDER BY a, b""".stripMargin
+
+  /** `q_index_stats`: per-band bucket-shape report over the replayed
+    * band-key frame `bk` — integer aggregates plus one IEEE division
+    * for the singleton fraction, all engine-exact.
+    */
+  lazy val indexStatsSql: String =
+    s"""WITH RECURSIVE
+       |${pairCtes.mkString(",\n")},
+       |buckets AS (
+       |  SELECT j AS band, key, count(*) AS c FROM bk GROUP BY 1, 2
+       |)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(sum(c) AS BIGINT) AS n_docs,
+       |  count(*) AS n_buckets,
+       |  CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+       |  floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS singleton_frac
+       |FROM buckets
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
 
   /** DuckDB oracle for `q_dedup_simhash` (r14), riding the same XXH64
     * string replay: per-token hashes (ALL occurrences vote, not

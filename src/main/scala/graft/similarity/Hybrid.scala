@@ -49,12 +49,15 @@ object Hybrid {
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val vecs = Knn.vectors(spark, dir) // vec_id, e, norm
-    // Query doc: longest doc that HAS a vector (1 row, broadcast).
+    // Query doc: longest doc that HAS a vector — a KEYLESS max-struct
+    // aggregate (map-side partials, no sort), which is also the one
+    // broadcast-build shape the plan gate can PROVE is a single row
+    // (PlanShapeSpec's bounded-BNLJ rule); (n_chars, −doc_id) max ≡
+    // (n_chars DESC, doc_id ASC) top-1.
     val qdoc = docs
       .join(vecs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-      .limit(1)
-      .select(col("doc_id").as("q_doc"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select((-col("m.neg_id")).as("q_doc"))
 
     // ---- Lexical list: BM25 over the corpus for the query doc's top-3 terms.
     val tokens = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
@@ -96,9 +99,12 @@ object Hybrid {
       .select("doc_id", "lex_rank")
 
     // ---- Semantic list: exact cosine of every vector vs the query vector.
+    // Re-aggregated keyless after the 1-row equi probe for the same
+    // provable-single-row broadcast shape (first() is deterministic on
+    // a one-row frame).
     val qv = vecs
       .join(broadcast(qdoc), col("vec_id") === col("q_doc"))
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"))
+      .agg(first(col("vec_id")).as("q_id"), first(col("e")).as("qe"), first(col("norm")).as("qn"))
     val semScored = vecs
       .join(broadcast(qv))
       .filter(col("vec_id") =!= col("q_id"))

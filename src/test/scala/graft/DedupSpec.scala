@@ -28,6 +28,53 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall too low")
   }
 
+  test("q_dedup_recall is the exact pair table with found = LSH membership") {
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("q_dedup_recall")(spark, sfDir).collect()
+    // One row per exact pair — misses included as found = 0, never dropped.
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (pair, jac, found) = ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getLong(3))
+      assert(exact(pair) == jac, s"$pair: jac $jac != exact ${exact(pair)}")
+      assert(found == (if (lsh(pair)) 1L else 0L), s"$pair: found flag wrong")
+    }
+    // LSH ⊆ exact (verify runs the identical Jaccard), so the table's
+    // found-fraction IS the recall the set-based test above measures.
+    val recall = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    assert(recall >= 0.85, s"recall $recall too low")
+  }
+
+  test("q_index_stats recomputes from the band frame and is skew-faithful") {
+    val bands = Dedup.minhashBandsOf(Dedup.shingleArrays(spark, sfDir))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val byBand = bands.groupBy(_._1).view.mapValues { ks =>
+      val sizes = ks.groupBy(_._2).map(_._2.length.toLong).toSeq
+      (sizes.sum, sizes.length.toLong, sizes.max,
+        sizes.map(c => c * (c - 1) / 2).sum, sizes.count(_ == 1L).toLong)
+    }.toMap
+    val rows = SparkEntry.queries("q_index_stats")(spark, sfDir).collect()
+    assert(rows.length == Dedup.NumBands, "one row per band")
+    rows.foreach { r =>
+      val band = r.getLong(0).toInt
+      val (nDocs, nBuckets, maxB, pairs, singles) = byBand(band)
+      assert(r.getLong(1) == nDocs, s"band $band n_docs")
+      assert(r.getLong(2) == nBuckets, s"band $band n_buckets")
+      assert(r.getLong(3) == maxB, s"band $band max_bucket")
+      assert(r.getLong(4) == pairs, s"band $band cand_pairs")
+      val frac = math.floor(singles.toDouble / nBuckets * 10000 + 0.5) / 10000
+      assert(r.getDouble(5) == frac, s"band $band singleton_frac")
+    }
+    // cand_pairs is the EXACT pre-distinct row count of the band
+    // equi-join — the number the report exists to bound.
+    val candRows = rows.map(_.getLong(4)).sum
+    val joined = bands.groupBy(identity).map(_._2.length.toLong)
+      .map(c => c * (c - 1) / 2).sum
+    assert(candRows == joined)
+  }
+
   test("prefix-filtered jaccard is lossless vs the full inverted index") {
     // q_dedup_ngram_jaccard now delegates to the prefix filter, so the
     // losslessness witness is the retained naive full-index variant.

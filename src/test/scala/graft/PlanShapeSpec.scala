@@ -34,18 +34,23 @@ class PlanShapeSpec extends SparkSpec {
       // Only BOUNDED broadcast sides are allowed, checked on the BUILD
       // side subtree itself (not anywhere in the whole plan): a keyless
       // aggregate (guaranteed single row — the scalar-subquery plan
-      // Spark itself produces) or a driver-local LocalTableScan whose
-      // size is fixed by construction (the IVF centroid frame,
-      // ≤ MaxCells rows). Anything else (an unbounded build side) is a
-      // 100 TB killer.
+      // Spark itself produces; any physical flavor — struct-typed
+      // aggregates plan as SortAggregate/ObjectHashAggregate, same
+      // one-row bound) or a driver-local LocalTableScan whose size is
+      // fixed by construction (the IVF centroid frame, ≤ MaxCells
+      // rows). Anything else (an unbounded build side) is a 100 TB
+      // killer.
       for (j <- collectBnlj(exec)) {
         val build = j.buildSide match {
           case BuildLeft  => j.left
           case BuildRight => j.right
         }
         val buildStr = build.toString
+        val keylessAgg = buildStr.contains("HashAggregate(keys=[]") ||
+          buildStr.contains("SortAggregate(key=[]") ||
+          buildStr.contains("ObjectHashAggregate(keys=[]")
         assert(
-          buildStr.contains("HashAggregate(keys=[]") || buildStr.contains("LocalTableScan"),
+          keylessAgg || buildStr.contains("LocalTableScan"),
           s"$name plans a BroadcastNestedLoopJoin with an unbounded build side:\n$buildStr"
         )
       }
