@@ -40,6 +40,27 @@ class GenScaleSpec extends SparkSpec {
     assert(j >= 0.7, s"viral pair jaccard $j")
   }
 
+  test("q_index_stats surfaces the planted viral LSH bucket") {
+    // 5000 docs -> 5 viral template copies (ids 0, 1000, ...). Near-dup
+    // signatures collide per band with probability ~jac^4, so under the
+    // seeded generator several bands hold a >=3-doc bucket — visible in
+    // the health report as max_bucket, while the background (random
+    // docs + isolated planted pairs) stays at 1-2. This is the report's
+    // whole job: the viral bucket shows up in one bounded aggregate
+    // BEFORE the candidate join pays for it.
+    val d = java.nio.file.Files.createTempDirectory("genscale_adv_stats").toString
+    tools.GenScale.generate(spark, d, 5000, 250, adversarial = true)
+    val stats = dedup.DedupQa.indexStats(spark, d).collect()
+    assert(stats.length == dedup.Dedup.NumBands)
+    val maxBucket = stats.map(_.getLong(3)).max
+    assert(maxBucket >= 3, s"viral bucket invisible: max_bucket $maxBucket")
+    // Every band indexes the same doc population.
+    assert(stats.map(_.getLong(1)).distinct.length == 1)
+    // cand_pairs is where the viral bucket's quadratic cost appears:
+    // the hottest band implies >= C(3,2) pairs from that bucket alone.
+    assert(stats.map(_.getLong(4)).max >= 3L)
+  }
+
   test("non-adversarial generation is untouched by the new plants") {
     val d = java.nio.file.Files.createTempDirectory("genscale_clean").toString
     tools.GenScale.generate(spark, d, 1000, 50)
