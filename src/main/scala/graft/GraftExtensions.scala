@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.CollectCappedAgg.register(ext)
     graft.functions.WindowHashExpr.register(ext)
     graft.functions.RemoveCoveredExpr.register(ext)
+    graft.functions.ArgminCellExpr.register(ext)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -112,6 +112,15 @@ object MinHashOracle {
   private def nestedChain(inner: String, stages: Seq[(String, String)]): String =
     stages.foldLeft(inner) { case (q, (cn, ex)) => s"(SELECT *, $ex AS $cn FROM $q)" }
 
+  /** CTE stages appending Spark's `xxhash64(<bigint col>)` (seed 42 —
+    * XXH64.hashLong) to CTE `base`: the SIGNED result lands in column
+    * `hs` of the final CTE `name`. Exposed for `KMeansOracle`, whose
+    * training-sample order replays `orderBy(xxhash64(vec_id))`.
+    */
+  private[graft] def xxhash64LongCtes(base: String, name: String, x: String): Seq[String] =
+    cteChain(base, s"${name}_h", hashLongStages(unsigned(x), "42::HUGEINT", "q")) ++
+      Seq(s"$name AS (SELECT *, ${signed("qf3")} AS hs FROM ${name}_h)")
+
   /** ASCII byte at offset pos+k (0 beyond end — arms only consume
     * guarded widths, so the zero filler is never hashed).
     */

@@ -60,16 +60,24 @@ object Diversity {
 
   private def selectFrom(assigned: DataFrame, centroidsDf: DataFrame): DataFrame = {
 
-    // √-flattened quotas on the cells-row count frame: exact integer
-    // arithmetic (floor-√ via the repo's isqrt convention is overkill
-    // here — quotas only need determinism, not cross-engine equality,
-    // and Math.sqrt on a count is deterministic in one engine).
+    // √-flattened quotas on the cells-row count frame, in EXACT integer
+    // arithmetic (r15): w = floor(√(n·10^8)) is a fixed-point √ both
+    // engines compute identically (int→double, one multiply, correctly
+    // rounded sqrt, floor), wsum = Σw is an exact int64 sum — crucially
+    // ORDER-INDEPENDENT, where the old Σ of double √s depended on
+    // Spark's aggregation order — and the HALF_UP quota round is pure
+    // int64: round(B·w/wsum) = (2·B·w + wsum) div (2·wsum). This is
+    // what lets `q_diversity_sample` replay in DuckDB (KMeansOracle)
+    // instead of sitting rows-only.
     val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
     val quotas = cellSizes
-      .withColumn("w", sqrt(col("n").cast("double")))
-      .crossJoin(broadcast(cellSizes.agg(sum(sqrt(col("n").cast("double"))).as("wsum"))))
+      .withColumn("w", floor(sqrt(col("n").cast("double") * lit(1e8))).cast("long"))
+      .crossJoin(broadcast(cellSizes
+        .select(floor(sqrt(col("n").cast("double") * lit(1e8))).cast("long").as("w1"))
+        .agg(sum(col("w1")).as("wsum"))))
       .select(col("cell"),
-        greatest(lit(1L), round(col("w") / col("wsum") * lit(Budget)).cast("long")).as("quota"))
+        greatest(lit(1L),
+          expr(s"(${2 * Budget} * w + wsum) div (2 * wsum)")).as("quota"))
 
     // Most-representative-first within each cell: dist²(u, c) ranks as
     // cnorm2 − 2·u·c on unit vectors (the probeCells identity).

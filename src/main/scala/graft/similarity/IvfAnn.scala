@@ -1,8 +1,6 @@
 package graft.similarity
 
 import graft.Num
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -39,9 +37,10 @@ object IvfAnn {
   /** Upper clamp on the cell count, set by QUANTIZER-TRAINING
     * feasibility, not plan size (centroid ranking is a broadcast join —
     * O(1) plan nodes in k): the k-means fit runs on a deterministic
-    * coalesce(1) sample of 32·cells rows, costing ~samples·k·iters
-    * distance ops on one core — at 4096 cells that is ~1e10, tens of
-    * seconds of offline index build; at 65536 it would be ~2.7e13,
+    * driver-collected sample of 32·cells rows, costing ~samples·k·iters
+    * distance ops — at 4096 cells that is ~1e10, tens of seconds of
+    * offline index build (the assignment step parallelizes across
+    * cores, see KMeansFit); at 65536 it would be ~2.7e13,
     * untrainable. 4096 cells is reached at
     * n ≈ 1.7e7 vectors; beyond that the probed fraction grows with n/k,
     * and the escape hatch is a HIERARCHICAL quantizer (a second IVF
@@ -94,29 +93,50 @@ object IvfAnn {
     * candidate-volume exponent measured 1.84 instead of the designed
     * 1.5. At 32/centroid + 20 Lloyd iterations the same corpus fits
     * max cell 3.3× mean, candidate volume −27%, and the per-task sort
-    * ceiling (hottest cell's candidate mass) −3×. The coalesce(1) this
-    * sample feeds stays bounded by construction: ≤ 32·cells = 2^17 rows
-    * at MaxCells.
+    * ceiling (hottest cell's candidate mass) −3×. The driver collect
+    * this sample feeds stays bounded by construction: ≤ 32·cells = 2^17
+    * rows at MaxCells.
     */
   private[graft] def trainCapFor(cells: Int): Int = math.max(4096, 32 * cells)
 
-  /** Normalized + staged vector frame (vec_id, e, norm, u, fv) — the
+  /** Normalized + staged vector frame (vec_id, e, norm, u) — the
     * ONE embeddings materialization every family member builds on.
     */
   private[graft] def stagedUnit(vectors: DataFrame): DataFrame =
     graft.Staging.staged(
-      vectors
-        .withColumn("u", expr("transform(e, x -> x / norm)"))
-        .withColumn("fv", array_to_vector(col("u"))),
+      vectors.withColumn("u", expr("transform(e, x -> x / norm)")),
       "ivf")
 
-  private[graft] def fitCoarse(v: DataFrame): KMeansModel = {
+  /** Fixed Lloyd round count for the coarse fit (see KMeansFit: no
+    * convergence early-exit — converged rounds are idempotent, and a
+    * fixed count is what the cross-engine replay unrolls).
+    */
+  val LloydIters = 20
+
+  /** The hash-ordered bounded training sample, COLLECTED — the one
+    * driver-side materialization the fit and the balance splits share.
+    * Order is (xxhash64(vec_id), vec_id) ascending, re-sorted on the
+    * driver so the sample index order is a data property, never a plan
+    * property (the order is load-bearing: centroid accumulation order,
+    * farthest-point ties, and median cuts all resolve by it, and
+    * `KMeansOracle` replays it via the XXH64 HUGEINT arithmetic).
+    */
+  private[graft] def collectSample(v: DataFrame, cap: Int): Array[Array[Double]] =
+    v.select(xxhash64(col("vec_id")).as("h"), col("vec_id"), col("u"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Any](2).map(x => x.asInstanceOf[Number].doubleValue).toArray))
+      .sortBy(t => (t._1, t._2))
+      .map(_._3)
+
+  /** Base (unbalanced) coarse fit — deterministic farthest-point +
+    * fixed-Lloyd k-means on the bounded sample (`KMeansFit`).
+    */
+  private[graft] def fitCoarse(v: DataFrame): Array[Array[Double]] = {
     val cells = numCellsFor(v.count())
-    val train = v.orderBy(xxhash64(col("vec_id"))).limit(trainCapFor(cells)).coalesce(1)
-    new KMeans()
-      .setK(cells).setSeed(42).setMaxIter(20)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(train)
+    KMeansFit.fit(collectSample(v, trainCapFor(cells)), cells, LloydIters)
   }
 
   /** Cell-balance bound (r15): a cell whose SAMPLE-estimated size
@@ -166,18 +186,25 @@ object IvfAnn {
     * UDF (`graft_dot` over the joined plane column).
     */
   private[graft] case class Quantizer(
-      model: KMeansModel,
+      baseCents: Array[Array[Double]],
       rounds: Seq[Seq[SplitPlane]],
       remap: Map[Int, Int],
       index: CoarseIndex) {
     def k: Int = index.k
 
     /** Adds the compact leaf `cell` column to any frame carrying the
-      * `u`/`fv` unit-vector columns (every `stagedUnit` descendant).
+      * `u` unit-vector column (every `stagedUnit` descendant). The base
+      * nearest-centroid step is ONE scan-local codegen'd expression
+      * (`graft_argmin_cell` — the centroid table rides along as a
+      * bounded flat literal object, the role the fitted model closure
+      * played through r15); split routing and the leaf remap stay
+      * auto-broadcast joins.
       */
     def assign(spark: SparkSession, v: DataFrame): DataFrame = {
       import spark.implicits._
-      val base = model.transform(v)
+      val base = v.withColumn("cell",
+        call_function("graft_argmin_cell",
+          col("u"), typedLit(baseCents.flatten), lit(baseCents.length)))
       val routed = rounds.foldLeft(base) { (df, round) =>
         val planes = round
           .map(p => (p.cell, p.w, p.b, p.left, p.right))
@@ -218,11 +245,9 @@ object IvfAnn {
       var j = 0; while (j < d) { m(j) /= ix.length; j += 1 }
       m
     }
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var j = 0
-      while (j < d) { val t = a(j) - b(j); s += t * t; j += 1 }
-      s
-    }
+    // The KMeansFit distance contract — dots in fixed order, so the
+    // balance loop replays cross-engine exactly like the base fit.
+    def d2(a: Array[Double], b: Array[Double]): Double = KMeansFit.d2(a, b)
     def farthestFrom(p: Array[Double]): Int =
       ms.indices.maxBy(i => (d2(ms(i), p), -i))
     val c0 = mean(ms.indices)
@@ -257,21 +282,14 @@ object IvfAnn {
     */
   private[graft] def balancedQuantizerOf(spark: SparkSession, v: DataFrame): Quantizer = {
     val cells = numCellsFor(v.count())
-    val train = v.orderBy(xxhash64(col("vec_id"))).limit(trainCapFor(cells)).coalesce(1)
-    val model = new KMeans()
-      .setK(cells).setSeed(42).setMaxIter(20)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(train)
-    val samp: Array[(Int, Array[Double])] = model
-      .transform(train)
-      .select("cell", "u")
-      .collect()
-      .map(r => (r.getInt(0),
-        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue).toArray))
+    val pts = collectSample(v, trainCapFor(cells))
+    val base = KMeansFit.fit(pts, cells, LloydIters)
+    val sampAsg = KMeansFit.assignAll(pts, base)
+    val samp: Array[(Int, Array[Double])] = sampAsg.zip(pts)
     val members = scala.collection.mutable.Map.empty[Int, Vector[Int]].withDefaultValue(Vector())
     samp.indices.foreach(i => members(samp(i)._1) = members(samp(i)._1) :+ i)
     val centroidOf = scala.collection.mutable.Map.empty[Int, Array[Double]]
-    model.clusterCenters.zipWithIndex.foreach { case (c, j) => centroidOf(j) = c.toArray }
+    base.zipWithIndex.foreach { case (c, j) => centroidOf(j) = c }
     val threshold = math.max(4.0, CellBalance * samp.length.toDouble / math.max(cells, 1))
     var nextId = cells
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Seq[SplitPlane]]
@@ -347,10 +365,10 @@ object IvfAnn {
     val remap = leafIds.zipWithIndex.toMap
     import spark.implicits._
     val centDf = leafIds.map { c =>
-      (remap(c), centroidOf.getOrElse(c, model.clusterCenters(c).toArray))
+      (remap(c), centroidOf.getOrElse(c, base(c)))
     }.toDF("cell", "centroid")
       .withColumn("cnorm2", expr("graft_dot(centroid, centroid)"))
-    Quantizer(model, rounds.toSeq, remap, CoarseIndex(centDf, leafIds.length))
+    Quantizer(base, rounds.toSeq, remap, CoarseIndex(centDf, leafIds.length))
   }
 
   /** The ONE index build the query path and the balance/derivation specs
@@ -377,7 +395,7 @@ object IvfAnn {
   /** Version tag for the published coarse index (bump on any change to
     * cell derivation, seeding, or training-sample contract).
     */
-  val IndexArtifactVersion = "ivf-coarse-sqrtcells-seed42-v3-balanced"
+  val IndexArtifactVersion = "ivf-coarse-sqrtcells-v4-ownfit-balanced"
 
   /** Coarse index + assigned corpus via the Artifacts contract — the
     * production shape: the quantizer is TRAINED ONCE, its centroids and

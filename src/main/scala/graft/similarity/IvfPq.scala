@@ -1,8 +1,6 @@
 package graft.similarity
 
 import graft.Num
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -69,13 +67,18 @@ object IvfPq {
     math.min(math.max(root, MinCodes), MaxCodes).min(math.max(n, 1L).min(Int.MaxValue).toInt)
   }
 
-  /** Shared build: the coarse IVF index plus m per-subspace codebooks.
-    * Returns the staged vector frame, the coarse model, and the
-    * subspace models (codebook j covers u[j·dsub, (j+1)·dsub)).
+  /** Fixed Lloyd rounds per codebook fit (replay-unrolled, like the
+    * coarse quantizer's `IvfAnn.LloydIters`).
+    */
+  val PqLloydIters = 10
+
+  /** Shared build: the coarse IVF index plus m per-subspace codebooks
+    * (codebook j covers u[j·dsub, (j+1)·dsub), as kPq × dsub centroid
+    * arrays).
     */
   private[graft] def indexOf(
       spark: org.apache.spark.sql.SparkSession,
-      vectors: DataFrame): (DataFrame, IvfAnn.Quantizer, Array[KMeansModel], Int) = {
+      vectors: DataFrame): (DataFrame, IvfAnn.Quantizer, Array[Array[Array[Double]]], Int) = {
     val (v, coarse) = IvfAnn.indexOf(spark, vectors)
     val d = v.select(size(col("u"))).head().getInt(0)
     val m = subspacesFor(d)
@@ -85,91 +88,65 @@ object IvfPq {
   }
 
   /** Train the m per-subspace codebooks on a hash-ordered capped sample
-    * of any frame carrying a unit-vector column `u`.
+    * of any frame carrying a unit-vector column `u` — ONE driver
+    * collect shared by all m fits (each fit slices its subspace out of
+    * the same sample rows), then m deterministic `KMeansFit` runs.
+    * Replayable end-to-end: same sample-order contract as the coarse
+    * quantizer, no RNG anywhere (the r15 Spark-ML version used seeded
+    * random init; the farthest-point init needs no seed and PQ codebook
+    * quality differences are absorbed by the exact rerank stage — the
+    * recall-floor spec pins that this stays true).
     */
   private[graft] def fitCodebooks(
-      v: DataFrame, kPq: Int, m: Int, dsub: Int): Array[KMeansModel] = {
-    val train = v
-      .orderBy(xxhash64(col("vec_id")))
-      .limit(math.max(4096, 8 * kPq))
-      .coalesce(1)
-    // Materialize the subspaced sample ONCE: the m fits would otherwise
-    // each replay the sort+limit over the staged corpus frame, and fit
-    // job-count — not flops — is what dominates a bounded-sample
-    // k-means on a cluster (measured: the 8 codebook fits were ~2/3 of
-    // the whole query's wall time before this).
-    val withSubs = (0 until m).foldLeft(train) { (df, j) =>
-      df.withColumn(s"fv$j", array_to_vector(expr(s"slice(u, ${j * dsub + 1}, $dsub)")))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The m fits are independent seeded trainings on the same cached
-    // sample — submit them CONCURRENTLY (each is a chain of tiny jobs;
-    // serial execution would pay m× the per-job scheduling latency that
-    // dominates bounded-sample k-means). Results are deterministic:
-    // concurrency changes job interleaving, never a fit's input or seed.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val models =
-      try {
-        val fits = (0 until m).map { j =>
-          scala.concurrent.Future {
-            // Seeded RANDOM init, not k-means||: the parallel init alone
-            // runs several distributed passes per fit (×m fits), and PQ
-            // codebook quality is absorbed by the exact rerank stage —
-            // the recall-floor spec pins that this stays true.
-            new KMeans()
-              .setK(kPq).setSeed(42 + j).setMaxIter(10).setInitMode("random")
-              .setFeaturesCol(s"fv$j").setPredictionCol(s"code$j")
-              .fit(withSubs)
-          }
-        }
-        scala.concurrent.Await
-          .result(
-            scala.concurrent.Future.sequence(fits),
-            scala.concurrent.duration.Duration.Inf)
-          .toArray
-      } finally {
-        pool.shutdown()
-        withSubs.unpersist(blocking = false)
-      }
-    models
+      v: DataFrame, kPq: Int, m: Int, dsub: Int): Array[Array[Array[Double]]] = {
+    val pts = IvfAnn.collectSample(v, math.max(4096, 8 * kPq))
+    Array.tabulate(m) { j =>
+      val sub = pts.map(u => java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub))
+      KMeansFit.fit(sub, kPq, PqLloydIters)
+    }
   }
 
-  /** Corpus PQ codes alone: (vec_id, codes) via the m chained per-row
-    * predictions — no coarse assignment involved (codes depend only on
-    * the subspace codebooks).
+  /** The m per-subspace code columns: each is one scan-local
+    * `graft_argmin_cell` over the sliced unit vector (the codebook
+    * rides along as a bounded flat literal object — m·kPq·dsub doubles
+    * ≤ 128 KB total by the one-byte-code contract).
+    */
+  private def withCodeCols(v: DataFrame, codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame =
+    codebooks.zipWithIndex.foldLeft(v) { case (df, (cb, j)) =>
+      df.withColumn(s"code$j",
+        call_function("graft_argmin_cell",
+          expr(s"slice(u, ${j * dsub + 1}, $dsub)"), typedLit(cb.flatten), lit(cb.length)))
+    }
+
+  /** Corpus PQ codes alone: (vec_id, codes) via the m scan-local
+    * argmin expressions — no coarse assignment involved (codes depend
+    * only on the subspace codebooks).
     */
   private[graft] def encodeCodes(
-      v: DataFrame, models: Array[KMeansModel], dsub: Int): DataFrame = {
-    val m = models.length
-    val withSubs = (0 until m).foldLeft(v) { (df, j) =>
-      df.withColumn(s"fv$j", array_to_vector(expr(s"slice(u, ${j * dsub + 1}, $dsub)")))
-    }
-    models.foldLeft(withSubs)((df, mj) => mj.transform(df))
+      v: DataFrame, codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val m = codebooks.length
+    withCodeCols(v, codebooks, dsub)
       .select(col("vec_id"), array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
   }
 
   /** Corpus encoding: (vec_id, e, norm, cell, codes) with codes an
     * m-length array of ints in [0, k_pq) — the 8-byte searchable
-    * representation. m+1 chained per-row model predictions, no extra
+    * representation. m+1 scan-local argmin expressions, no extra
     * shuffle.
     */
   private[graft] def encodedOf(
       spark: org.apache.spark.sql.SparkSession,
       v: DataFrame, coarse: IvfAnn.Quantizer,
-      models: Array[KMeansModel], dsub: Int): DataFrame = {
-    val m = models.length
-    val withSubs = (0 until m).foldLeft(v) { (df, j) =>
-      df.withColumn(s"fv$j", array_to_vector(expr(s"slice(u, ${j * dsub + 1}, $dsub)")))
-    }
-    val coded = models.foldLeft(coarse.assign(spark, withSubs))((df, mj) => mj.transform(df))
-    coded.select(
-      col("vec_id"), col("e"), col("norm"), col("cell"),
-      array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+      codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val m = codebooks.length
+    withCodeCols(coarse.assign(spark, v), codebooks, dsub)
+      .select(
+        col("vec_id"), col("e"), col("norm"), col("cell"),
+        array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
   }
 
   /** Version tag for the published PQ artifacts (codebook + codes). */
-  val PqArtifactVersion = "ivfpq-msub-kpq-sqrtn-seed42-randominit-v1"
+  val PqArtifactVersion = "ivfpq-msub-kpq-sqrtn-ownfit-v2"
 
   /** Top-k approximate neighbors, ADC-selected and exactly reranked —
     * same query set and output shape as `Knn.bruteTopK` / `IvfAnn
@@ -191,12 +168,11 @@ object IvfPq {
     }
 
   private def ivfPqTopKInline(spark: SparkSession, dir: String): DataFrame = {
-    val (v, coarse, models, dsub) = indexOf(spark, Knn.vectors(spark, dir))
-    val m = models.length
-    val kPq = models.head.getK
-    val encoded = encodedOf(spark, v, coarse, models, dsub)
-    val flatCb: Array[Double] =
-      models.flatMap(_.clusterCenters.flatMap(_.toArray))
+    val (v, coarse, codebooks, dsub) = indexOf(spark, Knn.vectors(spark, dir))
+    val m = codebooks.length
+    val kPq = codebooks.head.length
+    val encoded = encodedOf(spark, v, coarse, codebooks, dsub)
+    val flatCb: Array[Double] = codebooks.flatten.flatten
     adcQuery(spark, v, encoded, coarse.index, flatCb, m, kPq, dsub)
   }
 
@@ -209,15 +185,15 @@ object IvfPq {
     val deps = Seq(s"$dir/embeddings.parquet")
     // Codebooks train only on artifact miss; the lazy is shared by both
     // closures, so a cold publish pays ONE training round.
-    lazy val models = fitCodebooks(assigned, numCodesFor(assigned.count()), m, dsub)
+    lazy val codebooks = fitCodebooks(assigned, numCodesFor(assigned.count()), m, dsub)
     val codebook = graft.sources.Artifacts.publishedOrCompute(
       spark, "pq_codebook", PqArtifactVersion, deps)(
-      models.zipWithIndex.flatMap { case (mj, j) =>
-        mj.clusterCenters.zipWithIndex.map { case (c, code) => (j, code, c.toArray) }
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, code) => (j, code, c) }
       }.toSeq.toDF("subspace", "code", "centroid"))
     val codes = graft.sources.Artifacts.publishedOrCompute(
       spark, "pq_codes", PqArtifactVersion, deps)(
-      encodeCodes(assigned, models, dsub))
+      encodeCodes(assigned, codebooks, dsub))
     val kPq = codebook.agg(max("code")).head().getInt(0) + 1
     val flatCb: Array[Double] = codebook.orderBy("subspace", "code")
       .select("centroid").collect().flatMap(_.getSeq[Double](0))
@@ -280,7 +256,7 @@ object IvfPq {
     * and determinism specs — same build as ivfPqTopK by construction.
     */
   private[graft] def codes(spark: SparkSession, dir: String): DataFrame = {
-    val (v, coarse, models, dsub) = indexOf(spark, Knn.vectors(spark, dir))
-    encodedOf(spark, v, coarse, models, dsub).select(col("vec_id"), col("codes"))
+    val (v, coarse, codebooks, dsub) = indexOf(spark, Knn.vectors(spark, dir))
+    encodedOf(spark, v, coarse, codebooks, dsub).select(col("vec_id"), col("codes"))
   }
 }

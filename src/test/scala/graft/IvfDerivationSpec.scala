@@ -112,8 +112,11 @@ class IvfDerivationSpec extends SparkSpec {
     val avg = sizes.sum.toDouble / q.k
     // Base (unsplit) fit on the same staged frame for comparison.
     val base = IvfAnn.fitCoarse(v)
-    val baseSizes = base.transform(v).groupBy("cell").count().collect().map(_.getLong(1))
-    val baseAvg = baseSizes.sum.toDouble / base.getK
+    val baseSizes = v
+      .withColumn("cell", call_function("graft_argmin_cell",
+        col("u"), typedLit(base.flatten), lit(base.length)))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val baseAvg = baseSizes.sum.toDouble / base.length
     assert(sizes.max / avg <= 0.5 * (baseSizes.max / baseAvg),
       s"balance must at least halve max/mean skew: " +
         s"balanced ${sizes.max}/$avg vs base ${baseSizes.max}/$baseAvg")
