@@ -987,6 +987,15 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> graft.similarity.LshOracle.neardupSql,
     "q_ann_lsh" -> graft.similarity.LshOracle.annSql,
     "q_ann_recall" -> graft.similarity.LshOracle.recallSql,
+    // The k-means family (r15): the deterministic quantizer build —
+    // hash-ordered sample, farthest-point init, fixed Lloyd rounds,
+    // balance splits with median-mass cuts, routing, remap — replays
+    // end-to-end in DuckDB (KMeansOracle), so all four fit-consuming
+    // queries graduate from rows-only to full rows+schema+hash.
+    "q_ann_ivf" -> graft.similarity.KMeansOracle.annIvfSql,
+    "q_knn_graph" -> graft.similarity.KMeansOracle.knnGraphSql,
+    "q_semdedup" -> graft.similarity.KMeansOracle.semdedupSql,
+    "q_diversity_sample" -> graft.similarity.KMeansOracle.diversitySql,
     // Hybrid RRF fusion: BM25's exact-rational int64 scoring (see
     // q_bm25_search) for the query doc's top-3 terms + bit-identical
     // cosine ranking (see q_knn_cosine), fused as two IEEE divisions
