@@ -996,6 +996,7 @@ object SparkEntry {
     "q_knn_graph" -> graft.similarity.KMeansOracle.knnGraphSql,
     "q_semdedup" -> graft.similarity.KMeansOracle.semdedupSql,
     "q_diversity_sample" -> graft.similarity.KMeansOracle.diversitySql,
+    "q_ann_ivfpq" -> graft.similarity.KMeansOracle.annIvfPqSql,
     // Hybrid RRF fusion: BM25's exact-rational int64 scoring (see
     // q_bm25_search) for the query doc's top-3 terms + bit-identical
     // cosine ranking (see q_knn_cosine), fused as two IEEE divisions

@@ -414,6 +414,142 @@ object KMeansOracle {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ replay (q_ann_ivfpq): the coarse chain above plus the m
+  // per-subspace codebook fits, corpus codes, per-query LUTs, ADC
+  // scoring, and the exact rerank. DOMAIN ASSUMPTION (the LshOracle
+  // plane-table convention): the corpus embedding dim is 64, so m = 8
+  // subspaces of dsub = 8 are generated statically — a different dim
+  // fails the compare LOUDLY (the engine derives m from the data).
+  // ------------------------------------------------------------------
+
+  private val PqM = IvfPq.NumSubspaces // 8, statically assumed (d = 64)
+  private val PqDsub = 8
+  private val PqLI = IvfPq.PqLloydIters
+
+  /** Per-subspace sliced sample + one fit recursion per subspace (the
+    * engine's m independent `KMeansFit` runs), then codes/LUT/ADC.
+    */
+  private lazy val pqCtes: Seq[String] = {
+    val params = Seq(
+      s"""pqparams AS MATERIALIZED (
+         |  SELECT LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfPq.MinCodes}), ${IvfPq.MaxCodes}, n) AS kpq,
+         |         GREATEST(4096, 8 * LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfPq.MinCodes}), ${IvfPq.MaxCodes}, n)) AS pcap
+         |  FROM kparams
+         |)""".stripMargin,
+      """pqsample AS MATERIALIZED (
+        |  SELECT vec_id, u, row_number() OVER (ORDER BY hs, vec_id) AS sidx
+        |  FROM samph
+        |  QUALIFY row_number() OVER (ORDER BY hs, vec_id) <= (SELECT pcap FROM pqparams)
+        |)""".stripMargin)
+    val subFits = (0 until PqM).flatMap { j =>
+      val lo = j * PqDsub + 1
+      val hi = (j + 1) * PqDsub
+      val asg =
+        s"""list_transform(
+           |  list_transform(SP, pp -> list_transform(range(1, len(cbs) + 1),
+           |    cc -> list_dot_product(cbs[cc], cbs[cc]) - 2.0 * list_dot_product(pp, cbs[cc]))),
+           |  sc -> list_position(sc, list_min(sc)))""".stripMargin
+      Seq(
+        s"""pqsub$j AS MATERIALIZED (
+           |  SELECT list(u[$lo:$hi] ORDER BY sidx) AS SP, count(*)::BIGINT AS pm FROM pqsample
+           |)""".stripMargin,
+        s"""pqfit$j AS (
+           |  SELECT 0 AS step, (SELECT SP[1:1] FROM pqsub$j) AS cbs,
+           |         (SELECT list_transform(SP, pp -> ${d2("pp", "SP[1]")}) FROM pqsub$j) AS mind
+           |  UNION ALL
+           |  SELECT step + 1,
+           |         CASE WHEN init THEN list_append(cbs, newc) ELSE newcbs END,
+           |         CASE WHEN init THEN list_transform(range(1, pm + 1), i -> least(mind[i], ${d2("SP[i]", "newc")})) ELSE mind END
+           |  FROM (
+           |    SELECT step, cbs, mind, SP, pm, init, newc,
+           |           CASE WHEN init THEN NULL
+           |                ELSE list_transform(
+           |                       list_transform(range(1, len(cbs) + 1), cc -> list_filter(range(1, pm + 1), i -> asg[i] = cc)),
+           |                       (mem, cc) -> CASE WHEN len(mem) = 0 THEN cbs[cc]
+           |                                    ELSE ${meanOf("list_transform(mem, i -> SP[i])", "len(mem)")} END)
+           |           END AS newcbs
+           |    FROM (
+           |      SELECT step, cbs, mind, SP, pm, init,
+           |             CASE WHEN init THEN SP[list_position(mind, list_max(mind))] END AS newc,
+           |             CASE WHEN init THEN NULL ELSE $asg END AS asg
+           |      FROM (
+           |        SELECT f.step, f.cbs, f.mind, s.SP, s.pm,
+           |               f.step < p.kpq - 1 AS init
+           |        FROM pqfit$j f, pqsub$j s, pqparams p
+           |        WHERE f.step < p.kpq - 1 + $PqLI
+           |      )
+           |    )
+           |  )
+           |)""".stripMargin,
+        s"pqcb$j AS MATERIALIZED (SELECT cbs FROM pqfit$j, pqparams WHERE step = kpq - 1 + $PqLI)")
+    }
+    val codeCols = (0 until PqM).map { j =>
+      val lo = j * PqDsub + 1
+      val hi = (j + 1) * PqDsub
+      s"""CAST(list_position(sc$j, list_min(sc$j)) - 1 AS INT)"""
+        .replace(s"sc$j", s"list_transform(b$j.cbs, cb -> list_dot_product(cb, cb) - 2.0 * list_dot_product(a.u[$lo:$hi], cb))")
+    }
+    val lutParts = (0 until PqM).map { j =>
+      val lo = j * PqDsub + 1
+      val hi = (j + 1) * PqDsub
+      s"list_transform(b$j.cbs, cb -> list_dot_product(q.u[$lo:$hi], cb))"
+    }
+    val cbJoins = (0 until PqM).map(j => s"pqcb$j b$j").mkString(", ")
+    val tail = Seq(
+      s"""pqcodes AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell, [${codeCols.mkString(",\n    ")}] AS codes
+         |  FROM acorp a, $cbJoins
+         |)""".stripMargin,
+      s"""pqlut AS MATERIALIZED (
+         |  SELECT q.vec_id AS q_id, flatten([${lutParts.mkString(",\n    ")}]) AS lut
+         |  FROM (SELECT vec_id, u FROM acorp WHERE vec_id < ${Knn.NumQueries}) q, $cbJoins
+         |)""".stripMargin,
+      s"""pqprobes AS MATERIALIZED (
+         |  SELECT q.vec_id AS q_id, l.cell
+         |  FROM (SELECT vec_id, u FROM acorp WHERE vec_id < ${Knn.NumQueries}) q, leafcents l
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY l.cnorm2 - 2.0 * list_dot_product(q.u, l.cent) ASC, l.cell ASC)
+         |    <= (SELECT nprobe FROM nleaf)
+         |)""".stripMargin,
+      s"""adcsc AS (
+         |  SELECT p.q_id, c.vec_id AS nbr_id,
+         |         list_reduce(
+         |           list_prepend(0.0::DOUBLE,
+         |             list_transform(range(0, $PqM),
+         |               j -> l.lut[j * pp.kpq + c.codes[j + 1] + 1])),
+         |           (aa, bb) -> aa + bb) AS adc
+         |  FROM pqprobes p
+         |  JOIN pqcodes c ON c.cell = p.cell AND c.vec_id <> p.q_id
+         |  JOIN pqlut l ON l.q_id = p.q_id, pqparams pp
+         |)""".stripMargin)
+    params ++ subFits ++ tail
+  }
+
+  /** `q_ann_ivfpq`: ADC-selected candidates from the probed coarse
+    * cells, exact cosine rerank of the ADC top-`RerankDepth` —
+    * `IvfPq.ivfPqTopK` replayed end-to-end (coarse quantizer AND the m
+    * codebook fits).
+    */
+  lazy val annIvfPqSql: String =
+    s"""WITH RECURSIVE
+       |${quantCtes.mkString(",\n")},
+       |${pqCtes.mkString(",\n")},
+       |rer AS (
+       |  SELECT a.q_id, a.nbr_id,
+       |         list_dot_product(qe.e, ce.e) / (qn.norm * cn.norm) AS cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nbr_id ASC) AS arn FROM adcsc) a
+       |  JOIN vec qe ON qe.vec_id = a.q_id
+       |  JOIN vec ce ON ce.vec_id = a.nbr_id
+       |  JOIN norms qn ON qn.vec_id = a.q_id
+       |  JOIN norms cn ON cn.vec_id = a.nbr_id
+       |  WHERE a.arn <= ${IvfPq.RerankDepth}
+       |)
+       |SELECT q_id, nbr_id, ${round4("cos")} AS cos, rn::BIGINT AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id ASC) AS rn FROM rer)
+       |WHERE rn <= ${Knn.TopK}
+       |ORDER BY q_id, rn""".stripMargin
+
   /** `q_diversity_sample`: √-flattened exact-int quotas, then the
     * most-representative-first within-cell rank — `Diversity
     * .diversitySample` replayed (the r15 integer quota arithmetic is

@@ -9,5 +9,6 @@ object DumpSql {
     w("ann_ivf", graft.similarity.KMeansOracle.annIvfSql)
     w("knn_graph", graft.similarity.KMeansOracle.knnGraphSql)
     w("diversity", graft.similarity.KMeansOracle.diversitySql)
+    w("ann_ivfpq", graft.similarity.KMeansOracle.annIvfPqSql)
   }
 }
