@@ -997,6 +997,10 @@ object SparkEntry {
     "q_semdedup" -> graft.similarity.KMeansOracle.semdedupSql,
     "q_diversity_sample" -> graft.similarity.KMeansOracle.diversitySql,
     "q_ann_ivfpq" -> graft.similarity.KMeansOracle.annIvfPqSql,
+    // The model family (r15): the rational-sigmoid GD trainer replays
+    // in DuckDB (ModelOracle) — train → score → eval oracle-closed.
+    "q_model_lr" -> graft.operators.ModelOracle.trainPredictSql,
+    "q_model_eval" -> graft.operators.ModelOracle.evalSql,
     // Hybrid RRF fusion: BM25's exact-rational int64 scoring (see
     // q_bm25_search) for the query doc's top-3 terms + bit-identical
     // cosine ranking (see q_knn_cosine), fused as two IEEE divisions

@@ -10,5 +10,11 @@ object DumpSql {
     w("knn_graph", graft.similarity.KMeansOracle.knnGraphSql)
     w("diversity", graft.similarity.KMeansOracle.diversitySql)
     w("ann_ivfpq", graft.similarity.KMeansOracle.annIvfPqSql)
+    w("model_lr", graft.operators.ModelOracle.trainPredictSql)
+    w("model_eval", graft.operators.ModelOracle.evalSql)
+    // fresh engine outputs for the model family
+    val spark = graft.GraftSession.local(8)
+    graft.operators.Model.trainPredict(spark, "/root/testdata/sf0.01").write.mode("overwrite").parquet("/tmp/kmsql/eng_model_lr")
+    graft.operators.Model.evalTable(spark, "/root/testdata/sf0.01").write.mode("overwrite").parquet("/tmp/kmsql/eng_model_eval")
   }
 }
