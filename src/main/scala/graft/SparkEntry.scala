@@ -1001,6 +1001,9 @@ object SparkEntry {
     // in DuckDB (ModelOracle) — train → score → eval oracle-closed.
     "q_model_lr" -> graft.operators.ModelOracle.trainPredictSql,
     "q_model_eval" -> graft.operators.ModelOracle.evalSql,
+    // HyperLogLog++ replay (r15): registers + estimator + bias tables,
+    // constants extracted from the live Spark helper. See HllOracle.
+    "q_distinct_agg_approx" -> graft.operators.HllOracle.sql,
     // Hybrid RRF fusion: BM25's exact-rational int64 scoring (see
     // q_bm25_search) for the query doc's top-3 terms + bit-identical
     // cosine ranking (see q_knn_cosine), fused as two IEEE divisions

@@ -12,6 +12,7 @@ object DumpSql {
     w("ann_ivfpq", graft.similarity.KMeansOracle.annIvfPqSql)
     w("model_lr", graft.operators.ModelOracle.trainPredictSql)
     w("model_eval", graft.operators.ModelOracle.evalSql)
+    w("hll", graft.operators.HllOracle.sql)
     // fresh engine outputs for the model family
     val spark = graft.GraftSession.local(8)
     graft.operators.Model.trainPredict(spark, "/root/testdata/sf0.01").write.mode("overwrite").parquet("/tmp/kmsql/eng_model_lr")
