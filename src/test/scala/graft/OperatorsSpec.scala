@@ -104,26 +104,28 @@ class OperatorsSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     val documented = Set(
-      // NOTE (r14): the seeded-hash and hyperplane-LSH queries LEFT
-      // this set — q_dedup_minhash_lsh/q_dedup_simhash replay XXH64 in
-      // HUGEINT mod-2^64 arithmetic (MinHashOracle) and
-      // q_embed_neardup_lsh/q_ann_lsh replay the plane table +
-      // order-identical dot accumulation (LshOracle).
-      // learned k-means cells (non-deterministic across engines):
-      "q_ann_ivf", "q_ann_ivfpq", "q_semdedup", "q_knn_graph", "q_diversity_sample",
-      // sketches (approximate by design):
-      "q_distinct_agg_approx", "q_percentiles_approx",
-      // binary decode (spec-verified instead; q_doc_fingerprint left
-      // this set r13 — its rolling hash is replayed byte-by-byte as a
-      // HUGEINT-mod-2^64 recursive CTE):
-      "q_multimodal_pipeline",
-      // NOTE (r15): q_bpe_train LEFT this set — the merge loop runs
-      // over a BOUNDED lexicon, so BpeTrainOracle replays the whole
-      // iteration as a recursive CTE over one lexicon-state row.
-      // iterative LBFGS optimization is not a DuckDB query; ModelSpec
-      // (determinism + coverage + majority-class floor, exact decile
-      // rollup for the eval table) is the gate:
-      "q_model_lr", "q_model_eval")
+      // The irreducible two (late r15 — everything else graduated):
+      //
+      // Greenwald-Khanna percentile summaries: the sketch STATE depends
+      // on insertion and merge ORDER — unlike HLL registers (replayed,
+      // HllOracle) it is not a function of the input SET, so no
+      // engine-independent replay can exist; the error-bound spec vs
+      // the exact operator stands in:
+      "q_percentiles_approx",
+      // binary decode (disclosed stub; spec-verified plumbing):
+      "q_multimodal_pipeline")
+    // Departure log, so each graduation stays auditable:
+    // r13: q_doc_fingerprint (rolling hash as HUGEINT recursive CTE).
+    // r14: q_dedup_minhash_lsh/q_dedup_simhash (XXH64 replay,
+    //      MinHashOracle); q_embed_neardup_lsh/q_ann_lsh (plane table +
+    //      order-identical dots, LshOracle).
+    // r15: q_bpe_train (bounded-lexicon recursion, BpeTrainOracle);
+    //      q_ann_ivf/q_knn_graph/q_semdedup/q_diversity_sample/
+    //      q_ann_ivfpq (deterministic KMeansFit + full quantizer
+    //      replay, KMeansOracle); q_model_lr/q_model_eval
+    //      (rational-sigmoid GD + order-free int64 gradient sums,
+    //      ModelOracle); q_distinct_agg_approx (HLL++ registers are an
+    //      order-free function of the value set, HllOracle).
     assert(rowsOnly == documented,
       s"rows-only drift: extra=${rowsOnly.diff(documented)} missing=${documented.diff(rowsOnly)}")
   }
