@@ -117,8 +117,8 @@ object IvfAnn {
     * driver-side materialization the fit and the balance splits share.
     * Order is (xxhash64(vec_id), vec_id) ascending, re-sorted on the
     * driver so the sample index order is a data property, never a plan
-    * property (the order is load-bearing: centroid accumulation order,
-    * farthest-point ties, and median cuts all resolve by it, and
+    * property (the order is load-bearing: the init prefix, centroid
+    * accumulation order, and median cuts all resolve by it, and
     * `KMeansOracle` replays it via the XXH64 HUGEINT arithmetic).
     */
   private[graft] def collectSample(v: DataFrame, cap: Int): Array[Array[Double]] =
@@ -131,7 +131,7 @@ object IvfAnn {
       .sortBy(t => (t._1, t._2))
       .map(_._3)
 
-  /** Base (unbalanced) coarse fit — deterministic farthest-point +
+  /** Base (unbalanced) coarse fit — deterministic hash-prefix-init +
     * fixed-Lloyd k-means on the bounded sample (`KMeansFit`).
     */
   private[graft] def fitCoarse(v: DataFrame): Array[Array[Double]] = {
@@ -395,7 +395,7 @@ object IvfAnn {
   /** Version tag for the published coarse index (bump on any change to
     * cell derivation, seeding, or training-sample contract).
     */
-  val IndexArtifactVersion = "ivf-coarse-sqrtcells-v4-ownfit-balanced"
+  val IndexArtifactVersion = "ivf-coarse-sqrtcells-v5-hashinit-balanced"
 
   /** Coarse index + assigned corpus via the Artifacts contract — the
     * production shape: the quantizer is TRAINED ONCE, its centroids and

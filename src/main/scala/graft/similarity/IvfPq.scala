@@ -92,10 +92,10 @@ object IvfPq {
     * collect shared by all m fits (each fit slices its subspace out of
     * the same sample rows), then m deterministic `KMeansFit` runs.
     * Replayable end-to-end: same sample-order contract as the coarse
-    * quantizer, no RNG anywhere (the r15 Spark-ML version used seeded
-    * random init; the farthest-point init needs no seed and PQ codebook
-    * quality differences are absorbed by the exact rerank stage — the
-    * recall-floor spec pins that this stays true).
+    * quantizer, no RNG anywhere (the pre-r15 Spark-ML version used seeded
+    * random init; the hash-prefix init IS random init without a seed,
+    * and PQ codebook quality differences are absorbed by the exact
+    * rerank stage — the recall-floor spec pins that this stays true).
     */
   private[graft] def fitCodebooks(
       v: DataFrame, kPq: Int, m: Int, dsub: Int): Array[Array[Array[Double]]] = {
@@ -146,7 +146,7 @@ object IvfPq {
   }
 
   /** Version tag for the published PQ artifacts (codebook + codes). */
-  val PqArtifactVersion = "ivfpq-msub-kpq-sqrtn-ownfit-v2"
+  val PqArtifactVersion = "ivfpq-msub-kpq-sqrtn-hashinit-v3"
 
   /** Top-k approximate neighbors, ADC-selected and exactly reranked —
     * same query set and output shape as `Knn.bruteTopK` / `IvfAnn

@@ -34,8 +34,15 @@ package graft.similarity
   * - centroid update: member sums accumulate in ascending sample index,
   *   then one division by the count; an emptied cell keeps its previous
   *   centroid.
-  * - init: center 0 is sample point 0; center t is the point maximizing
-  *   min-d2 to the chosen set (farthest-point / k-center init — no RNG).
+  * - init: the FIRST k sample points — the sample is xxhash64-ordered,
+  *   i.e. a uniform random permutation, so this IS the classic seeded
+  *   random init (density-proportional seeding) with zero RNG. The
+  *   first implementation used farthest-point init instead and the
+  *   500k-doc decade point caught it as a SCALE defect: k-center
+  *   seeding picks outliers, the bulk clusters under-split, and the
+  *   IVF candidate volume inflated ~1.8× (319 s vs 177 s at 500k docs,
+  *   fine at 50k — skew compounds with scale exactly like the r15
+  *   sample-starvation finding).
   * - iteration count is FIXED (no convergence early-exit): a converged
   *   iteration recomputes identical assignments and identical means, so
   *   the fixed count is replay-friendly at zero behavioral cost.
@@ -92,9 +99,9 @@ object KMeansFit {
     asg
   }
 
-  /** Farthest-point init + `iters` fixed Lloyd rounds. Returns the k
-    * centroids in stable id order (init order; Lloyd preserves ids).
-    * Requires 1 ≤ k ≤ pts.length and a nonempty sample.
+  /** Hash-order-prefix (random) init + `iters` fixed Lloyd rounds.
+    * Returns the k centroids in stable id order (init order; Lloyd
+    * preserves ids). Requires 1 ≤ k ≤ pts.length and a nonempty sample.
     */
   def fit(pts: IndexedSeq[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(pts.nonEmpty && k >= 1 && k <= pts.length,
@@ -102,24 +109,9 @@ object KMeansFit {
     val n = pts.length
     val d = pts.head.length
 
-    // Farthest-point init: mind(i) = min full-d2 to the chosen set,
-    // updated in parallel per point against the latest center only.
-    val cents = new Array[Array[Double]](k)
-    cents(0) = pts(0)
-    val mind = new Array[Double](n)
-    java.util.stream.IntStream.range(0, n).parallel()
-      .forEach(i => mind(i) = d2(pts(i), cents(0)))
-    var t = 1
-    while (t < k) {
-      // argmax of mind, tie lowest index (sequential ascending scan).
-      var best = 0; var bestV = mind(0); var i = 1
-      while (i < n) { if (mind(i) > bestV) { best = i; bestV = mind(i) }; i += 1 }
-      cents(t) = pts(best)
-      val c = cents(t)
-      java.util.stream.IntStream.range(0, n).parallel()
-        .forEach(j => { val v = d2(pts(j), c); if (v < mind(j)) mind(j) = v })
-      t += 1
-    }
+    // Random init = the first k points of the hash-ordered sample (a
+    // uniform permutation — see the arithmetic contract above).
+    val cents: Array[Array[Double]] = Array.tabulate(k)(pts(_))
 
     // Fixed Lloyd rounds: parallel assignment, ordered accumulation.
     var it = 0

@@ -26,11 +26,10 @@ package graft.similarity
   * - kparams: n, k = clamp(⌈√n⌉, 64, 4096) ∧ n, cap = max(4096, 32k).
   * - unit vectors, the xxhash64-ordered sample, P = the sample as ONE
   *   list-of-vectors row (sample index = list position).
-  * - `fitr`: one recursive CTE, one level per init round (k−1 levels of
-  *   farthest-point selection over a carried min-distance list) then
-  *   one level per Lloyd round (argmin assignment via
-  *   list_position-of-min = lowest-index ties; ordered member sums via
-  *   list_reduce; emptied cells keep their centroid).
+  * - `fitr`: one recursive CTE — anchor = the first k sample points
+  *   (hash-prefix random init), then one level per Lloyd round (argmin
+  *   assignment via list_position-of-min = lowest-index ties; ordered
+  *   member sums via list_reduce; emptied cells keep their centroid).
   * - balance rounds ×`MaxSplitRounds`, UNROLLED (the driver loop is
   *   idempotent once converged/dead, so a fixed unroll is exact): per
   *   over-threshold cell, the 10 twoMeans iterations run as chained
@@ -140,31 +139,20 @@ object KMeansOracle {
     val fitr = Seq(
       s"""fitr AS (
          |  SELECT 0 AS step,
-         |         (SELECT P[1:1] FROM spts) AS cents,
-         |         (SELECT list_transform(P, pp -> ${d2("pp", "P[1]")}) FROM spts) AS mind
+         |         (SELECT P[1:(SELECT CAST(k AS INT) FROM kparams)] FROM spts) AS cents
          |  UNION ALL
-         |  SELECT step + 1,
-         |         CASE WHEN init THEN list_append(cents, newc) ELSE newcents END,
-         |         CASE WHEN init THEN list_transform(range(1, m + 1), i -> least(mind[i], ${d2("P[i]", "newc")})) ELSE mind END
+         |  SELECT step + 1, $lloydNew AS cents
          |  FROM (
-         |    SELECT step, cents, mind, P, m, init, newc,
-         |           CASE WHEN init THEN NULL ELSE $lloydNew END AS newcents
+         |    SELECT step, cents, P, m, $lloydAsg AS asg
          |    FROM (
-         |      SELECT step, cents, mind, P, m, init,
-         |             CASE WHEN init THEN P[list_position(mind, list_max(mind))] END AS newc,
-         |             CASE WHEN init THEN NULL ELSE $lloydAsg END AS asg
-         |      FROM (
-         |        SELECT f.step, f.cents, f.mind, s.P, s.m,
-         |               f.step < p.k - 1 AS init,
-         |               CASE WHEN f.step < p.k - 1 THEN NULL
-         |                    ELSE list_transform(f.cents, c -> list_dot_product(c, c)) END AS cnc
-         |        FROM fitr f, spts s, kparams p
-         |        WHERE f.step < p.k - 1 + $LI
-         |      )
+         |      SELECT f.step, f.cents, s.P, s.m,
+         |             list_transform(f.cents, c -> list_dot_product(c, c)) AS cnc
+         |      FROM fitr f, spts s
+         |      WHERE f.step < $LI
          |    )
          |  )
          |)""".stripMargin,
-      s"basec AS (SELECT cents FROM fitr, kparams WHERE step = k - 1 + $LI)",
+      s"basec AS (SELECT cents FROM fitr WHERE step = $LI)",
       s"""sampasg AS (
          |  SELECT list_transform(
          |           list_transform(P, pp -> list_transform(range(1, k + 1),
@@ -455,34 +443,24 @@ object KMeansOracle {
            |  SELECT list(u[$lo:$hi] ORDER BY sidx) AS SP, count(*)::BIGINT AS pm FROM pqsample
            |)""".stripMargin,
         s"""pqfit$j AS (
-           |  SELECT 0 AS step, (SELECT SP[1:1] FROM pqsub$j) AS cbs,
-           |         (SELECT list_transform(SP, pp -> ${d2("pp", "SP[1]")}) FROM pqsub$j) AS mind
+           |  SELECT 0 AS step,
+           |         (SELECT SP[1:(SELECT CAST(kpq AS INT) FROM pqparams)] FROM pqsub$j) AS cbs
            |  UNION ALL
            |  SELECT step + 1,
-           |         CASE WHEN init THEN list_append(cbs, newc) ELSE newcbs END,
-           |         CASE WHEN init THEN list_transform(range(1, pm + 1), i -> least(mind[i], ${d2("SP[i]", "newc")})) ELSE mind END
+           |         list_transform(
+           |           list_transform(range(1, len(cbs) + 1), cc -> list_filter(range(1, pm + 1), i -> asg[i] = cc)),
+           |           (mem, cc) -> CASE WHEN len(mem) = 0 THEN cbs[cc]
+           |                        ELSE ${meanOf("list_transform(mem, i -> SP[i])", "len(mem)")} END) AS cbs
            |  FROM (
-           |    SELECT step, cbs, mind, SP, pm, init, newc,
-           |           CASE WHEN init THEN NULL
-           |                ELSE list_transform(
-           |                       list_transform(range(1, len(cbs) + 1), cc -> list_filter(range(1, pm + 1), i -> asg[i] = cc)),
-           |                       (mem, cc) -> CASE WHEN len(mem) = 0 THEN cbs[cc]
-           |                                    ELSE ${meanOf("list_transform(mem, i -> SP[i])", "len(mem)")} END)
-           |           END AS newcbs
+           |    SELECT step, cbs, SP, pm, $asg AS asg
            |    FROM (
-           |      SELECT step, cbs, mind, SP, pm, init,
-           |             CASE WHEN init THEN SP[list_position(mind, list_max(mind))] END AS newc,
-           |             CASE WHEN init THEN NULL ELSE $asg END AS asg
-           |      FROM (
-           |        SELECT f.step, f.cbs, f.mind, s.SP, s.pm,
-           |               f.step < p.kpq - 1 AS init
-           |        FROM pqfit$j f, pqsub$j s, pqparams p
-           |        WHERE f.step < p.kpq - 1 + $PqLI
-           |      )
+           |      SELECT f.step, f.cbs, s.SP, s.pm
+           |      FROM pqfit$j f, pqsub$j s
+           |      WHERE f.step < $PqLI
            |    )
            |  )
            |)""".stripMargin,
-        s"pqcb$j AS MATERIALIZED (SELECT cbs FROM pqfit$j, pqparams WHERE step = kpq - 1 + $PqLI)")
+        s"pqcb$j AS MATERIALIZED (SELECT cbs FROM pqfit$j WHERE step = $PqLI)")
     }
     val codeCols = (0 until PqM).map { j =>
       val lo = j * PqDsub + 1

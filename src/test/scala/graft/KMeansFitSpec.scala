@@ -29,13 +29,16 @@ class KMeansFitSpec extends SparkSpec {
       "two fits of the same sample must produce identical centroid bits")
   }
 
-  test("init is farthest-point: center 0 is sample point 0; centers are sample points") {
+  test("init is the hash-order prefix: centers 0..k-1 are sample points 0..k-1") {
+    // The sample arrives xxhash64-ordered (a uniform permutation), so
+    // the prefix IS the classic random init without any RNG. The first
+    // implementation was farthest-point init — replaced after the
+    // 500k-doc decade caught its outlier-seeding as a scale defect.
     val p = pts(11, 50, 8)
     val cents = KMeansFit.fit(p, 5, 0) // zero Lloyd rounds: raw init
-    assert(java.util.Arrays.equals(cents(0), p(0)), "center 0 = sample point 0")
-    assert(cents.forall(c => p.exists(java.util.Arrays.equals(_, c))),
-      "every init center is a sample point")
-    assert(cents.map(_.toSeq).distinct.length == 5, "init centers are distinct")
+    assert(cents.length == 5)
+    assert(cents.zipWithIndex.forall { case (c, i) => java.util.Arrays.equals(c, p(i)) },
+      "center i = sample point i")
   }
 
   test("an emptied cell keeps its previous centroid (no NaNs, stable k)") {

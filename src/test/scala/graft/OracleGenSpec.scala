@@ -29,7 +29,8 @@ class OracleGenSpec extends AnyFunSuite {
 
   test("KMeansOracle tracks the engine fit constants and materializes round state") {
     val sql = graft.similarity.KMeansOracle.annIvfSql
-    assert(sql.contains(s"+ ${graft.similarity.IvfAnn.LloydIters}"), "Lloyd round count interpolates")
+    assert(sql.contains(s"WHERE f.step < ${graft.similarity.IvfAnn.LloydIters}"),
+      "Lloyd round count interpolates")
     assert(sql.contains(s"GREATEST(4096, 32 * k)"), "trainCapFor contract")
     assert((1 to graft.similarity.IvfAnn.MaxSplitRounds).forall(r => sql.contains(s"splits$r AS MATERIALIZED")),
       "every balance round's splits CTE is materialized")
