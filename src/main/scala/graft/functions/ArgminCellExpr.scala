@@ -25,6 +25,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * bit-exactly by `KMeansOracle`): score(c) = dot(c,c) − 2·dot(u,c)
   * with ascending-index dots, argmin ties to the LOWEST cell id. The
   * per-point dot(u,u) term is constant across candidates and omitted.
+  * Null ELEMENT slots read as 0.0 through the raw `getDouble` path —
+  * the `graft_dot` convention (§8: parquet read-back reports array
+  * elements nullable; the corpus carries none).
   */
 case class ArgminCellExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
