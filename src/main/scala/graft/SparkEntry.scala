@@ -988,7 +988,7 @@ object SparkEntry {
     "q_ann_lsh" -> graft.similarity.LshOracle.annSql,
     "q_ann_recall" -> graft.similarity.LshOracle.recallSql,
     // The k-means family (r15): the deterministic quantizer build —
-    // hash-ordered sample, farthest-point init, fixed Lloyd rounds,
+    // hash-ordered sample, hash-prefix init, fixed Lloyd rounds,
     // balance splits with median-mass cuts, routing, remap — replays
     // end-to-end in DuckDB (KMeansOracle), so all four fit-consuming
     // queries graduate from rows-only to full rows+schema+hash.

@@ -12,7 +12,7 @@ package graft.similarity
   * `q_semdedup`, `q_diversity_sample`, `q_ann_ivfpq`) sat rows-only at
   * the oracle gate through r14, and a real deployment hazard: a Spark
   * upgrade silently re-shapes every published vector index. This fit is
-  * a pure function of the (hash-ordered) sample: farthest-point init,
+  * a pure function of the (hash-ordered) sample: hash-prefix init,
   * fixed Lloyd iterations, and every float accumulation in a DEFINED
   * order (ascending index, left-to-right — the `graft_dot` /
   * DuckDB-`list_dot_product` order the LSH replays already proved
@@ -24,7 +24,7 @@ package graft.similarity
   * - dot(a, b): ascending-index sum of products (graft_dot order).
   * - full distance d2(a, b) = (dot(a,a) − 2·dot(a,b)) + dot(b,b) —
   *   exactly this op order; used where distances compare ACROSS points
-  *   (farthest-point init).
+  *   (the balanced-quantizer farthest-pair split seeding in `IvfAnn`).
   * - assignment score s(u, c) = dot(c,c) − 2·dot(u,c) — the per-point
   *   constant dot(u,u) dropped; used where candidates compare across
   *   CENTROIDS for one point (Lloyd assignment, corpus assignment,

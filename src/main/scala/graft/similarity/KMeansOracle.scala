@@ -72,7 +72,7 @@ object KMeansOracle {
     * seconds). Materialization changes evaluation COUNT, never values.
     */
   private val Materialized: Set[String] =
-    Set("vec", "norms", "unitv", "sample", "spts", "thr", "kparams",
+    Set("vec", "norms", "unitv", "samph", "sample", "spts", "thr", "kparams",
       "basec", "sampasg", "rcc0", "allsplits", "leaves", "remap", "nleaf",
       "leafcents", "acorp") ++
       (1 to IvfAnn.MaxSplitRounds).flatMap(r =>
@@ -97,7 +97,7 @@ object KMeansOracle {
     val head = Seq(
       s"""kparams AS (
          |  SELECT n, k, GREATEST(4096, 32 * k) AS cap
-         |  FROM (SELECT n, LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfAnn.MinCells}), ${IvfAnn.MaxCells}, n) AS k
+         |  FROM (SELECT n, LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfAnn.MinCells}), ${IvfAnn.MaxCells}, GREATEST(n, 1)) AS k
          |        FROM (SELECT count(*) AS n FROM embeddings))
          |)""".stripMargin,
       """vec AS (
@@ -421,8 +421,8 @@ object KMeansOracle {
   private lazy val pqCtes: Seq[String] = {
     val params = Seq(
       s"""pqparams AS MATERIALIZED (
-         |  SELECT LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfPq.MinCodes}), ${IvfPq.MaxCodes}, n) AS kpq,
-         |         GREATEST(4096, 8 * LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfPq.MinCodes}), ${IvfPq.MaxCodes}, n)) AS pcap
+         |  SELECT LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfPq.MinCodes}), ${IvfPq.MaxCodes}, GREATEST(n, 1)) AS kpq,
+         |         GREATEST(4096, 8 * LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfPq.MinCodes}), ${IvfPq.MaxCodes}, GREATEST(n, 1))) AS pcap
          |  FROM kparams
          |)""".stripMargin,
       """pqsample AS MATERIALIZED (

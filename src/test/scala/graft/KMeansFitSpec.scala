@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * replays (any change here must change the SQL generator in
   * lockstep — see KMeansFit's scaladoc):
   * - dot/d2 op order, lowest-index ties, ascending member sums;
-  * - farthest-point init from sample point 0, fixed Lloyd rounds,
+  * - hash-prefix init (sample points 0..k-1), fixed Lloyd rounds,
   *   emptied cells keeping their centroid;
   * - `graft_argmin_cell` (the distributed assignment expression)
   *   bit-agreeing with the driver-side argmin on both the codegen and
