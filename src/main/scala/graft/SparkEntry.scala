@@ -380,6 +380,37 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // r16 graduation: the fixed-grid integer bucket histogram replays
+    // exactly — centi-int scaling is lossless on the 2-decimal domain,
+    // bucket width / ranks are pure integer arithmetic, and the
+    // midpoint estimate is one int/100.0 division + round4 (identical
+    // IEEE ops both engines). `//` is DuckDB integer floor-division =
+    // Spark `div` on the nonnegative operands used here.
+    "q_percentiles_approx" ->
+      s"""WITH sv AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS sv FROM events
+        |), st AS (
+        |  SELECT event_type, min(sv) AS lo, max(sv) AS hi, count(*) AS n,
+        |         (max(sv) - min(sv)) // ${graft.operators.Windows.ApproxBuckets} + 1 AS w
+        |  FROM sv GROUP BY event_type
+        |), bk AS (
+        |  SELECT s.event_type, t.lo, t.w, t.n, (s.sv - t.lo) // t.w AS bucket, count(*) AS c
+        |  FROM sv s JOIN st t USING (event_type)
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cc FROM bk
+        |), sel AS (
+        |  SELECT event_type, lo, w,
+        |         min(CASE WHEN cc >= (1 * n + 1) // 2 THEN bucket END) AS b50,
+        |         min(CASE WHEN cc >= (9 * n + 9) // 10 THEN bucket END) AS b90,
+        |         min(CASE WHEN cc >= (99 * n + 99) // 100 THEN bucket END) AS b99
+        |  FROM cum GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type,
+        |  ${graft.Num.round4Sql("CAST(lo + b50 * w + w // 2 AS DOUBLE) / 100.0")} AS p50,
+        |  ${graft.Num.round4Sql("CAST(lo + b90 * w + w // 2 AS DOUBLE) / 100.0")} AS p90,
+        |  ${graft.Num.round4Sql("CAST(lo + b99 * w + w // 2 AS DOUBLE) / 100.0")} AS p99
+        |FROM sel ORDER BY event_type""".stripMargin,
     "q_zscore_normalize" ->
       """SELECT l_orderkey, l_linenumber,
         |  floor((l_extendedprice - avg(l_extendedprice) OVER ())

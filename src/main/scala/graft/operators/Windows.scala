@@ -267,24 +267,63 @@ object Windows {
       )
       .orderBy("event_type")
 
-  /** The 100 TB variant of percentiles: a mergeable approx sketch
-    * (accuracy/size bounded) instead of the exact percentile, which
-    * buffers every value per group. Error asserted vs exact in the spec.
+  /** Bucket count of the fixed-grid histogram quantile (state bound
+    * per group; error bound = (hi-lo)/ApproxBuckets).
     */
-  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables
+  val ApproxBuckets = 4096
+
+  /** The 100 TB variant of percentiles: a fixed-grid integer bucket
+    * histogram over the centi-scaled value domain (r16 — replaces the
+    * Greenwald-Khanna `approx_percentile` sketch, whose summary STATE
+    * depends on insertion/merge order and therefore could never be
+    * oracle-replayed). Per-bucket counts form a commutative monoid:
+    * mergeable in any order, deterministic at any parallelism, and
+    * cross-engine replayable, so this row is rows+schema+hash
+    * oracle-backed. Shape: a tiny per-group (lo, hi, n) aggregate
+    * broadcast back to the fact scan, then (group, bucket) counts with
+    * map-side partial aggregation — per-group state <= ApproxBuckets
+    * rows BY CONSTRUCTION (bucket width w = (hi-lo) div B + 1 in exact
+    * centi-int arithmetic; values are 2-decimal so the x100 scaling is
+    * lossless). quantile(q) = midpoint of the first bucket whose
+    * cumulative count reaches ceil(q*n) — ranks computed in integer
+    * arithmetic ((a*n + b) div b), no float rank boundaries. Absolute
+    * error <= w/100, asserted vs the exact operator in the spec.
+    * Reference: stat distribution summaries over match history.
+    */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables
       .events(spark, dir)
+      .select(col("event_type"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sv"))
+    val stats = sv
       .groupBy("event_type")
+      .agg(min("sv").as("lo"), max("sv").as("hi"), count(lit(1)).as("n"))
+      .withColumn("w", expr(s"(hi - lo) div $ApproxBuckets + 1"))
+    val counts = sv
+      .join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("lo"), col("w"), col("n"),
+        expr("(sv - lo) div w").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // The cumulative window runs over the <= ApproxBuckets-rows-per-
+    // group histogram, never the fact table.
+    val cum = counts.withColumn(
+      "cc", sum("c").over(Window.partitionBy("event_type").orderBy("bucket")))
+    def pick(rankExpr: String): Column =
+      min(when(col("cc") >= expr(rankExpr), col("bucket")))
+    def est(b: String): Column =
+      graft.Num.round4(expr(s"CAST(lo + $b * w + w div 2 AS DOUBLE) / 100.0"))
+    cum
+      .groupBy("event_type", "lo", "w", "n")
       .agg(
-        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ps")
-      )
+        pick("(1 * n + 1) div 2").as("b50"),
+        pick("(9 * n + 9) div 10").as("b90"),
+        pick("(99 * n + 99) div 100").as("b99"))
       .select(
         col("event_type"),
-        round(col("ps")(0), 4).as("p50"),
-        round(col("ps")(1), 4).as("p90"),
-        round(col("ps")(2), 4).as("p99")
-      )
+        est("b50").as("p50"),
+        est("b90").as("p90"),
+        est("b99").as("p99"))
       .orderBy("event_type")
+  }
 
   /** Global z-score normalization `(x - mean) / (2 * stddev_pop)`:
     * a tiny aggregate broadcast back to the fact table (no single-

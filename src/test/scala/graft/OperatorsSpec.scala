@@ -74,14 +74,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("approx percentiles track exact within tolerance") {
-    val exact = SparkEntry.queries("q_percentiles")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  test("approx percentiles land within half a bucket of the rank-order statistic") {
+    // The histogram returns the midpoint of the bucket CONTAINING the
+    // ceil(q·n)-th order statistic, so |approx − orderstat| ≤ w/2 with
+    // w = ((hi−lo) div B + 1)/100 in value units — assert that exact
+    // construction bound per group and percentile. (The interpolated
+    // q_percentiles operator differs from the order statistic by up to
+    // one inter-value gap at small n, so it is NOT the right yardstick
+    // for a tight bound — the order statistic is.)
     val approx = SparkEntry.queries("q_percentiles_approx")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    exact.foreach { case (k, p50) =>
-      assert(math.abs(approx(k) - p50) / math.max(p50, 1e-9) < 0.05,
-        s"$k p50: approx ${approx(k)} vs exact $p50")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byGroup = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    byGroup.foreach { case (k, vs) =>
+      val n = vs.length
+      val w = ((math.round(vs.last * 100) - math.round(vs.head * 100)) / operators.Windows.ApproxBuckets + 1) / 100.0
+      val (a50, a90, a99) = approx(k)
+      def orderStat(num: Long, den: Long): Double = vs(((num * n + den - 1) / den - 1).toInt)
+      Seq(("p50", a50, orderStat(1, 2)), ("p90", a90, orderStat(9, 10)),
+        ("p99", a99, orderStat(99, 100))).foreach { case (tag, a, e) =>
+        assert(math.abs(a - e) <= w / 2 + 0.011,
+          s"$k $tag: approx $a vs order-stat $e (w $w, n $n)")
+      }
     }
   }
 
@@ -104,14 +120,7 @@ class OperatorsSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     val documented = Set(
-      // The irreducible two (late r15 — everything else graduated):
-      //
-      // Greenwald-Khanna percentile summaries: the sketch STATE depends
-      // on insertion and merge ORDER — unlike HLL registers (replayed,
-      // HllOracle) it is not a function of the input SET, so no
-      // engine-independent replay can exist; the error-bound spec vs
-      // the exact operator stands in:
-      "q_percentiles_approx",
+      // The irreducible one (r16 — everything else graduated):
       // binary decode (disclosed stub; spec-verified plumbing):
       "q_multimodal_pipeline")
     // Departure log, so each graduation stays auditable:
@@ -126,6 +135,12 @@ class OperatorsSpec extends SparkSpec {
     //      (rational-sigmoid GD + order-free int64 gradient sums,
     //      ModelOracle); q_distinct_agg_approx (HLL++ registers are an
     //      order-free function of the value set, HllOracle).
+    // r16: q_percentiles_approx — NOT by replaying Greenwald-Khanna
+    //      (whose summary state depends on insertion/merge order and
+    //      is provably irreplayable) but by REPLACING the sketch with
+    //      a fixed-grid integer bucket histogram: per-bucket counts
+    //      are a commutative monoid, so the operator itself became
+    //      order-free, deterministic, and exactly replayable.
     assert(rowsOnly == documented,
       s"rows-only drift: extra=${rowsOnly.diff(documented)} missing=${documented.diff(rowsOnly)}")
   }
