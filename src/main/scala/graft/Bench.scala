@@ -186,9 +186,9 @@ object Bench {
         "\"([a-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(body)
           .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
-    def ratio(base: Map[String, Double]): Option[(Double, Double, Int)] = {
-      val shared = results.keySet.intersect(base.keySet)
-        .diff(ArtifactConsumers)
+    def ratio(base: Map[String, Double], excludeArtifacts: Boolean): Option[(Double, Double, Int)] = {
+      val shared0 = results.keySet.intersect(base.keySet)
+      val shared = (if (excludeArtifacts) shared0.diff(ArtifactConsumers) else shared0)
         .filter(k => results(k) > 0 && base(k) > 0)
       if (shared.isEmpty) None
       else {
@@ -197,12 +197,22 @@ object Bench {
         Some((cur / b, cur, shared.size))
       }
     }
-    val r3 = ratio(section("r3")).map { case (r, cur, n) =>
-      s""","vs_r3":{"ratio":${math.rint(r * 1000) / 1000},"shared_total":${math.rint(cur * 1000) / 1000},"n_shared":$n}"""
-    }.getOrElse("")
-    val duck = ratio(section("duckdb")).map { case (r, cur, n) =>
-      s""","vs_duckdb":{"ratio":${math.rint(r * 1000) / 1000},"shared_total":${math.rint(cur * 1000) / 1000},"n_shared":$n}"""
-    }.getOrElse("")
-    r3 + duck
+    def fmt(field: String, r: (Double, Double, Int)): String = r match {
+      case (ratio, cur, n) =>
+        s""","$field":{"ratio":${math.rint(ratio * 1000) / 1000},"shared_total":${math.rint(cur * 1000) / 1000},"n_shared":$n}"""
+    }
+    // r3/duckdb pins were measured INLINE, so artifact consumers are
+    // excluded from those shared sets (disclosed via ratio_excluded).
+    val r3 = ratio(section("r3"), excludeArtifacts = true)
+      .map(fmt("vs_r3", _)).getOrElse("")
+    val duck = ratio(section("duckdb"), excludeArtifacts = true)
+      .map(fmt("vs_duckdb", _)).getOrElse("")
+    // The r15 pin is a same-mode (published-artifacts) clean-gate run
+    // over the FULL query set — the full-set regression floor the
+    // 45-query r3 pin can't provide. No artifact-consumer exclusion:
+    // both sides measured the same mode.
+    val r15 = ratio(section("r15"), excludeArtifacts = false)
+      .map(fmt("vs_r15", _)).getOrElse("")
+    r3 + duck + r15
   }
 }
