@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dedup_delta"         -> ((s, d) => Dedup.dedupDelta(s, d)),
     "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d)),
     "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d)),
+    "q_media_pixels"        -> ((s, d) => graft.multimodal.PixelPipeline.mediaPixels(s, d)),
     "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d)),
     "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
     "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
@@ -1367,6 +1368,32 @@ object SparkEntry {
         |SELECT media_id, kind, width, height, dst_w, dst_h, n_frames,
         |  ((dst_w + 15) // 16) * ((dst_h + 15) // 16) * n_frames AS n_tokens
         |FROM d ORDER BY media_id""".stripMargin,
+    // r16: full-frame PNG pixel decode. The engine inflates + unfilters
+    // REAL zlib IDAT bytes (PngCodec: all five RFC 2083 filters, chunk
+    // CRCs) and aggregates exact int64 channel sums; the oracle
+    // recomputes the same statistics from the id-derived pixel formula
+    // p(id,x,y,c) = (31·id + 7x + 13y + 5c) mod 256 — lossless codec
+    // roundtrip makes them equal bit-for-bit, so ANY defect in the
+    // inflate/unfilter path breaks this gate. Means are one int/int
+    // double division + round4 (identical IEEE ops both engines).
+    "q_media_pixels" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), px AS (
+        |  SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM img
+        |), sums AS (
+        |  SELECT media_id, w, h,
+        |    sum((media_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256) AS sr,
+        |    sum((media_id * 31 + 7 * (i % w) + 13 * (i // w) + 5) % 256) AS sg,
+        |    sum((media_id * 31 + 7 * (i % w) + 13 * (i // w) + 10) % 256) AS sb
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT media_id, w AS width, h AS height, w * h AS n_px,
+        |  floor((CAST(sr AS DOUBLE) / (w * h)) * 10000 + 0.5) / 10000 AS mean_r,
+        |  floor((CAST(sg AS DOUBLE) / (w * h)) * 10000 + 0.5) / 10000 AS mean_g,
+        |  floor((CAST(sb AS DOUBLE) / (w * h)) * 10000 + 0.5) / 10000 AS mean_b
+        |FROM sums ORDER BY media_id""".stripMargin,
     "q_line_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,

@@ -375,3 +375,108 @@ object BinaryPipeline {
         explode(expr("sequence(0L, duration_ms div 1000)")).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"), (col("frame_idx") * 1000).as("ts_ms"))
 }
+
+/** Full-frame PNG pixel pipeline (r16): the generator synthesizes
+  * COMPLETE pixel-bearing PNGs (real zlib IDAT, all five scanline
+  * filters cycled, chunk CRCs) for the corpus's PNG asset subset, and
+  * the decode stage inflates + unfilters them back to pixels and emits
+  * per-asset channel statistics. Because pixel values derive from the
+  * id by a fixed formula and the codec roundtrip is lossless, the
+  * DuckDB oracle recomputes every statistic from the formula alone —
+  * the gate breaks if ANY byte of the inflate/unfilter path breaks.
+  *
+  * Scale shape: encode and decode both run inside `mapPartitions` over
+  * fixed-size batches (the `DecodeBatchSize` contract shared with
+  * [[BinaryPipeline.extractFeatures]]); per-task memory is bounded by
+  * batch × frame size, the payload column is never parsed by Catalyst,
+  * and stats leave the executor as scalar columns (integer channel
+  * sums), so the post-decode plan is ordinary columnar work. Asset
+  * dims here are generator-bounded (≤ 32×24); a real corpus brings its
+  * own sizes and the same batch contract holds.
+  */
+object PixelPipeline {
+
+  /** Decoded per-asset stats: exact int64 channel sums; n_px = -1
+    * marks a failed decode (surfaced, never silently dropped).
+    */
+  case class PixelStats(
+      media_id: Long, width: Int, height: Int, n_px: Long,
+      sr: Long, sg: Long, sb: Long)
+
+  /** Generator formulas (mirrored literally in the oracle SQL). */
+  private[graft] def pxW(id: Long): Int = 8 + (id % 25).toInt
+  private[graft] def pxH(id: Long): Int = 8 + (id % 17).toInt
+  private[graft] def pxVal(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + 7L * x + 13L * y + 5L * c) % 256).toInt
+
+  private def renderPixels(id: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          out((y * w + x) * 3 + c) = pxVal(id, x, y, c).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The PNG asset subset of the corpus (the `mediaTable` ids that get
+    * a PNG header there get full pixels here), one complete encoded
+    * PNG per row.
+    */
+  def pixelMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    implicit val idEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    Tables
+      .documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(6)) === 0)
+      .select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BinaryPipeline.DecodeBatchSize).flatMap(_.map { id =>
+          val w = pxW(id); val h = pxH(id)
+          (id, PngCodec.encode(w, h, renderPixels(id, w, h)))
+        })
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Decode + per-channel stats: batched full-frame decode, exact
+    * int64 channel sums (order-defined within a frame, one row out per
+    * asset — no cross-row float accumulation anywhere), means as one
+    * int/int double division + round4. A PNG that fails to decode
+    * surfaces as n_px = -1 rather than vanishing.
+    */
+  def mediaPixels(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val statEnc = Encoders.product[PixelStats]
+    pixelMediaTable(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BinaryPipeline.DecodeBatchSize).flatMap(_.map { case (id, bytes) =>
+          PngCodec.decode(bytes) match {
+            case Some(img) =>
+              val (sr, sg, sb) = img.channelSums
+              PixelStats(id, img.width, img.height, img.width.toLong * img.height, sr, sg, sb)
+            case None => PixelStats(id, 0, 0, -1L, 0L, 0L, 0L)
+          }
+        })
+      }
+      .toDF("media_id", "width", "height", "n_px", "sr", "sg", "sb")
+      .select(
+        col("media_id"), col("width"), col("height"), col("n_px"),
+        graft.Num.round4(col("sr").cast("double") / col("n_px")).as("mean_r"),
+        graft.Num.round4(col("sg").cast("double") / col("n_px")).as("mean_g"),
+        graft.Num.round4(col("sb").cast("double") / col("n_px")).as("mean_b"))
+      .orderBy("media_id")
+  }
+}
