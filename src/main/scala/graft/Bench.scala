@@ -44,7 +44,20 @@ object Bench {
       "q_source_overlap", "q_curation_run",
       // r13: scoring + eval read the published coefficient artifact
       // (one LBFGS fit per pipeline, landed in the warmup publish)
-      "q_model_lr", "q_model_eval")
+      "q_model_lr", "q_model_eval",
+      // r16: hybrid retrieval reads the published lexical inverted
+      // index + IVF coarse index in artifacts mode
+      "q_hybrid_search")
+
+  /** Queries whose artifacts-MODE semantics changed after the r15 pin
+    * was taken (the pin measured a different computation, so the
+    * comparison would misread a mode switch as a plan change). Excluded
+    * from the vs_r15 shared set only, disclosed via
+    * `r15_mode_changed`. Currently: q_hybrid_search's r15 pin measured
+    * the inline exact-scan mode; since r16 the bench line measures the
+    * index-backed mode (published lexical index + IVF probes).
+    */
+  val ModeChangedSinceR15: Set[String] = Set("q_hybrid_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +140,7 @@ object Bench {
       s""""calib_pre":${r3d(calibPre)},"calib_post":${r3d(calibPost)},"calib_ref":$calibRef,""" +
       s""""load_factor":$loadFactor,"timed_passes":${passes.size}}"""
     val excl = ArtifactConsumers.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val modeChanged = ModeChangedSinceR15.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmtQs(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // At 100+ queries the full per-query map overflows the driver's
@@ -143,13 +157,13 @@ object Bench {
     val qsFull = fmtQs(results.toSeq.sortBy { case (k, v) => (v, k) })
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailName),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"r15_mode_changed":$modeChanged,"sf":"$sfDir"}""" + "\n")
     // Compact line: the 15 slowest queries only (still cheapest-first so
     // the expensive ones sit in the surviving suffix if a future driver
     // truncates even this).
     val slowest = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(15)
       .sortBy { case (k, v) => (v, k) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"$detailName","queries":${fmtQs(slowest)},"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"$detailName","queries":${fmtQs(slowest)},"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"r15_mode_changed":$modeChanged,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -186,9 +200,8 @@ object Bench {
         "\"([a-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(body)
           .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
-    def ratio(base: Map[String, Double], excludeArtifacts: Boolean): Option[(Double, Double, Int)] = {
-      val shared0 = results.keySet.intersect(base.keySet)
-      val shared = (if (excludeArtifacts) shared0.diff(ArtifactConsumers) else shared0)
+    def ratio(base: Map[String, Double], exclude: Set[String]): Option[(Double, Double, Int)] = {
+      val shared = results.keySet.intersect(base.keySet).diff(exclude)
         .filter(k => results(k) > 0 && base(k) > 0)
       if (shared.isEmpty) None
       else {
@@ -203,15 +216,16 @@ object Bench {
     }
     // r3/duckdb pins were measured INLINE, so artifact consumers are
     // excluded from those shared sets (disclosed via ratio_excluded).
-    val r3 = ratio(section("r3"), excludeArtifacts = true)
+    val r3 = ratio(section("r3"), ArtifactConsumers)
       .map(fmt("vs_r3", _)).getOrElse("")
-    val duck = ratio(section("duckdb"), excludeArtifacts = true)
+    val duck = ratio(section("duckdb"), ArtifactConsumers)
       .map(fmt("vs_duckdb", _)).getOrElse("")
     // The r15 pin is a same-mode (published-artifacts) clean-gate run
     // over the FULL query set — the full-set regression floor the
-    // 45-query r3 pin can't provide. No artifact-consumer exclusion:
-    // both sides measured the same mode.
-    val r15 = ratio(section("r15"), excludeArtifacts = false)
+    // 45-query r3 pin can't provide. No artifact-consumer exclusion
+    // (both sides measured the same mode); only queries whose MODE
+    // changed since the pin drop out (disclosed).
+    val r15 = ratio(section("r15"), ModeChangedSinceR15)
       .map(fmt("vs_r15", _)).getOrElse("")
     r3 + duck + r15
   }

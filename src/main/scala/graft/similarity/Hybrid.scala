@@ -18,22 +18,38 @@ import org.apache.spark.sql.expressions.Window
   * construction of the corpus). Lexical query terms are that doc's
   * top-3 tokens by term frequency; the semantic query is its vector.
   *
-  * Scale shape: the corpus pays ONE tokenize into the staged tf frame
-  * (same staging discipline as tfidf/bm25); the query side — query
-  * doc, 3-token idf table, query vector, totals — is all 1-to-3-row
-  * broadcasts, so lexical scoring is a scan-local map over tf and
-  * semantic scoring a scan-local map over vectors; both lists then
-  * reduce through TakeOrderedAndProject (no global sort, no full-
-  * corpus window) and the fusion join runs on two ≤TopN-row frames.
-  * At index-backed scale the semantic scan swaps for `LshAnn.annTopK`
-  * candidates; the fusion algebra is list-source-agnostic.
+  * TWO deployment modes sharing one scoring/fusion algebra (r16):
   *
-  * Oracle-exact end-to-end: BM25 scores are the repo's exact-rational
-  * int64 formulation (see `TextFunctions.bm25Search`), cosines are
-  * bit-identical across engines (`graft_dot` ≡ `list_dot_product`
-  * accumulation order), ranks are integer row_numbers with total
-  * tiebreaks, and each RRF term 1/(60+rank) is one IEEE division of
-  * exact integers, summed in fixed textual order before round4.
+  * - INLINE (no artifacts root — the oracle authority): the corpus
+  *   pays ONE tokenize into the staged tf frame; the semantic list is
+  *   the exact cosine scan. Query side — query doc, 3-token idf table,
+  *   query vector, totals — is all 1-to-3-row broadcasts; both lists
+  *   reduce through TakeOrderedAndProject and fusion joins two
+  *   ≤TopN-row frames.
+  * - INDEX-BACKED (artifacts root configured — the production shape a
+  *   standing retrieval stack runs): the BM25 list reads the published
+  *   lexical inverted index (postings/terms/doclens/totals — built
+  *   once per corpus snapshot, see [[lexIndexFor]]) instead of
+  *   re-tokenizing the corpus per query, and the semantic list probes
+  *   the published IVF coarse index (`IvfAnn.coarseFor` — trained
+  *   once, centroids + assignments lake-resident) instead of scanning
+  *   every vector. Per-query lexical work drops to a 3-term postings
+  *   probe (pushdown-pruned scan; term-bucketed postings make it a
+  *   pruned read at 100 TB); per-query semantic work drops to nprobe
+  *   cells ≈ nprobe·n/k candidates. The LEXICAL list is identical in
+  *   both modes by construction (same exact-integer BM25 over the same
+  *   tf rows — spec-pinned); the SEMANTIC list differs only by the
+  *   IVF probe's measured recall (floor spec-pinned), which is the
+  *   disclosed approximation every vector index trades for its
+  *   scan-free query path.
+  *
+  * Oracle-exact end-to-end (inline mode): BM25 scores are the repo's
+  * exact-rational int64 formulation (see `TextFunctions.bm25Search`),
+  * cosines are bit-identical across engines (`graft_dot` ≡
+  * `list_dot_product` accumulation order), ranks are integer
+  * row_numbers with total tiebreaks, and each RRF term 1/(60+rank) is
+  * one IEEE division of exact integers, summed in fixed textual order
+  * before round4.
   */
 object Hybrid {
 
@@ -43,29 +59,84 @@ object Hybrid {
   /** RRF smoothing constant (Cormack et al.'s k = 60). */
   val RrfK = 60
 
+  /** Version tag of the published lexical index (bump on tokenizer or
+    * layout changes; stale fingerprints are ignored by consumers).
+    */
+  val LexIndexVersion = "lex-v1-ws-postings"
+
+  /** The standing lexical inverted index: postings (tok, doc_id, tf),
+    * term stats (tok, df), doc lengths (doc_id, dl), and collection
+    * totals (n_docs, t_tok) — the Lucene-shaped quartet every BM25
+    * query needs. With an artifacts root configured each frame is
+    * fingerprint-keyed and published ONCE per corpus snapshot (one
+    * staged tokenize feeds all four computes on a miss); without a
+    * root the same four frames derive inline from the staged tf.
+    * Derived stats are PUBLISHED rather than recomputed per query:
+    * re-deriving df from postings is a full index shuffle at 100 TB,
+    * which is exactly what a standing term dictionary exists to avoid.
+    */
+  def lexIndexFor(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def derive(tf: DataFrame) = (
+      tf,
+      tf.groupBy("tok").agg(count(lit(1)).as("df")),
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")),
+      tf.agg(count_distinct(col("doc_id")).as("n_docs"), sum("tf").as("t_tok")))
+    def tokenized: DataFrame =
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+    graft.sources.Artifacts.rootDir(spark) match {
+      case None => derive(graft.Staging.staged(tokenized, "hybrid_tf"))
+      case Some(_) =>
+        val deps = Seq(s"$dir/documents.parquet")
+        // Lazy: forced only on artifact miss, and then only one
+        // tokenize feeds all four publishes.
+        lazy val tf = graft.Staging.staged(tokenized, "lex_publish_tf")
+        lazy val derived = derive(tf)
+        def pub(name: String, frame: => DataFrame): DataFrame =
+          graft.sources.Artifacts.publishedOrCompute(
+            spark, name, LexIndexVersion, deps)(frame)
+        (pub("lex_postings", derived._1), pub("lex_terms", derived._2),
+          pub("lex_doclens", derived._3), pub("lex_totals", derived._4))
+    }
+  }
+
   /** q_hybrid_search: doc_id, lex_rank, sem_rank (−1 = absent from that
-    * list), rrf — fused candidates ordered by fused score.
+    * list), rrf — fused candidates ordered by fused score. Dispatches
+    * on the artifacts root: inline (oracle authority) vs index-backed
+    * (production/bench mode; see object doc for the contract).
     */
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val vecs = Knn.vectors(spark, dir) // vec_id, e, norm
     // Query doc: longest doc that HAS a vector — a KEYLESS max-struct
     // aggregate (map-side partials, no sort), which is also the one
     // broadcast-build shape the plan gate can PROVE is a single row
     // (PlanShapeSpec's bounded-BNLJ rule); (n_chars, −doc_id) max ≡
     // (n_chars DESC, doc_id ASC) top-1.
     val qdoc = docs
-      .join(vecs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(
+        Knn.vectors(spark, dir).select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
       .select((-col("m.neg_id")).as("q_doc"))
+    val (post, terms, dls, totals) = lexIndexFor(spark, dir)
+    val lex = lexTopN(qdoc, post, terms, dls, totals)
+    val sem = graft.sources.Artifacts.rootDir(spark) match {
+      case None    => semTopNExact(spark, dir, qdoc)
+      case Some(_) => semTopNIndexed(spark, dir, qdoc)
+    }
+    fuse(lex, sem)
+  }
 
-    // ---- Lexical list: BM25 over the corpus for the query doc's top-3 terms.
-    val tokens = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-    val tf = graft.Staging.staged(
-      tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), "hybrid_tf")
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val totals = tf.agg(count_distinct(col("doc_id")).as("n_docs"), sum("tf").as("t_tok"))
+  /** Lexical BM25 top-N for the query doc's top-3 terms, over whatever
+    * index frames the caller supplies — THE shared algebra of both
+    * modes (exact integer scoring; identical rows in, identical list
+    * out).
+    */
+  private[graft] def lexTopN(
+      qdoc: DataFrame, tf: DataFrame, dfreq: DataFrame,
+      dl: DataFrame, totals: DataFrame): DataFrame = {
     val qtoks = tf
       .join(broadcast(qdoc), col("doc_id") === col("q_doc"))
       .orderBy(col("tf").desc, col("tok").asc)
@@ -91,17 +162,21 @@ object Hybrid {
             + 0.5).cast("long"))
       .groupBy("doc_id")
       .agg(sum("score4").as("s4"))
-    val lex = lexScored
+    lexScored
       .orderBy(col("s4").desc, col("doc_id").asc)
       .limit(TopN)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("s4").desc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "lex_rank")
+  }
 
-    // ---- Semantic list: exact cosine of every vector vs the query vector.
-    // Re-aggregated keyless after the 1-row equi probe for the same
-    // provable-single-row broadcast shape (first() is deterministic on
-    // a one-row frame).
+  /** Semantic list, inline mode: exact cosine of every vector vs the
+    * query vector. Re-aggregated keyless after the 1-row equi probe for
+    * the same provable-single-row broadcast shape (first() is
+    * deterministic on a one-row frame).
+    */
+  private def semTopNExact(spark: SparkSession, dir: String, qdoc: DataFrame): DataFrame = {
+    val vecs = Knn.vectors(spark, dir) // vec_id, e, norm
     val qv = vecs
       .join(broadcast(qdoc), col("vec_id") === col("q_doc"))
       .agg(first(col("vec_id")).as("q_id"), first(col("e")).as("qe"), first(col("norm")).as("qn"))
@@ -109,14 +184,49 @@ object Hybrid {
       .join(broadcast(qv))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", expr("graft_dot(qe, e)") / (col("qn") * col("norm")))
-    val sem = semScored
+    rankTopN(semScored)
+  }
+
+  /** Semantic list, index-backed mode: probe the published IVF coarse
+    * index — rank centroids for the one query vector, score exact
+    * cosine ONLY within the nprobe nearest cells. Candidate volume
+    * ≈ nprobe·n/k instead of n; the cell-keyed equi join replaces the
+    * full scan. Same deterministic quantizer the rest of the IVF
+    * family consumes (published centroids/assignments, trained once).
+    */
+  private def semTopNIndexed(spark: SparkSession, dir: String, qdoc: DataFrame): DataFrame = {
+    val (assigned, idx) = IvfAnn.coarseFor(spark, dir)
+    val corpus = graft.Staging.staged(
+      assigned.select(col("vec_id"), col("e"), col("norm"), col("cell")), "hybrid_sem_corpus")
+    val qv = assigned
+      .join(broadcast(qdoc), col("vec_id") === col("q_doc"))
+      .agg(first(col("vec_id")).as("q_id"), first(col("e")).as("qe"),
+        first(col("norm")).as("qn"), first(col("u")).as("u"))
+    val probes = IvfAnn.probeCells(spark, qv, idx)
+      .select("q_id", "qe", "qn", "cell")
+    val semScored = probes
+      .join(corpus.toDF("vec_id", "e", "norm", "cell2"),
+        col("cell2") === col("cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_dot(qe, e)") / (col("qn") * col("norm")))
+    rankTopN(semScored)
+  }
+
+  /** Shared top-N ranking of a (vec_id, cos) scored stream: global
+    * limit + row_number over the ≤TopN survivors (TakeOrderedAndProject
+    * before any window — no full-corpus window in either mode).
+    */
+  private def rankTopN(scored: DataFrame): DataFrame =
+    scored
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(TopN)
       .withColumn("sem_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
 
-    // ---- RRF fusion over the two ≤TopN-row lists.
+  /** RRF fusion over the two ≤TopN-row lists — mode-agnostic by
+    * construction (list-source-agnostic algebra).
+    */
+  private[graft] def fuse(lex: DataFrame, sem: DataFrame): DataFrame =
     lex
       .join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf_raw",
@@ -128,5 +238,4 @@ object Hybrid {
         coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"),
         Num.round4(col("rrf_raw")).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
-  }
 }

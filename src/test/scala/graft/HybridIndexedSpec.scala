@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Index-backed hybrid retrieval (r16): published-mode parity contract
+  * vs the inline oracle authority.
+  * - the LEXICAL list must be IDENTICAL (same exact-integer BM25 over
+  *   the same tf rows, read from the published inverted index);
+  * - the RRF fusion algebra must be identical (recomputable from the
+  *   ranks in both modes);
+  * - the SEMANTIC list may differ only by the IVF probe's recall —
+  *   measured here with a pinned floor (the disclosed approximation a
+  *   vector index trades for its scan-free query path);
+  * - the lexical index artifacts must actually be published and
+  *   re-read (second call hits the committed parquet).
+  */
+class HybridIndexedSpec extends SparkSpec {
+
+  private def byMode(): (Array[Row], Array[Row]) = {
+    val inline = SparkEntry.queries("q_hybrid_search")(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_art").toString
+    spark.conf.set("spark.graft.artifacts", root)
+    try {
+      val indexed = SparkEntry.queries("q_hybrid_search")(spark, sfDir).collect()
+      spark.catalog.clearCache()
+      assert(new java.io.File(s"$root/lex_postings").exists(), "lexical postings not published")
+      assert(new java.io.File(s"$root/lex_terms").exists(), "term stats not published")
+      assert(new java.io.File(s"$root/lex_doclens").exists(), "doc lengths not published")
+      assert(new java.io.File(s"$root/lex_totals").exists(), "collection totals not published")
+      assert(new java.io.File(s"$root/ivf_centroids").exists(), "IVF centroids not published")
+      // Re-run consumes the committed index (and must reproduce itself).
+      val again = SparkEntry.queries("q_hybrid_search")(spark, sfDir).collect()
+      assert(again.map(_.toSeq).toSeq == indexed.map(_.toSeq).toSeq,
+        "second published-mode run must reproduce the first from the committed index")
+      (inline, indexed)
+    } finally {
+      spark.conf.unset("spark.graft.artifacts")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("published mode: lexical parity exact, RRF algebra identical, semantic recall floored") {
+    val (inline, indexed) = byMode()
+    def lexOf(rows: Array[Row]) =
+      rows.filter(_.getLong(1) != -1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def semOf(rows: Array[Row]) =
+      rows.filter(_.getLong(2) != -1L).map(_.getLong(0)).toSet
+    // 1. Lexical list: bit-identical map doc_id -> rank.
+    assert(lexOf(indexed) == lexOf(inline),
+      "published-index BM25 list must equal the inline list exactly")
+    // 2. RRF algebra: every emitted rrf is recomputable from its own
+    // ranks by the shared formula, in BOTH modes.
+    def algebraHolds(rows: Array[Row]): Unit = rows.foreach { r =>
+      val (l, s) = (r.getLong(1), r.getLong(2))
+      val raw = (if (l > 0) 1.0 / (graft.similarity.Hybrid.RrfK + l) else 0.0) +
+        (if (s > 0) 1.0 / (graft.similarity.Hybrid.RrfK + s) else 0.0)
+      val expected = math.floor(raw * 10000 + 0.5) / 10000
+      assert(r.getDouble(3) == expected, s"rrf mismatch at doc ${r.getLong(0)}")
+    }
+    algebraHolds(inline); algebraHolds(indexed)
+    // 3. Semantic recall of the IVF-probed list vs the exact scan:
+    // overlap / |exact list|. The floor is a measured property of the
+    // published quantizer on this corpus (deterministic fit — the
+    // number is stable run-to-run: measured 0.480 at sf0.001, where
+    // nprobe 8 of ~50 near-singleton cells makes the list
+    // intentionally partial; clustered real-world corpora land far
+    // higher). The floor pins against silent collapse.
+    val (exact, probed) = (semOf(inline), semOf(indexed))
+    assert(exact.nonEmpty, "inline semantic list must not be empty")
+    val recall = probed.intersect(exact).size.toDouble / exact.size
+    info(f"semantic recall@${graft.similarity.Hybrid.TopN}: $recall%.3f (${probed.size} probed, ${exact.size} exact)")
+    assert(recall >= 0.40, f"IVF-probed semantic recall below the measured floor: $recall%.3f")
+  }
+}
