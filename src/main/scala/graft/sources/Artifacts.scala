@@ -90,11 +90,45 @@ object Artifacts {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Test-only injection point: invoked after a committed-marker check
+    * succeeds and before the schema read, i.e. inside the exact window
+    * where a concurrent prune could retire the directory. Specs swap in
+    * a deleter to drive the loud-recompute fallback; production leaves
+    * the no-op.
+    */
+  private[graft] var onBeforeConsume: (String, String) => Unit = (_, _) => ()
+
+  /** Read the committed artifact if it is (still) there. The window
+    * between the marker check and the schema read is where a racing
+    * prune can retire the directory — that race resolves to None (the
+    * caller recomputes LOUDLY) instead of an opaque reader failure. A
+    * read error against a directory whose marker is still present is
+    * real corruption and propagates.
+    */
+  private def readCommitted(spark: SparkSession, name: String, fp: String, path: String): Option[DataFrame] =
+    if (!committed(spark, path)) None
+    else {
+      onBeforeConsume(name, path)
+      try Some(spark.read.parquet(path))
+      catch {
+        case scala.util.control.NonFatal(e) if !committed(spark, path) =>
+          System.err.println(
+            s"[artifacts] $name fp=$fp vanished between commit-check and read " +
+              s"(concurrent prune?): ${e.getClass.getSimpleName}; recomputing")
+          None
+      }
+    }
+
   /** The contract call: read the published artifact when fresh; else
     * compute it, publish, and read back (read-back rather than returning
     * the computed plan, so consumer scan parallelism is governed by file
     * splits either way and the artifact is what was actually committed).
-    * No artifacts root configured → compute inline.
+    * No artifacts root configured → compute inline. A consumer racing a
+    * prune of its directory falls back to recompute-and-republish with a
+    * stderr warning; if even the fresh publish is pruned out from under
+    * the read-back (retention misconfigured to 0, or a prune keyed on a
+    * different input snapshot), the computed plan itself is served so
+    * correctness never depends on retention policy.
     */
   def publishedOrCompute(
       spark: SparkSession,
@@ -106,13 +140,14 @@ object Artifacts {
       case Some(root) =>
         val fp = fingerprint(spark, version, inputPaths)
         val path = artifactPath(root, name, fp)
-        if (!committed(spark, path)) {
+        readCommitted(spark, name, fp, path).getOrElse {
           // Stage under a session-private name, then atomically rename
           // into place: a committed fp= directory is never mutated, so
           // concurrent readers can't see a mixed directory and a lost
           // race just discards the loser's identical bytes.
+          val df = compute
           val staging = s"$root/$name/.staging-$fp-${java.util.UUID.randomUUID().toString.take(8)}"
-          compute.write.mode("overwrite").parquet(staging)
+          df.write.mode("overwrite").parquet(staging)
           val conf = spark.sparkContext.hadoopConfiguration
           val dst = new org.apache.hadoop.fs.Path(path)
           val src = new org.apache.hadoop.fs.Path(staging)
@@ -127,17 +162,40 @@ object Artifacts {
           // exists-check first: Hadoop local-FS rename into an existing
           // directory would NEST src inside it rather than fail.
           if (fs.exists(dst) || !fs.rename(src, dst)) fs.delete(src, true): Unit
+          readCommitted(spark, name, fp, path).getOrElse {
+            System.err.println(
+              s"[artifacts] $name fp=$fp retired immediately after publish " +
+                "(retention racing the producer); serving the computed plan inline")
+            df
+          }
         }
-        spark.read.parquet(path)
     }
 
   /** Maintenance half of the contract: retire stale fingerprints of
     * `name`, keeping `keepFp` — content keys accumulate as inputs
     * change, and a deployment prunes once consumers have drained.
+    * In-flight `.staging-*` directories are NEVER touched (a concurrent
+    * producer owns them; deleting one fails its parquet job mid-write);
+    * they are session-private, self-discarding on a lost race, and a
+    * crashed one is invisible to every consumer anyway.
     *
     * @return number of stale artifact directories removed
     */
   def prune(spark: SparkSession, name: String, keepFp: String): Int =
+    pruneWhere(spark, name, _.getPath.getName != s"fp=$keepFp")
+
+  /** Retention-count prune: keep the `keepLatest` most recently
+    * COMMITTED fingerprints of `name`, retire the rest. Recency is the
+    * commit instant (the `_SUCCESS` marker's mtime — written last by
+    * the publish protocol), not the fingerprint value, which is an
+    * opaque content hash with no order. Marker-less `fp=` directories
+    * (crashed publishes) are always eligible — no consumer can trust
+    * them and the next producer rebuilds over them; in-flight staging
+    * dirs are never touched.
+    *
+    * @return number of stale artifact directories removed
+    */
+  def pruneKeepLatest(spark: SparkSession, name: String, keepLatest: Int): Int =
     rootDir(spark) match {
       case None => 0
       case Some(root) =>
@@ -145,9 +203,58 @@ object Artifacts {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p)) 0
         else {
-          val stale = fs.listStatus(p).filter(_.getPath.getName != s"fp=$keepFp")
-          stale.foreach(st => fs.delete(st.getPath, true))
-          stale.length
+          val committedFps = fs
+            .listStatus(p)
+            .filter(_.getPath.getName.startsWith("fp="))
+            .flatMap { st =>
+              val marker = new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")
+              if (fs.exists(marker))
+                Some(st.getPath.getName -> fs.getFileStatus(marker).getModificationTime)
+              else None
+            }
+          val keep = committedFps.sortBy(-_._2).take(math.max(keepLatest, 0)).map(_._1).toSet
+          pruneWhere(spark, name, st => !keep.contains(st.getPath.getName))
+        }
+    }
+
+  /** Sweep every artifact name under the root with the same retention
+    * count. Returns (name → removed) for the names that lost anything.
+    */
+  def pruneAll(spark: SparkSession, keepLatest: Int): Map[String, Int] =
+    rootDir(spark) match {
+      case None => Map.empty
+      case Some(root) =>
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Map.empty
+        else
+          fs.listStatus(p)
+            .filter(_.isDirectory)
+            .map(st => st.getPath.getName -> pruneKeepLatest(spark, st.getPath.getName, keepLatest))
+            .filter(_._2 > 0)
+            .toMap
+    }
+
+  /** Shared sweep: delete the `fp=` children of `name` matching `stale`.
+    * The in-flight guard lives here so every prune flavor inherits it.
+    */
+  private def pruneWhere(
+      spark: SparkSession,
+      name: String,
+      stale: org.apache.hadoop.fs.FileStatus => Boolean): Int =
+    rootDir(spark) match {
+      case None => 0
+      case Some(root) =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) 0
+        else {
+          val victims = fs
+            .listStatus(p)
+            .filter(_.getPath.getName.startsWith("fp=")) // never .staging-* (in flight)
+            .filter(stale)
+          victims.foreach(st => fs.delete(st.getPath, true))
+          victims.length
         }
     }
 }
