@@ -34,6 +34,18 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Persisted plans must keep AQE: with the default (false), a
+      // `.persist` compiles its whole subtree WITHOUT adaptive
+      // execution, and join strategies fall back to static size
+      // estimates — the staged near-dup pair outputs (r16,
+      // `Staging.sortedOutput`) then broadcast the corpus-scale prefix
+      // side of the collision self-join (measured 27× the executor CPU
+      // at the 50k-doc decade point). The conf's cost — a cached
+      // plan's output partitioning may change across runs — is
+      // irrelevant here: no consumer relies on cached-partitioning
+      // reuse, and every staged frame's build gets runtime coalescing
+      // and skew handling back.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

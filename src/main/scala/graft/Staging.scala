@@ -85,4 +85,24 @@ object Staging {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false): Unit
       case _ => ()
     }
+
+  /** Deterministic total order over a SMALL final result whose subtree
+    * is EXPENSIVE: a global `orderBy` shuffles by RangePartitioning,
+    * and computing the range boundaries SAMPLES the sort's child — a
+    * full extra execution of everything below the sort down to the
+    * nearest materialization point. For the near-dup pair queries that
+    * point sits below the verify join, so the unstaged form runs the
+    * most expensive joins in the repo TWICE (measured at the 500k-doc
+    * decade point: the two verify stages of `q_dedup_jaccard_prefix`
+    * each appeared at 2× the executor time of the identical stages
+    * inside `q_dedup_clusters`, whose CC staging already breaks the
+    * lineage). Staging the pre-sort frame bounds the sampling pass to a
+    * cache/scratch read of the OUTPUT-sized rows.
+    *
+    * Only for outputs that are orders of magnitude smaller than the
+    * subtree's intermediates (near-dup pairs, reports, top-k lists) —
+    * a corpus-scale frame should not be persisted just to sort it.
+    */
+  def sortedOutput(df: DataFrame, name: String, sortCols: String*): DataFrame =
+    staged(df, name).orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
 }

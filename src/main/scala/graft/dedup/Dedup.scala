@@ -265,16 +265,21 @@ object Dedup {
     */
   private[graft] def verifyJaccardArrays(
       candidates: DataFrame, arr: DataFrame, threshold: Double): DataFrame =
-    candidates
-      .select("a", "b")
-      .join(arr.toDF("a", "sha"), "a")
-      .join(arr.toDF("b", "shb"), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("jac",
-        col("inter") / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("a"), col("b"), Num.round4(col("jac")).as("jac"))
-      .orderBy("a", "b")
+    // sortedOutput, not a bare orderBy: the range-boundary sampling of
+    // an unstaged global sort re-executed this verify join — the two
+    // most expensive stages of the whole query — a second time
+    // (measured 2× at the 500k-doc decade point, r16).
+    graft.Staging.sortedOutput(
+      candidates
+        .select("a", "b")
+        .join(arr.toDF("a", "sha"), "a")
+        .join(arr.toDF("b", "shb"), "b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("jac",
+          col("inter") / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")))
+        .filter(col("jac") >= threshold)
+        .select(col("a"), col("b"), Num.round4(col("jac")).as("jac")),
+      "jac_pairs", "a", "b")
 
   /** One-sided set-containment join (r11): ordered pairs (a, b) with
     * C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| >= τ — doc a's 3-gram set lies
@@ -345,14 +350,18 @@ object Dedup {
       .agg(max("bound").as("bound"))
       .filter(col("bound").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))
       .select("a", "b", "na")
-    candidates
-      .join(arr.toDF("a", "sha"), "a")
-      .join(arr.toDF("b", "shb"), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("cont", col("inter") / col("na"))
-      .filter(col("cont") >= threshold)
-      .select(col("a"), col("b"), Num.round4(col("cont")).as("cont"))
-      .orderBy("a", "b")
+    // sortedOutput: same sampling-pass double-execution hazard as
+    // verifyJaccardArrays — the containment verify is the same two
+    // array joins.
+    graft.Staging.sortedOutput(
+      candidates
+        .join(arr.toDF("a", "sha"), "a")
+        .join(arr.toDF("b", "shb"), "b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("cont", col("inter") / col("na"))
+        .filter(col("cont") >= threshold)
+        .select(col("a"), col("b"), Num.round4(col("cont")).as("cont")),
+      "cont_pairs", "a", "b")
   }
 
   /** Full-index containment witness — NOT a declared query; the
@@ -569,13 +578,17 @@ object Dedup {
       .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    candidates
-      .join(fps.toDF("a2", "fpa"), col("a") === col("a2"))
-      .join(fps.toDF("b2", "fpb"), col("b") === col("b2"))
-      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
-      .orderBy("a", "b")
+    // sortedOutput: the sampling pass of a bare orderBy would re-run
+    // the two fingerprint joins (cached inputs, but the join itself
+    // re-executes below the sort).
+    graft.Staging.sortedOutput(
+      candidates
+        .join(fps.toDF("a2", "fpa"), col("a") === col("a2"))
+        .join(fps.toDF("b2", "fpb"), col("b") === col("b2"))
+        .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("a", "b", "hamming"),
+      "simhash_pairs", "a", "b")
   }
 
   /** Shingle width for benchmark decontamination: 8-gram overlap is the
@@ -914,10 +927,13 @@ object Dedup {
         col("bb") === col("bj") && col("a") < col("b"))
       .withColumn("dot", expr("graft_dot(ea, eb)"))
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
-    pairs
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), Num.round4(col("cos")).as("cos"))
-      .orderBy("a", "b")
+    // sortedOutput: an unstaged sort would re-run the block join's full
+    // dot-product sweep for the range-boundary sample.
+    graft.Staging.sortedOutput(
+      pairs
+        .filter(col("cos") >= threshold)
+        .select(col("a"), col("b"), Num.round4(col("cos")).as("cos")),
+      "embed_pairs", "a", "b")
   }
 
   /** #26l contamination report: per-source contamination rates over the

@@ -7,17 +7,55 @@ package graft.tools
   * published-artifacts mode — the production consumer shape, matching
   * graft.Bench's discipline), one JSON line out.
   *
+  * r16: the listener grew from per-task ceilings into a full
+  * attribution profile — per-query executor run/CPU/GC time, memory and
+  * disk spill, shuffle read/write bytes, task count, plus the top
+  * stages by executor time with the same breakdown. This is the
+  * instrument the third-decade question needs: a wall exponent above
+  * the measured candidate-volume exponent is only diagnosable if the
+  * surplus can be split into CPU vs GC vs spill vs scheduling, per
+  * stage, from the artifact alone.
+  *
   * Usage:
-  *   sbt "runMain graft.tools.ScaleBench <corpusDir> [q1,q2,...]"
+  *   SPARK_DRIVER_MEM=96g sbt "runMain graft.tools.ScaleBench <corpusDir> [q1,q2,...]"
   * where corpusDir holds GenScale output (documents.parquet +
   * embeddings.parquet). Default query set = the heavy dedup/ANN family
   * measured across decades.
+  *
+  * SPARK_DRIVER_MEM is NOT optional at the decade sizes: build.sbt
+  * forks run-mains at 8g by default, which at local[32] is ~0.25 GB
+  * of heap per core — a quarter of a lean production executor's
+  * memory-per-core, and far below the ~3 GB/core the §6 rows were
+  * measured at (peak task memory up to ~930 MB × 32 concurrent
+  * tasks). At 8g the 500k-doc point thrashes: 72 GB of disk spill and
+  * 5.7× the provisioned wall (measured r16) — that run profiles the
+  * starvation pathology, not the plan.
   */
 object ScaleBench {
 
   val DefaultQueries: Seq[String] = Seq(
     "q_dedup_jaccard_prefix", "q_dedup_clusters", "q_substr_dedup",
     "q_cluster_delta", "q_knn_graph")
+
+  /** Per-stage accumulation bucket (one per stage attempt; merged by
+    * stage id at report time so retries don't double-name).
+    */
+  private final class StageAcc(val name: String) {
+    var tasks = 0L
+    var runMs, cpuNs, gcMs, memSpill, diskSpill, shRead, shWrite = 0L
+    var peakMem = 0L
+    def add(m: org.apache.spark.executor.TaskMetrics): Unit = {
+      tasks += 1
+      runMs += m.executorRunTime
+      cpuNs += m.executorCpuTime
+      gcMs += m.jvmGCTime
+      memSpill += m.memoryBytesSpilled
+      diskSpill += m.diskBytesSpilled
+      shRead += m.shuffleReadMetrics.totalBytesRead
+      shWrite += m.shuffleWriteMetrics.bytesWritten
+      peakMem = math.max(peakMem, m.peakExecutionMemory)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/testdata/sf1")
@@ -41,15 +79,32 @@ object ScaleBench {
     // Per-task shuffle-read ceiling: the evidence that a hot key (a
     // viral window/bucket in adversarial corpora) cannot concentrate a
     // corpus-scale occurrence list on one reducer — the caps bound the
-    // per-task maximum, not just the total.
+    // per-task maximum, not just the total. Plus (r16) the per-stage
+    // attribution buckets.
     val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
     val maxPeakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageAcc]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        // AQE materializes staged frames from a CompletableFuture, so
+        // stageInfo.name is an opaque JDK frame; the long-form call site
+        // (details) still carries the repo frame that owns the stage.
+        val graftFrame = ss.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ScaleBench"))
+          .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
+        val name = graftFrame.map(g => s"${ss.stageInfo.name} [$g]").getOrElse(ss.stageInfo.name)
+        stageNames.put(ss.stageInfo.stageId, name): Unit
+      }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           maxShuffleRead.accumulateAndGet(m.shuffleReadMetrics.totalBytesRead, Math.max(_, _))
           maxPeakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+          val acc = stages.computeIfAbsent(
+            te.stageId,
+            id => new StageAcc(Option(stageNames.get(id)).getOrElse(s"stage$id")))
+          acc.synchronized(acc.add(m))
         }
       }
     })
@@ -59,22 +114,49 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
     }
+    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     // Untimed warmup: JIT/codegen + artifact publishes land here.
     names.foreach(runOne)
     val timings = names.map { name =>
-      maxShuffleRead.set(0); maxPeakMem.set(0)
-      val t = (1 to 2).map { _ =>
+      // Attribution comes from the FASTEST timed pass (same work both
+      // passes — plans are deterministic — so the quieter one is the
+      // one to attribute).
+      var best: (Double, Long, Long, Seq[StageAcc]) = null
+      (1 to 2).foreach { _ =>
+        maxShuffleRead.set(0); maxPeakMem.set(0); stages.clear()
         val t0 = System.nanoTime()
         runOne(name)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      (name, t, maxShuffleRead.get, maxPeakMem.get)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (best == null || t < best._1) {
+          import scala.jdk.CollectionConverters._
+          best = (t, maxShuffleRead.get, maxPeakMem.get, stages.values.asScala.toSeq)
+        }
+      }
+      (name, best)
     }
-    val qj = timings.map { case (n, t, _, _) => s""""$n": ${f"$t%.3f"}""" }.mkString(", ")
-    val sj = timings.map { case (n, _, s, p) =>
-      s""""$n": {"max_task_shuffle_read_mb": ${f"${s / 1048576.0}%.1f"}, "max_task_peak_mem_mb": ${f"${p / 1048576.0}%.1f"}}"""
+    val qj = timings.map { case (n, (t, _, _, _)) => s""""$n": ${f"$t%.3f"}""" }.mkString(", ")
+    val sj = timings.map { case (n, (_, s, p, _)) =>
+      s""""$n": {"max_task_shuffle_read_mb": ${mb(s)}, "max_task_peak_mem_mb": ${mb(p)}}"""
     }.mkString(", ")
-    println(s"""{"dir": "$dir", "queries": {$qj}, "task_ceilings": {$sj}}""")
+    val pj = timings.map { case (n, (_, _, _, accs)) =>
+      def tot(f: StageAcc => Long): Long = accs.map(f).sum
+      val top = accs.sortBy(-_.runMs).take(6).map { a =>
+        s"""{"stage": ${jstr(a.name)}, "tasks": ${a.tasks}, "run_s": ${f"${a.runMs / 1e3}%.1f"}, """ +
+          s""""cpu_s": ${f"${a.cpuNs / 1e9}%.1f"}, "gc_s": ${f"${a.gcMs / 1e3}%.1f"}, """ +
+          s""""spill_disk_mb": ${mb(a.diskSpill)}, "sh_read_mb": ${mb(a.shRead)}, """ +
+          s""""sh_write_mb": ${mb(a.shWrite)}, "peak_mem_mb": ${mb(a.peakMem)}}"""
+      }.mkString(", ")
+      s""""$n": {"tasks": ${tot(_.tasks)}, "run_s": ${f"${tot(_.runMs) / 1e3}%.1f"}, """ +
+        s""""cpu_s": ${f"${tot(_.cpuNs) / 1e9}%.1f"}, "gc_s": ${f"${tot(_.gcMs) / 1e3}%.1f"}, """ +
+        s""""spill_mem_mb": ${mb(tot(_.memSpill))}, "spill_disk_mb": ${mb(tot(_.diskSpill))}, """ +
+        s""""sh_read_mb": ${mb(tot(_.shRead))}, "sh_write_mb": ${mb(tot(_.shWrite))}, """ +
+        s""""top_stages": [$top]}"""
+    }.mkString(", ")
+    println(s"""{"dir": "$dir", "queries": {$qj}, "task_ceilings": {$sj}, "profile": {$pj}}""")
     spark.stop()
   }
+
+  /** Minimal JSON string escape for stage names (they carry call sites). */
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
 }
