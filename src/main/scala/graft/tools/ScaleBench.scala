@@ -114,9 +114,21 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
     }
+    // Shuffle-file hygiene BETWEEN passes (outside every timed window):
+    // shuffle files are deleted by the ContextCleaner only when their
+    // ShuffleDependency is garbage-collected, and at decade sizes under
+    // a 96g driver heap ordinary GC may not run for the whole session —
+    // the first 1.5M-doc attempt accumulated every pass's ~30 GB of
+    // map outputs (warmup + 2×2 timed) and exhausted the disk
+    // mid-spill. An explicit gc + a short drain window bounds live
+    // shuffle bytes to ~one pass per query.
+    def reclaimShuffles(): Unit = {
+      System.gc()
+      Thread.sleep(2000)
+    }
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     // Untimed warmup: JIT/codegen + artifact publishes land here.
-    names.foreach(runOne)
+    names.foreach { n => runOne(n); reclaimShuffles() }
     val timings = names.map { name =>
       // Attribution comes from the FASTEST timed pass (same work both
       // passes — plans are deterministic — so the quieter one is the
@@ -131,6 +143,7 @@ object ScaleBench {
           import scala.jdk.CollectionConverters._
           best = (t, maxShuffleRead.get, maxPeakMem.get, stages.values.asScala.toSeq)
         }
+        reclaimShuffles()
       }
       (name, best)
     }
