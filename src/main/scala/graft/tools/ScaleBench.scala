@@ -120,12 +120,22 @@ object ScaleBench {
     // a 96g driver heap ordinary GC may not run for the whole session —
     // the first 1.5M-doc attempt accumulated every pass's ~30 GB of
     // map outputs (warmup + 2×2 timed) and exhausted the disk
-    // mid-spill. An explicit gc + a short drain window bounds live
+    // mid-spill. Two gc cycles (weak-reference processing often needs
+    // the second) + a drain window for the async cleaner bound live
     // shuffle bytes to ~one pass per query.
     def reclaimShuffles(): Unit = {
       System.gc()
-      Thread.sleep(2000)
+      Thread.sleep(3000)
+      System.gc()
+      Thread.sleep(7000)
     }
+    // Timed passes per query: min-of-2 is the harness contract; the
+    // 1.5M-doc points run 1 (disclosed in the JSON and SURVEY §6) —
+    // the sandbox disk (~94 GB effective) cannot hold two passes of
+    // ~30 GB map outputs plus the reclaim lag, and a min over fewer
+    // passes only OVERSTATES the time, never flatters it.
+    val timedPasses =
+      sys.env.get("SPARK_GRAFT_TIMED_PASSES").map(_.toInt).filter(_ >= 1).getOrElse(2)
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     // Untimed warmup: JIT/codegen + artifact publishes land here.
     names.foreach { n => runOne(n); reclaimShuffles() }
@@ -134,7 +144,7 @@ object ScaleBench {
       // passes — plans are deterministic — so the quieter one is the
       // one to attribute).
       var best: (Double, Long, Long, Seq[StageAcc]) = null
-      (1 to 2).foreach { _ =>
+      (1 to timedPasses).foreach { _ =>
         maxShuffleRead.set(0); maxPeakMem.set(0); stages.clear()
         val t0 = System.nanoTime()
         runOne(name)
@@ -165,7 +175,7 @@ object ScaleBench {
         s""""sh_read_mb": ${mb(tot(_.shRead))}, "sh_write_mb": ${mb(tot(_.shWrite))}, """ +
         s""""top_stages": [$top]}"""
     }.mkString(", ")
-    println(s"""{"dir": "$dir", "queries": {$qj}, "task_ceilings": {$sj}, "profile": {$pj}}""")
+    println(s"""{"dir": "$dir", "timed_passes": $timedPasses, "queries": {$qj}, "task_ceilings": {$sj}, "profile": {$pj}}""")
     spark.stop()
   }
 
