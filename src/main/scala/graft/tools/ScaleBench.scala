@@ -133,12 +133,19 @@ object ScaleBench {
     // 1.5M-doc points run 1 (disclosed in the JSON and SURVEY §6) —
     // the sandbox disk (~94 GB effective) cannot hold two passes of
     // ~30 GB map outputs plus the reclaim lag, and a min over fewer
-    // passes only OVERSTATES the time, never flatters it.
+    // passes only OVERSTATES the time, never flatters it. The warmup
+    // pass is skippable for the same reason and with the same
+    // direction of error (cold JIT/codegen inflates the one timed
+    // pass): at the 1.5M point a single execution's map outputs plus
+    // its SMJ spill already fill most of the disk, so warmup + timed
+    // cannot coexist even with the reclaim below.
     val timedPasses =
       sys.env.get("SPARK_GRAFT_TIMED_PASSES").map(_.toInt).filter(_ >= 1).getOrElse(2)
+    val warmup =
+      !sys.env.get("SPARK_GRAFT_WARMUP").contains("0")
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     // Untimed warmup: JIT/codegen + artifact publishes land here.
-    names.foreach { n => runOne(n); reclaimShuffles() }
+    if (warmup) names.foreach { n => runOne(n); reclaimShuffles() }
     val timings = names.map { name =>
       // Attribution comes from the FASTEST timed pass (same work both
       // passes — plans are deterministic — so the quieter one is the
@@ -175,7 +182,7 @@ object ScaleBench {
         s""""sh_read_mb": ${mb(tot(_.shRead))}, "sh_write_mb": ${mb(tot(_.shWrite))}, """ +
         s""""top_stages": [$top]}"""
     }.mkString(", ")
-    println(s"""{"dir": "$dir", "timed_passes": $timedPasses, "queries": {$qj}, "task_ceilings": {$sj}, "profile": {$pj}}""")
+    println(s"""{"dir": "$dir", "timed_passes": $timedPasses, "warmup": $warmup, "queries": {$qj}, "task_ceilings": {$sj}, "profile": {$pj}}""")
     spark.stop()
   }
 
