@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_DRIVER_XMS").toSeq.flatMap(xms =>
+  // Decade-scale runs (tools/ScaleBench): pin and pre-touch the heap so
+  // execution-memory page churn doesn't pay kernel page-zeroing on
+  // every heap grow/shrink cycle — the local[32] stand-in for a real
+  // executor's standard -Xms=-Xmx deployment.
+  Seq(s"-Xms$xms", "-XX:+AlwaysPreTouch"))

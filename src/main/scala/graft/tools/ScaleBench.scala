@@ -17,7 +17,8 @@ package graft.tools
   * stage, from the artifact alone.
   *
   * Usage:
-  *   SPARK_DRIVER_MEM=96g sbt "runMain graft.tools.ScaleBench <corpusDir> [q1,q2,...]"
+  *   SPARK_DRIVER_XMS=96g SPARK_DRIVER_MEM=96g \
+  *     sbt "runMain graft.tools.ScaleBench <corpusDir> [q1,q2,...]"
   * where corpusDir holds GenScale output (documents.parquet +
   * embeddings.parquet). Default query set = the heavy dedup/ANN family
   * measured across decades.
@@ -30,6 +31,17 @@ package graft.tools
   * tasks). At 8g the 500k-doc point thrashes: 72 GB of disk spill and
   * 5.7× the provisioned wall (measured r16) — that run profiles the
   * starvation pathology, not the plan.
+  *
+  * SPARK_DRIVER_XMS (pin + pre-touch the heap, build.sbt) is equally
+  * non-optional: with a growable 96g heap, G1 uncommits heap between
+  * execution-memory waves and every re-grow pays kernel page zeroing
+  * INSIDE the task allocation path (`HeapMemoryAllocator.allocate`
+  * burning ~95% SYSTEM cpu — charged to task CPU time, invisible to
+  * gc_s). Measured at the 500k point (r16): the identical
+  * q_dedup_jaccard_prefix pass is 319.2 s growable vs 127.1 s pinned
+  * (total executor CPU 9,549 → 3,267 s), and run-to-run variance of the
+  * same stage was 2-3× CPU before pinning. Production executors run
+  * -Xms=-Xmx as standard practice; the pin makes local[32] match that.
   */
 object ScaleBench {
 
