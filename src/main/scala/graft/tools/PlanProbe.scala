@@ -20,9 +20,28 @@ object PlanProbe {
       try spark.conf.set(k, v) catch { case _: Exception => () }
     })
     val df = graft.SparkEntry.queries(name)(spark, dir)
+
+    // The noop write runs its own QueryExecution — walking
+    // df.queryExecution.executedPlan would visit nodes that never ran
+    // (all-zero metrics, unexecuted AQE initial plan). Capture the QE
+    // the write actually executed via a listener and walk that.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var executedQe: Option[QueryExecution] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        executedQe = Some(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        executedQe = Some(qe)
+    }
+    spark.listenerManager.register(listener)
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"WALL: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // listener callbacks are async — poll until the write's QE lands
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (executedQe.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    spark.listenerManager.unregister(listener)
 
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -47,7 +66,13 @@ object PlanProbe {
         case _ => p.children.foreach(walk(_, depth + 1))
       }
     }
-    walk(df.queryExecution.executedPlan, 0)
+    executedQe match {
+      case Some(qe) => walk(qe.executedPlan, 0)
+      case None =>
+        println("WARN: no executed QueryExecution captured; falling back to the " +
+          "dataframe's own (possibly unexecuted) plan — metrics may be zero")
+        walk(df.queryExecution.executedPlan, 0)
+    }
     spark.stop()
   }
 }

@@ -171,10 +171,21 @@ class ArtifactsSpec extends SparkSpec {
       val cached = df.queryExecution.optimizedPlan
         .collect { case r: InMemoryRelation => r.cachedPlan.toString }
       cached.filter(_.contains("shingle_index_sh")).foreach { p =>
+        // r17 (ADVICE): "contains a Join" is not output-bounded — an
+        // accidentally staged corpus-scale candidate SELF-join of the
+        // index would pass it. Anchor to the pair-sized exact-verify
+        // shape instead: the scan-local `array_intersect` and the
+        // jaccard threshold literal only exist in the verify projection
+        // that sortedOutput stages (`jac_pairs`), never in a raw index
+        // scan or a candidate-mine self-join.
         assert(p.contains("Join"),
           "a staged frame reading the published shingle index must be a " +
             "pair-bounded derivative (join above the scan), not the raw " +
             s"corpus-scale index itself:\n$p")
+        assert(p.contains("array_intersect") && p.contains("0.8"),
+          "a staged frame reading the published shingle index must be the " +
+            "threshold-filtered exact-verify output (array_intersect + " +
+            s"jac >= 0.8), not an unbounded join over the index:\n$p")
       }
       assert(cached.exists(_.contains("shingle_index_prefix")),
         "published prefix index must stay staged (filtered/self-joined twice per query)")
