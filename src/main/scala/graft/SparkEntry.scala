@@ -87,6 +87,7 @@ object SparkEntry {
     "q_embed_quantize"     -> ((s, d) => graft.similarity.Quantize.quantizeStats(s, d)),
     "q_ann_lsh"            -> ((s, d) => LshAnn.annTopK(s, d)),
     "q_ann_recall"         -> ((s, d) => graft.similarity.AnnRecall.annRecall(s, d)),
+    "q_ann_recall_ivf"     -> ((s, d) => graft.similarity.AnnRecall.annRecallIvf(s, d)),
     "q_hybrid_search"      -> ((s, d) => graft.similarity.Hybrid.hybridSearch(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_ann_ivfpq"          -> ((s, d) => graft.similarity.IvfPq.ivfPqTopK(s, d)),
@@ -1025,6 +1026,7 @@ object SparkEntry {
     // end-to-end in DuckDB (KMeansOracle), so all four fit-consuming
     // queries graduate from rows-only to full rows+schema+hash.
     "q_ann_ivf" -> graft.similarity.KMeansOracle.annIvfSql,
+    "q_ann_recall_ivf" -> graft.similarity.KMeansOracle.ivfRecallSql,
     "q_knn_graph" -> graft.similarity.KMeansOracle.knnGraphSql,
     "q_semdedup" -> graft.similarity.KMeansOracle.semdedupSql,
     "q_diversity_sample" -> graft.similarity.KMeansOracle.diversitySql,

@@ -32,9 +32,28 @@ object AnnRecall {
     * path misses entirely still appear (n_ann = 0, recall 0): the
     * whole point of the gate is making the misses visible.
     */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Knn.bruteTopK(spark, dir).select("q_id", "nbr_id")
-    val ann = LshAnn.annTopK(spark, dir).select("q_id", "nbr_id")
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+      Knn.bruteTopK(spark, dir).select("q_id", "nbr_id"),
+      LshAnn.annTopK(spark, dir).select("q_id", "nbr_id"))
+
+  /** q_ann_recall_ivf: the same gate for the IVF probe path —
+    * `IvfAnn.ivfTopK` vs the exact list. The LSH row alone left the
+    * family's OTHER index unmeasured: five queries (ivf, ivfpq,
+    * knn_graph, semdedup, index-backed hybrid) ride the IVF coarse
+    * probe, so its recall belongs in the published QA table next to
+    * LSH's, from the same bounded-join machinery.
+    */
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+      Knn.bruteTopK(spark, dir).select("q_id", "nbr_id"),
+      IvfAnn.ivfTopK(spark, dir).select("q_id", "nbr_id"))
+
+  /** Shared recall join: both inputs are top-k-bounded (q·k rows), so
+    * the hit join and per-query aggregate stay broadcast-scale whatever
+    * the corpus size.
+    */
+  private def recallOf(exact: DataFrame, ann: DataFrame): DataFrame = {
     val exactN = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
     val annN = ann.groupBy("q_id").agg(count(lit(1)).as("n_ann"))
     val hitN = exact

@@ -340,10 +340,11 @@ object KMeansOracle {
     (Seq("(SELECT k FROM kparams)") ++
       (1 until r).map(q => s"2 * (SELECT count(*) FROM splits$q)")).mkString(" + ")
 
-  /** The probe → exact-cosine → top-k tail shared by `annIvfSql`
-    * (bounded query set) and `knnGraphSql` (every vector queries).
+  /** The probe → exact-cosine CTE pair shared by the ranked-list
+    * queries and the recall gate (so the probe replay can never drift
+    * between them).
     */
-  private def topKTail(queryFilter: String): String =
+  private def probeScoredCtes(queryFilter: String): String =
     s"""probes AS (
        |  SELECT q.vec_id AS q_id, l.cell
        |  FROM (SELECT vec_id, u FROM acorp $queryFilter) q, leafcents l
@@ -360,11 +361,67 @@ object KMeansOracle {
        |  JOIN vec ce ON ce.vec_id = c.vec_id
        |  JOIN norms qn ON qn.vec_id = p.q_id
        |  JOIN norms cn ON cn.vec_id = c.vec_id
-       |)
+       |)""".stripMargin
+
+  /** The probe → exact-cosine → top-k tail shared by `annIvfSql`
+    * (bounded query set) and `knnGraphSql` (every vector queries).
+    */
+  private def topKTail(queryFilter: String): String =
+    s"""${probeScoredCtes(queryFilter)}
        |SELECT q_id, nbr_id, ${round4("cos")} AS cos, rn::BIGINT AS rn
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id ASC) AS rn FROM scored)
        |WHERE rn <= ${Knn.TopK}
        |ORDER BY q_id, rn""".stripMargin
+
+  /** `q_ann_recall_ivf`: the IVF probe's ranked list joined against the
+    * exact brute-force list — `AnnRecall.annRecallIvf` replayed. Same
+    * recall algebra as `LshOracle.recallSql` (integer hit counts, one
+    * IEEE int64/int64 division, round4).
+    */
+  lazy val ivfRecallSql: String = {
+    val numQueries = Knn.NumQueries
+    val topK = Knn.TopK
+    s"""WITH RECURSIVE
+       |${quantCtes.mkString(",\n")},
+       |${probeScoredCtes(s"WHERE vec_id < $numQueries")},
+       |ann AS (
+       |  SELECT q_id, nbr_id FROM (
+       |    SELECT q_id, nbr_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id ASC) AS rn
+       |    FROM scored
+       |  ) WHERE rn <= $topK
+       |),
+       |bscored AS (
+       |  SELECT va.vec_id AS q_id, vb.vec_id AS nbr_id,
+       |         list_dot_product(va.e, vb.e) / (na.norm * nb.norm) AS cos
+       |  FROM vec va JOIN vec vb ON vb.vec_id <> va.vec_id
+       |  JOIN norms na ON na.vec_id = va.vec_id
+       |  JOIN norms nb ON nb.vec_id = vb.vec_id
+       |  WHERE va.vec_id < $numQueries
+       |),
+       |brute AS (
+       |  SELECT q_id, nbr_id FROM (
+       |    SELECT q_id, nbr_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id ASC) AS rn
+       |    FROM bscored
+       |  ) WHERE rn <= $topK
+       |),
+       |ex AS (SELECT q_id, count(*) AS n_exact FROM brute GROUP BY q_id),
+       |an AS (SELECT q_id, count(*) AS n_ann FROM ann GROUP BY q_id),
+       |hit AS (
+       |  SELECT b.q_id, count(*) AS n_hit
+       |  FROM brute b JOIN ann a ON a.q_id = b.q_id AND a.nbr_id = b.nbr_id
+       |  GROUP BY b.q_id
+       |)
+       |SELECT ex.q_id, ex.n_exact,
+       |  coalesce(an.n_ann, 0) AS n_ann,
+       |  coalesce(hit.n_hit, 0) AS n_hit,
+       |  ${round4("CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE)")} AS recall
+       |FROM ex
+       |LEFT JOIN an ON an.q_id = ex.q_id
+       |LEFT JOIN hit ON hit.q_id = ex.q_id
+       |ORDER BY ex.q_id""".stripMargin
+  }
 
   /** `q_ann_ivf`: probe the nprobe nearest leaf cells per query, exact
     * cosine within probed cells, top-k — `IvfAnn.ivfTopK` replayed.

@@ -72,4 +72,38 @@ class HybridIndexedSpec extends SparkSpec {
     info(f"semantic recall@${graft.similarity.Hybrid.TopN}: $recall%.3f (${probed.size} probed, ${exact.size} exact)")
     assert(recall >= 0.40, f"IVF-probed semantic recall below the measured floor: $recall%.3f")
   }
+
+  test("published mode at sf0.1: semantic recall floor at a non-degenerate scale") {
+    // r17 (verdict #2): the 0.40 floor above is measured at sf0.001,
+    // where the spec itself admits the number is degenerate — nprobe 8
+    // of ~50 near-singleton cells makes the probed list intentionally
+    // partial. At sf0.1 (2000 vectors, ~64 cells, nprobe 8) the cells
+    // carry real mass and the probe covers a meaningful neighborhood;
+    // this is the scale the production floor is pinned at. Same
+    // deterministic quantizer ⇒ the measured number is stable
+    // run-to-run: 0.500 measured (nprobe 8 of 64 cells = 12.5% of the
+    // corpus scanned; the fixture's embeddings spread each natural
+    // cluster over ~6 cells, so a top-50 list spans more cells than
+    // the probe — the expected IVF trade at this probe fraction, and
+    // exactly what `q_ann_recall_ivf` now publishes per query).
+    val dir = "/root/testdata/sf0.1"
+    spark.catalog.clearCache()
+    val inline = SparkEntry.queries("q_hybrid_search")(spark, dir).collect()
+    spark.catalog.clearCache()
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_sf01").toString
+    spark.conf.set("spark.graft.artifacts", root)
+    try {
+      val indexed = SparkEntry.queries("q_hybrid_search")(spark, dir).collect()
+      def semOf(rows: Array[Row]) =
+        rows.filter(_.getLong(2) != -1L).map(_.getLong(0)).toSet
+      val (exact, probed) = (semOf(inline), semOf(indexed))
+      assert(exact.nonEmpty, "inline semantic list must not be empty at sf0.1")
+      val recall = probed.intersect(exact).size.toDouble / exact.size
+      info(f"sf0.1 semantic recall@${graft.similarity.Hybrid.TopN}: $recall%.3f (${probed.size} probed, ${exact.size} exact)")
+      assert(recall >= 0.48, f"sf0.1 IVF-probed semantic recall below the measured 0.500 floor: $recall%.3f")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts")
+      spark.catalog.clearCache()
+    }
+  }
 }

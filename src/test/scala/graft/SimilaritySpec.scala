@@ -68,6 +68,32 @@ class SimilaritySpec extends SparkSpec {
     assert(micro >= 0.35, s"aggregate recall collapsed: $micro")
   }
 
+  test("q_ann_recall_ivf matches the set-computed recall of the IVF probe vs brute force") {
+    // r17: the QA gate for the family's OTHER index — five queries ride
+    // the IVF coarse probe but only LSH had a recall row.
+    val brute = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bByQ = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val aByQ = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = SparkEntry.queries("q_ann_recall_ivf")(spark, sfDir).collect()
+    assert(rows.length == graft.similarity.Knn.NumQueries, "one row per query, misses included")
+    rows.foreach { r =>
+      val (q, nExact, nAnn, nHit, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nExact == bByQ(q).size.toLong)
+      assert(nAnn == aByQ.getOrElse(q, Set.empty[Long]).size.toLong)
+      assert(nHit == bByQ(q).intersect(aByQ.getOrElse(q, Set.empty[Long])).size.toLong)
+      val expected = math.floor(nHit.toDouble / nExact.toDouble * 10000 + 0.5) / 10000
+      assert(recall == expected, s"q $q: recall $recall != $expected")
+      assert(nHit <= math.min(nExact, nAnn))
+    }
+    val micro = rows.map(_.getLong(3)).sum.toDouble / rows.map(_.getLong(1)).sum
+    info(f"IVF micro recall@${graft.similarity.Knn.TopK}: $micro%.3f")
+    assert(micro >= 0.35, s"IVF aggregate recall collapsed: $micro")
+  }
+
   test("q_hybrid_search RRF fusion: query doc excluded, ranks dense, scores recompute") {
     import graft.similarity.Hybrid
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
