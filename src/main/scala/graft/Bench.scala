@@ -49,15 +49,14 @@ object Bench {
       // index + IVF coarse index in artifacts mode
       "q_hybrid_search")
 
-  /** Queries whose artifacts-MODE semantics changed after the r15 pin
-    * was taken (the pin measured a different computation, so the
+  /** Queries whose artifacts-MODE semantics changed after the full-set
+    * pin was taken (the pin measured a different computation, so the
     * comparison would misread a mode switch as a plan change). Excluded
-    * from the vs_r15 shared set only, disclosed via
-    * `r15_mode_changed`. Currently: q_hybrid_search's r15 pin measured
-    * the inline exact-scan mode; since r16 the bench line measures the
-    * index-backed mode (published lexical index + IVF probes).
+    * from the vs_r16 shared set only, disclosed via
+    * `r16_mode_changed`. Empty since the r17 re-pin: the r16 clean-gate
+    * pin already measured q_hybrid_search in index-backed mode.
     */
-  val ModeChangedSinceR15: Set[String] = Set("q_hybrid_search")
+  val ModeChangedSinceR16: Set[String] = Set.empty
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,7 +139,7 @@ object Bench {
       s""""calib_pre":${r3d(calibPre)},"calib_post":${r3d(calibPost)},"calib_ref":$calibRef,""" +
       s""""load_factor":$loadFactor,"timed_passes":${passes.size}}"""
     val excl = ArtifactConsumers.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val modeChanged = ModeChangedSinceR15.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val modeChanged = ModeChangedSinceR16.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmtQs(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // At 100+ queries the full per-query map overflows the driver's
@@ -157,13 +156,13 @@ object Bench {
     val qsFull = fmtQs(results.toSeq.sortBy { case (k, v) => (v, k) })
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailName),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"r15_mode_changed":$modeChanged,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"r16_mode_changed":$modeChanged,"sf":"$sfDir"}""" + "\n")
     // Compact line: the 15 slowest queries only (still cheapest-first so
     // the expensive ones sit in the surviving suffix if a future driver
     // truncates even this).
     val slowest = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(15)
       .sortBy { case (k, v) => (v, k) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"$detailName","queries":${fmtQs(slowest)},"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"r15_mode_changed":$modeChanged,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"$detailName","queries":${fmtQs(slowest)},"aliases":$al$baseline$host,"artifacts":"published","ratio_excluded":$excl,"r16_mode_changed":$modeChanged,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -220,13 +219,14 @@ object Bench {
       .map(fmt("vs_r3", _)).getOrElse("")
     val duck = ratio(section("duckdb"), ArtifactConsumers)
       .map(fmt("vs_duckdb", _)).getOrElse("")
-    // The r15 pin is a same-mode (published-artifacts) clean-gate run
+    // The r16 pin is a same-mode (published-artifacts) clean-gate run
     // over the FULL query set — the full-set regression floor the
     // 45-query r3 pin can't provide. No artifact-consumer exclusion
     // (both sides measured the same mode); only queries whose MODE
-    // changed since the pin drop out (disclosed).
-    val r15 = ratio(section("r15"), ModeChangedSinceR15)
-      .map(fmt("vs_r15", _)).getOrElse("")
-    r3 + duck + r15
+    // changed since the pin drop out (disclosed; empty since the r17
+    // re-pin).
+    val r16 = ratio(section("r16"), ModeChangedSinceR16)
+      .map(fmt("vs_r16", _)).getOrElse("")
+    r3 + duck + r16
   }
 }

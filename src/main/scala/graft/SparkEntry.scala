@@ -89,6 +89,8 @@ object SparkEntry {
     "q_ann_recall"         -> ((s, d) => graft.similarity.AnnRecall.annRecall(s, d)),
     "q_ann_recall_ivf"     -> ((s, d) => graft.similarity.AnnRecall.annRecallIvf(s, d)),
     "q_hybrid_search"      -> ((s, d) => graft.similarity.Hybrid.hybridSearch(s, d)),
+    "q_lex_delta"          -> ((s, d) => graft.similarity.LexIndex.lexDelta(s, d)),
+    "q_lex_stats"          -> ((s, d) => graft.similarity.LexIndex.lexStats(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_ann_ivfpq"          -> ((s, d) => graft.similarity.IvfPq.ivfPqTopK(s, d)),
     "q_knn_graph"          -> ((s, d) => graft.similarity.IvfAnn.knnGraph(s, d)),
@@ -105,7 +107,7 @@ object SparkEntry {
     "q_tfidf_search"       -> ((s, d) => TextFunctions.tfidfSearch(s, d)),
     "q_bm25_search"        -> ((s, d) => TextFunctions.bm25Search(s, d)),
     "q_session_stats"      -> (Sessionize.sessionStats _),
-    "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipeline(s, d)),
+    "q_multimodal_pipeline" -> ((s, d) => graft.multimodal.BinaryPipeline.pipelineGated(s, d)),
     "q_scd_history"         -> ((s, d) => graft.sources.ScdHistory.scdHistory(s, d)),
     "q_stats_history_composite" -> (StatsHistory.statsComposite _),
     "q_feature_bins"        -> (Features.featureBins _),
@@ -118,6 +120,7 @@ object SparkEntry {
     "q_semdedup"            -> ((s, d) => graft.similarity.SemDedup.semDedupPairs(s, d)),
     "q_media_prep"          -> ((s, d) => graft.multimodal.BinaryPipeline.mediaPrep(s, d)),
     "q_media_pixels"        -> ((s, d) => graft.multimodal.PixelPipeline.mediaPixels(s, d)),
+    "q_media_pixels_jpeg"   -> ((s, d) => graft.multimodal.PixelPipeline.mediaPixelsJpeg(s, d)),
     "q_corpus_report"       -> ((s, d) => graft.functions.QualityFilters.corpusReport(s, d)),
     "q_quality_sample"      -> ((s, d) => graft.functions.QualityFilters.qualitySample(s, d)),
     "q_quality_c4"          -> ((s, d) => graft.functions.QualityFilters.c4Quality(s, d)),
@@ -1027,6 +1030,36 @@ object SparkEntry {
     // queries graduate from rows-only to full rows+schema+hash.
     "q_ann_ivf" -> graft.similarity.KMeansOracle.annIvfSql,
     "q_ann_recall_ivf" -> graft.similarity.KMeansOracle.ivfRecallSql,
+    // Lexical index maintenance (r17): the oracle for the DELTA-merged
+    // dictionary is the FULL REBUILD over the whole corpus — equality
+    // re-proves the merge monoid every round (the cluster-delta
+    // contract). The stats oracle is the same tf derivation plus two
+    // exact int64/int64 divisions round4'd.
+    "q_lex_delta" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+           |), tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+           |)
+           |SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+           |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_lex_stats" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+           |), tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+           |), dl AS (
+           |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+           |), totals AS (
+           |  SELECT count(*) AS n_docs, sum(dl) AS t_tok FROM dl
+           |), terms AS (
+           |  SELECT tok, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY tok
+           |)
+           |SELECT tok, df, CAST(ttf AS BIGINT) AS ttf,
+           |  floor(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) * 10000 + 0.5) / 10000 AS df_frac,
+           |  floor(CAST(ttf AS DOUBLE) / CAST(t_tok AS DOUBLE) * 10000 + 0.5) / 10000 AS mass_frac
+           |FROM terms, totals
+           |ORDER BY df DESC, tok LIMIT ${graft.similarity.LexIndex.StatsTopK}""".stripMargin,
     "q_knn_graph" -> graft.similarity.KMeansOracle.knnGraphSql,
     "q_semdedup" -> graft.similarity.KMeansOracle.semdedupSql,
     "q_diversity_sample" -> graft.similarity.KMeansOracle.diversitySql,
@@ -1348,6 +1381,11 @@ object SparkEntry {
     // The oracle recomputes the media-prep plan from the id-derived
     // generator formulas, so a Spark-side DECODE regression (the dims
     // feeding the plan come from real byte parsing) breaks this gate.
+    // r17: the last rows-only row graduates — header bytes re-synthesized
+    // from the generator's own hex constants, checksum polynomial rolled
+    // in HUGEINT mod-2^64 over header + text bytes (see
+    // BinaryPipeline.pipelineSql; ASCII-guarded by Verify's domain probe).
+    "q_multimodal_pipeline" -> graft.multimodal.BinaryPipeline.pipelineSql,
     "q_media_prep" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
@@ -1396,6 +1434,11 @@ object SparkEntry {
         |  floor((CAST(sg AS DOUBLE) / (w * h)) * 10000 + 0.5) / 10000 AS mean_g,
         |  floor((CAST(sb AS DOUBLE) / (w * h)) * 10000 + 0.5) / 10000 AS mean_b
         |FROM sums ORDER BY media_id""".stripMargin,
+    // r17: the JPEG twin — real baseline JFIF (Annex-K Huffman scan
+    // data) decoded end-to-end; block-constant content makes the
+    // roundtrip exact, and the oracle replays the codec's fixed-point
+    // YCbCr roundtrip per block (constants from JpegCodec itself).
+    "q_media_pixels_jpeg" -> graft.multimodal.PixelPipeline.mediaPixelsJpegSql,
     "q_line_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,

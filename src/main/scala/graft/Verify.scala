@@ -12,19 +12,36 @@ object Verify {
     */
   val textReplayOracles: Set[String] = Set("q_dedup_minhash_lsh", "q_dedup_simhash")
 
-  /** True iff the corpus satisfies the XXH64 text-replay domain:
-    * pure-ASCII text (octet_length == length) and a conservative
-    * shingle bound (3·maxTokenBytes + 2 separators < 32 — may downgrade
-    * a corpus whose actual 3-grams all stay short, never the reverse).
+  /** Oracles that replay a BYTE-level computation over corpus text via
+    * per-character `ord` (r17: the multimodal checksum roll) — they
+    * need only the ASCII half of the domain (ord(char) == byte), not
+    * the 32-byte shingle bound.
     */
-  def textReplayDomainOk(docs: org.apache.spark.sql.DataFrame): Boolean = {
+  val asciiReplayOracles: Set[String] = Set("q_multimodal_pipeline")
+
+  /** One probe, two conditions: (pure-ASCII text, conservative shingle
+    * bound 3·maxTokenBytes + 2 < 32). The pair is what the two oracle
+    * families split on; `textReplayDomainOk` keeps the original
+    * combined contract.
+    */
+  private[graft] def domainProbe(docs: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     val r = docs.select(
       max(when(octet_length(col("text")) =!= length(col("text")), 1)
         .otherwise(0)).as("multibyte"),
       max(expr("array_max(transform(split(text, ' '), t -> octet_length(t)))"))
         .as("max_tok")).first()
-    r.getInt(0) == 0 && 3 * r.getInt(1) + 2 < 32
+    (r.getInt(0) == 0, 3 * r.getInt(1) + 2 < 32)
+  }
+
+  /** True iff the corpus satisfies the XXH64 text-replay domain:
+    * pure-ASCII text (octet_length == length) and a conservative
+    * shingle bound (3·maxTokenBytes + 2 separators < 32 — may downgrade
+    * a corpus whose actual 3-grams all stay short, never the reverse).
+    */
+  def textReplayDomainOk(docs: org.apache.spark.sql.DataFrame): Boolean = {
+    val (asciiOk, shingleOk) = domainProbe(docs)
+    asciiOk && shingleOk
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,18 +87,22 @@ object Verify {
     // aggregate over the documents table; conservative bound
     // (3·maxTokenBytes + 2 separator bytes >= 32 triggers even if no
     // actual 3-gram reaches 32).
-    val domainOk = try {
-      val ok = textReplayDomainOk(Tables.documents(spark, sfDir))
-      if (!ok) System.err.println(
+    val (asciiOk, textOk) = try {
+      val (a, s) = domainProbe(Tables.documents(spark, sfDir))
+      if (!(a && s)) System.err.println(
         "[verify] XXH64 replay domain violated: downgrading " +
           textReplayOracles.mkString(", ") + " to rows-only")
-      ok
+      if (!a) System.err.println(
+        "[verify] ASCII replay domain violated: downgrading " +
+          asciiReplayOracles.mkString(", ") + " to rows-only")
+      (a, a && s)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] domain probe failed ($e); keeping oracles")
-      true
+      (true, true)
     }
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => domainOk || !textReplayOracles.contains(k) }
+      .filter { case (k, _) => textOk || !textReplayOracles.contains(k) }
+      .filter { case (k, _) => asciiOk || !asciiReplayOracles.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(

@@ -72,6 +72,40 @@ object BinaryPipeline {
     "00000000" + "00010000" + "00000000" +
     "00000000" + "00000000" + "40000000"
 
+  // --- shared generator/oracle header fragments (r17) ---
+  // The full-row DuckDB oracle (pipelineSql) re-synthesizes the payload
+  // header bytes from these SAME constants and rolls the identical
+  // checksum polynomial over them — one source of truth, so the
+  // generator and the replay cannot drift. Each constant is the static
+  // hex between two id-derived fields (width/height/rate/duration).
+
+  /** PNG: signature + IHDR length/tag; then 4B BE width, 4B BE height. */
+  private[graft] val PngPreHex = "89504E470D0A1A0A0000000D49484452"
+  /** PNG IHDR tail: 8-bit depth, RGB color, deflate/adaptive/no-interlace. */
+  private[graft] val PngPostHex = "0802000000"
+  /** JPEG: SOI + SOF0 (len 0x11, 8-bit precision); then 2B BE height, 2B BE width. */
+  private[graft] val JpegPreHex = "FFD8FFC0001108"
+  /** JPEG SOF0 tail: 3 components with sampling/table ids. */
+  private[graft] val JpegPostHex = "03011100021101031101"
+  /** WAV: RIFF/WAVE + fmt chunk header + PCM tag LE; then channels LE 2B. */
+  private[graft] val WavPreHex = "524946462400000057415645666D7420100000000100"
+  /** WAV fmt tail (block align 2, 16-bit) + empty data chunk header. */
+  private[graft] val WavPostHex = "02001000" + "6461746100000000"
+  /** MP4: ftyp + moov header + mvhd head (timescale 1000); then 4B BE duration. */
+  private[graft] val Mp4PreHex =
+    "00000010" + "66747970" + "69736F6D" + "00000000" + // ftyp isom
+      "000000D8" + "6D6F6F76" +                         // moov (216B)
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" + "000003E8"
+  /** mvhd tail + trak header + tkhd head; then 4B BE duration again. */
+  private[graft] val Mp4MidHex =
+    "00010000" + "0100" + "00000000000000000000" + Mp4MatrixHex +
+      "0" * 48 + "00000002" +
+      "00000064" + "7472616B" +                         // trak (100B)
+      "0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" + "00000001" + "00000000"
+  /** tkhd middle; then 16.16 width (2B BE + 0000), 16.16 height (same). */
+  private[graft] val Mp4Mid2Hex =
+    "0000000000000000" + "0000" + "0000" + "0000" + "0000" + Mp4MatrixHex
+
   /** Builds the media table from the documents corpus: payload bytes
     * with a REAL container header (PNG/JPEG for images, WAV for audio)
     * followed by the utf-8 text as body bytes; video stays raw.
@@ -81,41 +115,27 @@ object BinaryPipeline {
     val w = imgWidth(id)
     val h = imgHeight(id)
     // PNG: signature + IHDR length/tag, 4B BE width/height, 8-bit RGB.
-    val pngHex = concat(
-      lit("89504E470D0A1A0A0000000D49484452"), beHex(w, 4), beHex(h, 4), lit("0802000000"))
+    val pngHex = concat(lit(PngPreHex), beHex(w, 4), beHex(h, 4), lit(PngPostHex))
     // JPEG: SOI + SOF0 (len 0x11, 8-bit precision, 2B BE height then
     // width, 3 components).
-    val jpegHex = concat(
-      lit("FFD8FFC0001108"), beHex(h, 2), beHex(w, 2), lit("03011100021101031101"))
+    val jpegHex = concat(lit(JpegPreHex), beHex(h, 2), beHex(w, 2), lit(JpegPostHex))
     // WAV: RIFF/WAVE + fmt chunk (PCM, LE channels @22, LE rate @24) +
     // empty data chunk header.
     val sr = wavRate(id)
     val ch = wavChannels(id)
-    val wavHex = concat(
-      lit("524946462400000057415645666D74201000000001"), lit("00"),
-      leHex(ch, 1), lit("00")) // audioFormat=1 LE padded + channels 2B LE
-    val wavHex2 = concat(wavHex, leHex(sr, 4), leHex(sr * 2, 4), lit("02001000"), lit("6461746100000000"))
+    val wavHex2 = concat(
+      lit(WavPreHex), leHex(ch, 1), lit("00"), // channels 2B LE
+      leHex(sr, 4), leHex(sr * 2, 4), lit(WavPostHex))
     // MP4/ISO-BMFF: ftyp, then moov { mvhd (timescale 1000, duration),
     // trak { tkhd (16.16 fixed-point width/height) } }. Box sizes are
     // fixed (v0 mvhd 108, tkhd 92) so every size field is a literal.
     val dur = vidDurationMs(id) // timescale 1000 -> duration field IS ms
-    val mvhdHex = concat(
-      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" + "000003E8"),
-      beHex(dur, 4),
-      lit("00010000" + "0100" + "00000000000000000000" + Mp4MatrixHex),
-      lit("0" * 48 + "00000002"))
-    val tkhdHex = concat(
-      lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" + "00000001" + "00000000"),
-      beHex(dur, 4),
-      lit("0000000000000000" + "0000" + "0000" + "0000" + "0000" + Mp4MatrixHex),
+    val mp4Hex = concat(
+      lit(Mp4PreHex), beHex(dur, 4),
+      lit(Mp4MidHex), beHex(dur, 4),
+      lit(Mp4Mid2Hex),
       beHex(vidWidth(id), 2), lit("0000"),
       beHex(vidHeight(id), 2), lit("0000"))
-    val mp4Hex = concat(
-      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
-      lit("000000D8" + "6D6F6F76"),                           // moov (216B)
-      mvhdHex,
-      lit("00000064" + "7472616B"),                           // trak (100B)
-      tkhdHex)
     val kind = when(pmod(id, lit(3)) === 0, "image")
       .when(pmod(id, lit(3)) === 1, "audio")
       .otherwise("video")
@@ -323,6 +343,82 @@ object BinaryPipeline {
     extractFeatures(media).toDF().orderBy("media_id")
   }
 
+  /** The driver-gated `q_multimodal_pipeline` frame (r17): `pipeline`
+    * with the int32 header fields widened to int64 so the cross-engine
+    * compare is type-exact. Rows are identical — this exists because
+    * the row GRADUATED from rows-only to a full oracle: every column,
+    * including `n_bytes` (per-format constant header length + utf-8
+    * body length) and `checksum` (the polynomial rolling hash replayed
+    * byte-for-byte over the re-synthesized header + text — see
+    * [[pipelineSql]]), is now a deterministic function of (doc_id,
+    * text) that DuckDB recomputes independently.
+    */
+  def pipelineGated(spark: SparkSession, dir: String): DataFrame =
+    pipeline(spark, dir).select(
+      col("media_id"), col("kind"), col("format"), col("n_bytes"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      col("sample_rate").cast("long").as("sample_rate"),
+      col("channels").cast("long").as("channels"),
+      col("duration_ms"), col("checksum"))
+
+  /** Full DuckDB replay of `q_multimodal_pipeline` (r17 — the last
+    * rows-only row graduates). The oracle re-synthesizes each payload's
+    * HEADER BYTES from the same shared hex constants the generator
+    * uses (PngPreHex.. above — one source of truth), appends the utf-8
+    * text bytes (`ord` per char — guarded by Verify's ASCII domain
+    * probe, the same downgrade contract as the XXH64 replays), and
+    * rolls the identical checksum polynomial h = h·1315423911 + byte in
+    * HUGEINT mod-2⁶⁴ arithmetic via one `list_reduce` — so a defect in
+    * the header SYNTHESIS or the decode's byte walk breaks the hash
+    * gate, not just the dims columns.
+    */
+  lazy val pipelineSql: String = {
+    def hexList(s: String): String =
+      s.grouped(2).map(p => Integer.parseInt(p, 16)).mkString("[", ", ", "]")
+    def be2(v: String) = s"[($v) // 256 % 256, ($v) % 256]"
+    def be4(v: String) =
+      s"[($v) // 16777216 % 256, ($v) // 65536 % 256, ($v) // 256 % 256, ($v) % 256]"
+    def le4(v: String) =
+      s"[($v) % 256, ($v) // 256 % 256, ($v) // 65536 % 256, ($v) // 16777216 % 256]"
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 3 = 0 THEN 'jpeg'
+       |         WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    16 + doc_id % 1024 AS iw, 16 + doc_id % 768 AS ih,
+       |    8000 + (doc_id % 8) * 4000 AS sr, 1 + doc_id % 2 AS ch,
+       |    160 + doc_id % 1280 AS vw, 120 + doc_id % 720 AS vh,
+       |    (1 + doc_id % 59) * 1000 AS dur
+       |  FROM documents
+       |), hb AS (
+       |  SELECT *, CASE format
+       |    WHEN 'png' THEN ${hexList(PngPreHex)} || ${be4("iw")} || ${be4("ih")} || ${hexList(PngPostHex)}
+       |    WHEN 'jpeg' THEN ${hexList(JpegPreHex)} || ${be2("ih")} || ${be2("iw")} || ${hexList(JpegPostHex)}
+       |    WHEN 'wav' THEN ${hexList(WavPreHex)} || [ch, 0] || ${le4("sr")} || ${le4("sr * 2")} || ${hexList(WavPostHex)}
+       |    ELSE ${hexList(Mp4PreHex)} || ${be4("dur")} || ${hexList(Mp4MidHex)} || ${be4("dur")} || ${hexList(Mp4Mid2Hex)} || ${be2("vw")} || [0, 0] || ${be2("vh")} || [0, 0]
+       |  END AS hdr FROM m
+       |), rolled AS (
+       |  SELECT media_id, kind, format, iw, ih, sr, ch, vw, vh, dur,
+       |    len(hdr) + octet_length(encode(text)) AS n_bytes,
+       |    list_reduce(
+       |      list_prepend(0::HUGEINT,
+       |        list_transform(hdr, b -> b::HUGEINT) ||
+       |        list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::HUGEINT)),
+       |      (h, b) -> (h * 1315423911::HUGEINT + b) % 18446744073709551616::HUGEINT) AS hraw
+       |  FROM hb
+       |)
+       |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(CASE kind WHEN 'image' THEN iw WHEN 'video' THEN vw ELSE 0 END AS BIGINT) AS width,
+       |  CAST(CASE kind WHEN 'image' THEN ih WHEN 'video' THEN vh ELSE 0 END AS BIGINT) AS height,
+       |  CAST(CASE kind WHEN 'audio' THEN sr ELSE 0 END AS BIGINT) AS sample_rate,
+       |  CAST(CASE kind WHEN 'audio' THEN ch ELSE 0 END AS BIGINT) AS channels,
+       |  CAST(CASE kind WHEN 'video' THEN dur ELSE 0 END AS BIGINT) AS duration_ms,
+       |  (CASE WHEN hraw >= 9223372036854775808::HUGEINT
+       |        THEN hraw - 18446744073709551616::HUGEINT ELSE hraw END)::BIGINT AS checksum
+       |FROM rolled ORDER BY media_id""".stripMargin
+  }
+
   /** Preprocessing plan for a vision-language training run, computed
     * DOWNSTREAM of the real byte decode: aspect-fit resize to 224 px
     * (integer math — max dimension pinned, the other floor-scaled, min
@@ -447,6 +543,145 @@ object PixelPipeline {
         })
       }
       .toDF("media_id", "payload")
+  }
+
+  // --- JPEG arm (r17) ----------------------------------------------------
+
+  /** JPEG asset dims: block-multiples by construction (the exactness
+    * argument in [[JpegCodec]] is per-8×8-block; edge replication would
+    * otherwise blur the oracle contract).
+    */
+  private[graft] def jpgBw(id: Long): Int = 1 + (id % 4).toInt
+  private[graft] def jpgBh(id: Long): Int = 1 + (id % 3).toInt
+
+  /** Per-BLOCK constant color formula (mirrored in the oracle SQL). */
+  private[graft] def jpgRgb(id: Long, bx: Int, by: Int): (Int, Int, Int) = {
+    val base = ((id * 31 + 7L * bx + 13L * by) % 256).toInt
+    (base, (base + 5) % 256, (base + 10) % 256)
+  }
+
+  private def renderJpegPixels(id: Long, bw: Int, bh: Int): Array[Byte] = {
+    val w = bw * 8
+    val out = new Array[Byte](w * bh * 8 * 3)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val (r, g, b) = jpgRgb(id, bx, by)
+        var j = 0
+        while (j < 64) {
+          val o = ((by * 8 + j / 8) * w + bx * 8 + j % 8) * 3
+          out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+          j += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** The JPEG asset subset (the `mediaTable` image ids that get a JPEG
+    * header there get full baseline bitstreams here), one complete
+    * encoded JFIF per row — real Annex-K Huffman scan data, block-
+    * constant content so the decode roundtrip is exact (see JpegCodec).
+    */
+  def jpegMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    implicit val idEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    Tables
+      .documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(6)) === 3)
+      .select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BinaryPipeline.DecodeBatchSize).flatMap(_.map { id =>
+          val bw = jpgBw(id); val bh = jpgBh(id)
+          (id, JpegCodec.encode(bw * 8, bh * 8, renderJpegPixels(id, bw, bh)))
+        })
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** q_media_pixels_jpeg: the JPEG twin of `mediaPixels` — full entropy
+    * decode (Huffman + dequant + IDCT + YCbCr→RGB) per asset, exact
+    * int64 channel sums, means as one int/int division + round4. The
+    * oracle replays the expected pixels from the id formula plus the
+    * codec's own fixed-point color roundtrip (constants interpolated
+    * from JpegCodec — one source of truth), so ANY defect in the
+    * marker walk, Huffman tables, dequant, IDCT, or color math breaks
+    * the hash gate.
+    */
+  def mediaPixelsJpeg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val statEnc = Encoders.product[PixelStats]
+    jpegMediaTable(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BinaryPipeline.DecodeBatchSize).flatMap(_.map { case (id, bytes) =>
+          JpegCodec.decode(bytes) match {
+            case Some(img) =>
+              val (sr, sg, sb) = img.channelSums
+              PixelStats(id, img.width, img.height, img.width.toLong * img.height, sr, sg, sb)
+            case None => PixelStats(id, 0, 0, -1L, 0L, 0L, 0L)
+          }
+        })
+      }
+      .toDF("media_id", "width", "height", "n_px", "sr", "sg", "sb")
+      .select(
+        col("media_id"), col("width"), col("height"), col("n_px"),
+        graft.Num.round4(col("sr").cast("double") / col("n_px")).as("mean_r"),
+        graft.Num.round4(col("sg").cast("double") / col("n_px")).as("mean_g"),
+        graft.Num.round4(col("sb").cast("double") / col("n_px")).as("mean_b"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of q_media_pixels_jpeg: blocks from the id formula,
+    * the codec's fixed-point YCbCr roundtrip per block (floor division
+    * by 2¹⁶ — exact as double floor since 65536 is a power of two),
+    * channel sums as 64·Σ blocks. Constants come from JpegCodec's own
+    * derived vals.
+    */
+  lazy val mediaPixelsJpegSql: String = {
+    import JpegCodec._
+    def fd(x: String): String = s"CAST(floor(($x) / 65536.0) AS BIGINT)"
+    def clamp(x: String): String = s"greatest(0, least(255, $x))"
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+       |  FROM documents WHERE doc_id % 6 = 3
+       |), blk AS (
+       |  SELECT media_id, bw, bh, unnest(range(0, bw * bh)) AS bi FROM img
+       |), c AS (
+       |  SELECT media_id, bw, bh,
+       |    (media_id * 31 + 7 * (bi % bw) + 13 * (bi // bw)) % 256 AS r0,
+       |    (media_id * 31 + 7 * (bi % bw) + 13 * (bi // bw) + 5) % 256 AS g0,
+       |    (media_id * 31 + 7 * (bi % bw) + 13 * (bi // bw) + 10) % 256 AS b0
+       |  FROM blk
+       |), ycc AS (
+       |  SELECT media_id, bw, bh,
+       |    ${fd(s"$FYR * r0 + $FYG * g0 + $FYB * b0 + $Half")} AS y,
+       |    ${fd(s"$FCbR * r0 + $FCbG * g0 + $FCbB * b0 + $Half")} + 128 AS cb,
+       |    ${fd(s"$FCrR * r0 + $FCrG * g0 + $FCrB * b0 + $Half")} + 128 AS cr
+       |  FROM c
+       |), rgb AS (
+       |  SELECT media_id, bw, bh,
+       |    ${clamp(s"y + ${fd(s"$FRCr * (cr - 128) + $Half")}")} AS r,
+       |    ${clamp(s"y - ${fd(s"$FGCb * (cb - 128) + $FGCr * (cr - 128) + $Half")}")} AS g,
+       |    ${clamp(s"y + ${fd(s"$FBCb * (cb - 128) + $Half")}")} AS b
+       |  FROM ycc
+       |), sums AS (
+       |  SELECT media_id, bw, bh,
+       |    64 * sum(r) AS sr, 64 * sum(g) AS sg, 64 * sum(b) AS sb
+       |  FROM rgb GROUP BY 1, 2, 3
+       |)
+       |SELECT media_id, CAST(bw * 8 AS INTEGER) AS width, CAST(bh * 8 AS INTEGER) AS height,
+       |  CAST(bw * bh * 64 AS BIGINT) AS n_px,
+       |  floor((CAST(sr AS DOUBLE) / (bw * bh * 64)) * 10000 + 0.5) / 10000 AS mean_r,
+       |  floor((CAST(sg AS DOUBLE) / (bw * bh * 64)) * 10000 + 0.5) / 10000 AS mean_g,
+       |  floor((CAST(sb AS DOUBLE) / (bw * bh * 64)) * 10000 + 0.5) / 10000 AS mean_b
+       |FROM sums ORDER BY media_id""".stripMargin
   }
 
   /** Decode + per-channel stats: batched full-frame decode, exact

@@ -59,48 +59,16 @@ object Hybrid {
   /** RRF smoothing constant (Cormack et al.'s k = 60). */
   val RrfK = 60
 
-  /** Version tag of the published lexical index (bump on tokenizer or
-    * layout changes; stale fingerprints are ignored by consumers).
-    */
-  val LexIndexVersion = "lex-v1-ws-postings"
-
   /** The standing lexical inverted index: postings (tok, doc_id, tf),
-    * term stats (tok, df), doc lengths (doc_id, dl), and collection
-    * totals (n_docs, t_tok) — the Lucene-shaped quartet every BM25
-    * query needs. With an artifacts root configured each frame is
-    * fingerprint-keyed and published ONCE per corpus snapshot (one
-    * staged tokenize feeds all four computes on a miss); without a
-    * root the same four frames derive inline from the staged tf.
-    * Derived stats are PUBLISHED rather than recomputed per query:
-    * re-deriving df from postings is a full index shuffle at 100 TB,
-    * which is exactly what a standing term dictionary exists to avoid.
+    * term stats (tok, df, ttf), doc lengths (doc_id, dl), and
+    * collection totals (n_docs, t_tok) — the Lucene-shaped quartet
+    * every BM25 query needs. Build + publication live in [[LexIndex]]
+    * since r17 (the index gained incremental maintenance `lexDelta`
+    * and the `lexStats` health report, so it is its own component, not
+    * a hybrid-retrieval internal).
     */
-  def lexIndexFor(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    def derive(tf: DataFrame) = (
-      tf,
-      tf.groupBy("tok").agg(count(lit(1)).as("df")),
-      tf.groupBy("doc_id").agg(sum("tf").as("dl")),
-      tf.agg(count_distinct(col("doc_id")).as("n_docs"), sum("tf").as("t_tok")))
-    def tokenized: DataFrame =
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("tf"))
-    graft.sources.Artifacts.rootDir(spark) match {
-      case None => derive(graft.Staging.staged(tokenized, "hybrid_tf"))
-      case Some(_) =>
-        val deps = Seq(s"$dir/documents.parquet")
-        // Lazy: forced only on artifact miss, and then only one
-        // tokenize feeds all four publishes.
-        lazy val tf = graft.Staging.staged(tokenized, "lex_publish_tf")
-        lazy val derived = derive(tf)
-        def pub(name: String, frame: => DataFrame): DataFrame =
-          graft.sources.Artifacts.publishedOrCompute(
-            spark, name, LexIndexVersion, deps)(frame)
-        (pub("lex_postings", derived._1), pub("lex_terms", derived._2),
-          pub("lex_doclens", derived._3), pub("lex_totals", derived._4))
-    }
-  }
+  def lexIndexFor(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    LexIndex.lexIndexFor(spark, dir)
 
   /** q_hybrid_search: doc_id, lex_rank, sem_rank (−1 = absent from that
     * list), rrf — fused candidates ordered by fused score. Dispatches

@@ -119,10 +119,11 @@ class OperatorsSpec extends SparkSpec {
     val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    val documented = Set(
-      // The irreducible one (r16 — everything else graduated):
-      // binary decode (disclosed stub; spec-verified plumbing):
-      "q_multimodal_pipeline")
+    // r17: EMPTY — q_multimodal_pipeline, the last rows-only row,
+    // graduated (header bytes re-synthesized from the generator's own
+    // hex constants; checksum polynomial rolled in HUGEINT mod-2^64
+    // over header + text bytes — BinaryPipeline.pipelineSql).
+    val documented = Set.empty[String]
     // Departure log, so each graduation stays auditable:
     // r13: q_doc_fingerprint (rolling hash as HUGEINT recursive CTE).
     // r14: q_dedup_minhash_lsh/q_dedup_simhash (XXH64 replay,
@@ -135,6 +136,10 @@ class OperatorsSpec extends SparkSpec {
     //      (rational-sigmoid GD + order-free int64 gradient sums,
     //      ModelOracle); q_distinct_agg_approx (HLL++ registers are an
     //      order-free function of the value set, HllOracle).
+    // r17: q_multimodal_pipeline — n_bytes is a per-format constant
+    //      header length + utf-8 body length, and the checksum
+    //      polynomial replays over header bytes re-synthesized from
+    //      the generator's shared hex constants (ascii-guarded).
     // r16: q_percentiles_approx — NOT by replaying Greenwald-Khanna
     //      (whose summary state depends on insertion/merge order and
     //      is provably irreplayable) but by REPLACING the sketch with

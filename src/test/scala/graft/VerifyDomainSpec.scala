@@ -33,4 +33,18 @@ class VerifyDomainSpec extends SparkSpec {
     assert(Verify.textReplayOracles == Set("q_dedup_minhash_lsh", "q_dedup_simhash"))
     assert(Verify.textReplayOracles.subsetOf(SparkEntry.oracleSql.keySet))
   }
+
+  test("ascii-replay set (r17): multimodal checksum oracle guarded by the ASCII half only") {
+    assert(Verify.asciiReplayOracles == Set("q_multimodal_pipeline"))
+    assert(Verify.asciiReplayOracles.subsetOf(SparkEntry.oracleSql.keySet))
+    import spark.implicits._
+    // long ASCII tokens violate the shingle bound but NOT the ascii
+    // domain — the probe must keep the checksum oracle in that case
+    val longTok = Seq((1L, "a supercalifragilistic b c d")).toDF("doc_id", "text")
+    val (asciiOk, shingleOk) = Verify.domainProbe(longTok)
+    assert(asciiOk && !shingleOk)
+    val multibyte = Seq((1L, "café au lait trois mots")).toDF("doc_id", "text")
+    val (a2, _) = Verify.domainProbe(multibyte)
+    assert(!a2)
+  }
 }
