@@ -92,6 +92,7 @@ object SparkEntry {
     "q_lex_delta"          -> ((s, d) => graft.similarity.LexIndex.lexDelta(s, d)),
     "q_lex_stats"          -> ((s, d) => graft.similarity.LexIndex.lexStats(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
+    "q_ivf_delta"          -> ((s, d) => graft.similarity.IvfAnn.ivfDelta(s, d)),
     "q_ann_ivfpq"          -> ((s, d) => graft.similarity.IvfPq.ivfPqTopK(s, d)),
     "q_knn_graph"          -> ((s, d) => graft.similarity.IvfAnn.knnGraph(s, d)),
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
@@ -1029,6 +1030,7 @@ object SparkEntry {
     // end-to-end in DuckDB (KMeansOracle), so all four fit-consuming
     // queries graduate from rows-only to full rows+schema+hash.
     "q_ann_ivf" -> graft.similarity.KMeansOracle.annIvfSql,
+    "q_ivf_delta" -> graft.similarity.KMeansOracle.ivfDeltaSql,
     "q_ann_recall_ivf" -> graft.similarity.KMeansOracle.ivfRecallSql,
     // Lexical index maintenance (r17): the oracle for the DELTA-merged
     // dictionary is the FULL REBUILD over the whole corpus — equality

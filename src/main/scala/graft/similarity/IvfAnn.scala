@@ -574,4 +574,109 @@ object IvfAnn {
     val (v, q) = indexOf(spark, vectors)
     (q.k, q.assign(spark, v).select(col("vec_id"), col("cell")))
   }
+
+  // ------------------------------------------------------------------
+  // q_ivf_delta (r17): incremental coarse-index maintenance — the
+  // q_lex_delta / q_cluster_delta pattern applied to the ANN index,
+  // the last standing index without a delta path.
+
+  /** Version tag of the settled (frozen-snapshot) quantizer artifacts.
+    * Separate from `IndexArtifactVersion`: the settled index is trained
+    * on the settled slice only, so its artifacts must never alias the
+    * whole-corpus index's.
+    */
+  val SettledIndexVersion: String = s"$IndexArtifactVersion-settled-v1"
+
+  /** The settled-slice quantizer as PUBLISHED DEPLOYABLE STATE — not
+    * just the leaf-centroid table `coarseFor` publishes for probing,
+    * but the full routing structure batch assignment needs: base
+    * centroids, split planes, and the leaf remap. All three are
+    * bounded driver-side objects (k ≤ MaxCells base cells, ≤ 2^rounds·k
+    * planes), so the reconstruct is a collect of dictionary-sized
+    * parquet — an artifact HIT trains nothing and scans nothing but the
+    * index itself, which is the whole point of a delta path at 100 TB
+    * (the miss pays the one settled-corpus fit the snapshot owes).
+    */
+  private[graft] def settledQuantizerFor(
+      spark: SparkSession, settled: => DataFrame, deps: Seq[String]): Quantizer =
+    graft.sources.Artifacts.rootDir(spark) match {
+      case None => balancedQuantizerOf(spark, settled)
+      case Some(_) =>
+        import spark.implicits._
+        lazy val q = balancedQuantizerOf(spark, settled) // forced only on artifact miss
+        def pub(name: String)(frame: => DataFrame): DataFrame =
+          graft.sources.Artifacts.publishedOrCompute(
+            spark, name, SettledIndexVersion, deps)(frame)
+        val baseDf = pub("ivf_settled_base")(
+          q.baseCents.zipWithIndex.toSeq
+            .map { case (c, i) => (i.toLong, c.toSeq) }
+            .toDF("idx", "centroid"))
+        val planesDf = pub("ivf_settled_planes")(
+          q.rounds.zipWithIndex.flatMap { case (ps, r) =>
+            ps.map(p =>
+              (r.toLong, p.cell.toLong, p.w.toSeq, p.b, p.left.toLong, p.right.toLong))
+          }.toDF("round", "cell", "w", "b", "lcell", "rcell"))
+        val remapDf = pub("ivf_settled_remap")(
+          q.remap.toSeq.map { case (c, l) => (c.toLong, l.toLong) }.toDF("cell", "leaf"))
+        val centsDf = pub("ivf_settled_centroids")(q.index.centroids.select("cell", "centroid"))
+        def vecOf(a: Any): Array[Double] =
+          a.asInstanceOf[scala.collection.Seq[Any]]
+            .map(_.asInstanceOf[Number].doubleValue).toArray
+        val baseCents = baseDf.orderBy("idx").collect().map(r => vecOf(r.get(1)))
+        val rounds = planesDf.collect()
+          .map(r => (r.getLong(0).toInt, SplitPlane(
+            r.getLong(1).toInt, vecOf(r.get(2)), r.getDouble(3),
+            r.getLong(4).toInt, r.getLong(5).toInt)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, ps) => ps.map(_._2).toSeq }
+        val remap = remapDf.collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+        Quantizer(baseCents, rounds, remap,
+          CoarseIndex(
+            centsDf.withColumn("cnorm2", expr("graft_dot(centroid, centroid)")),
+            remap.size))
+    }
+
+  /** q_ivf_delta: merge an ingest batch (vec_id % 10 == 7 — the repo's
+    * standing ingest-slice convention) into the standing coarse index
+    * WITHOUT refitting or re-assigning the settled corpus. Centroids
+    * are FROZEN at the settled snapshot (the production reality: an
+    * index refit is a scheduled event, not a per-batch side effect),
+    * the batch pays one assignment pass (scan-local argmin + broadcast
+    * sign tests — no shuffle), and the merged membership is the
+    * settled assignments (published parquet on the artifacts path)
+    * unioned with the batch's. Output is the per-cell health report
+    * that doubles as the REFIT TRIGGER: settled/batch/total counts and
+    * growth in basis points — the table read to decide when frozen
+    * centroids have drifted from the corpus they index.
+    *
+    * Contract (the cluster-delta contract): merged membership ==
+    * assigning the WHOLE corpus against the settled centroids, exactly
+    * — assignment is a deterministic per-row function, so the union is
+    * equal by construction, and the DuckDB oracle re-proves it every
+    * round by BEING the full re-assignment (scoped-training replay,
+    * `KMeansOracle.ivfDeltaSql`). `IvfDeltaSpec` pins published-mode
+    * parity and the no-refit plan shape.
+    */
+  def ivfDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup.{DeltaBatchMod, DeltaBatchRem}
+    val isBatch = pmod(col("vec_id"), lit(DeltaBatchMod)) === lit(DeltaBatchRem)
+    val all = stagedUnit(Knn.vectors(spark, dir))
+    val deps = Seq(s"$dir/embeddings.parquet")
+    val quant = settledQuantizerFor(spark, all.filter(!isBatch), deps)
+    val sAsg = graft.sources.Artifacts.publishedOrCompute(
+      spark, "ivf_settled_assignments", SettledIndexVersion, deps)(
+      quant.assign(spark, all.filter(!isBatch)).select(col("vec_id"), col("cell")))
+    val bAsg = quant.assign(spark, all.filter(isBatch)).select(col("vec_id"), col("cell"))
+    sAsg.withColumn("is_batch", lit(false))
+      .unionByName(bAsg.withColumn("is_batch", lit(true)))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(
+        count(when(!col("is_batch"), 1)).as("n_settled"),
+        count(when(col("is_batch"), 1)).as("n_batch"),
+        count(lit(1)).as("n_total"))
+      .withColumn("growth_bp",
+        when(col("n_settled") > 0, expr("(n_batch * 10000) div n_settled")))
+      .orderBy("cell")
+  }
 }

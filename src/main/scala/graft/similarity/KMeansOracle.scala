@@ -91,14 +91,25 @@ object KMeansOracle {
     * `leafcents(cell, cent, cnorm2)`, `acorp(vec_id, u, cell)`,
     * `nleaf(lk, nprobe)`, plus `vec`/`norms` for exact scoring.
     */
-  private[graft] lazy val quantCtes: Seq[String] = materialize(rawQuantCtes)
+  private[graft] lazy val quantCtes: Seq[String] = materialize(rawQuantCtes("TRUE"))
 
-  private lazy val rawQuantCtes: Seq[String] = {
+  /** The same replay chain with the TRAINING corpus scoped by a row
+    * predicate while assignment (`acorp`) still covers every vector —
+    * the `q_ivf_delta` shape: centroids frozen at the settled-slice
+    * snapshot, the whole corpus (settled ∪ batch) assigned against
+    * them. `trainWhere` scopes exactly what the Spark side scopes:
+    * the fit's n (hence k), the hash-ordered training sample, and
+    * therefore every centroid and split plane.
+    */
+  private[graft] def quantCtesTrained(trainWhere: String): Seq[String] =
+    materialize(rawQuantCtes(trainWhere))
+
+  private def rawQuantCtes(trainWhere: String): Seq[String] = {
     val head = Seq(
       s"""kparams AS (
          |  SELECT n, k, GREATEST(4096, 32 * k) AS cap
          |  FROM (SELECT n, LEAST(GREATEST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), ${IvfAnn.MinCells}), ${IvfAnn.MaxCells}, GREATEST(n, 1)) AS k
-         |        FROM (SELECT count(*) AS n FROM embeddings))
+         |        FROM (SELECT count(*) AS n FROM embeddings WHERE $trainWhere))
          |)""".stripMargin,
       """vec AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -111,7 +122,8 @@ object KMeansOracle {
         |)""".stripMargin)
 
     val hashed = graft.dedup.MinHashOracle.xxhash64LongCtes(
-      "(SELECT vec_id, u, vec_id::HUGEINT AS hx0 FROM unitv)", "samph", "hx0")
+      s"(SELECT vec_id, u, vec_id::HUGEINT AS hx0 FROM unitv WHERE $trainWhere)",
+      "samph", "hx0")
 
     val sample = Seq(
       """sample AS (
@@ -436,6 +448,31 @@ object KMeansOracle {
     s"""WITH RECURSIVE
        |${quantCtes.mkString(",\n")},
        |${topKTail("")}""".stripMargin
+
+  /** `q_ivf_delta`: the incremental-maintenance contract replayed. The
+    * oracle IS the full re-assignment — settled-slice fit (scoped
+    * training chain), every vector (settled ∪ batch) assigned against
+    * the frozen centroids — so the gate re-proves merged == rebuilt
+    * every round, the `q_lex_delta` convention. Counts via FILTER
+    * (BIGINT, matching Spark's count) — never sum (HUGEINT).
+    */
+  lazy val ivfDeltaSql: String = {
+    val mod = graft.dedup.Dedup.DeltaBatchMod
+    val rem = graft.dedup.Dedup.DeltaBatchRem
+    s"""WITH RECURSIVE
+       |${quantCtesTrained(s"vec_id % $mod <> $rem").mkString(",\n")}
+       |SELECT cell,
+       |  count(*) FILTER (WHERE vec_id % $mod <> $rem) AS n_settled,
+       |  count(*) FILTER (WHERE vec_id % $mod = $rem) AS n_batch,
+       |  count(*) AS n_total,
+       |  CASE WHEN count(*) FILTER (WHERE vec_id % $mod <> $rem) > 0
+       |       THEN (count(*) FILTER (WHERE vec_id % $mod = $rem) * 10000)
+       |            // count(*) FILTER (WHERE vec_id % $mod <> $rem)
+       |       ELSE NULL END AS growth_bp
+       |FROM acorp
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
+  }
 
   /** `q_semdedup`: exact cosine pairs WITHIN leaf cells at the SemDeDup
     * threshold — `SemDedup.semDedupPairs` replayed.
