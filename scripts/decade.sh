@@ -29,7 +29,16 @@ case "${1:-all}" in
     run_main 96g 1 graft.tools.ScaleBench target/testdata/sf1 \
       "q_dedup_jaccard_prefix,q_dedup_clusters,q_dedup_containment,q_substr_dedup,q_cluster_delta,q_knn_graph" ;;
   bench500k)
-    run_main 96g 1 graft.tools.ScaleBench target/testdata/sf10 \
-      "q_dedup_jaccard_prefix,q_dedup_clusters,q_dedup_containment,q_substr_dedup,q_cluster_delta,q_knn_graph" ;;
+    # One JVM PER QUERY: the 500k shuffle/spill outputs of six queries
+    # do not fit the ~80 GB effective disk in one session (the
+    # ContextCleaner only reclaims shuffle files when the dependency is
+    # GC'd, and a pinned 96g heap may never GC) — per-query JVMs bound
+    # live disk to one query's passes and die with their temp dirs.
+    for q in q_dedup_jaccard_prefix q_dedup_clusters \
+             q_substr_dedup q_cluster_delta q_knn_graph; do
+      echo "=== $q ==="
+      run_main 96g 1 graft.tools.ScaleBench target/testdata/sf10 "$q" \
+        || echo "FAILED $q"
+    done ;;
   *) echo "usage: decade.sh gen50k|gen500k|bench50k|bench500k"; exit 2 ;;
 esac
