@@ -34,17 +34,22 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // Persisted plans must keep AQE: with the default (false), a
+      // Persisted plans keep AQE by default: with the conf false, a
       // `.persist` compiles its whole subtree WITHOUT adaptive
       // execution, and join strategies fall back to static size
       // estimates — the staged near-dup pair outputs (r16,
       // `Staging.sortedOutput`) then broadcast the corpus-scale prefix
       // side of the collision self-join (measured 27× the executor CPU
-      // at the 50k-doc decade point). The conf's cost — a cached
-      // plan's output partitioning may change across runs — is
-      // irrelevant here: no consumer relies on cached-partitioning
-      // reuse, and every staged frame's build gets runtime coalescing
-      // and skew handling back.
+      // at the 50k-doc decade point); array-heavy reread frames (the
+      // kNN family's unit vectors) also measure 2.5× faster from the
+      // AQE (row-format) cache. The exception is an expensive-
+      // expression scan staging whose BUILD dominates its reads —
+      // registered under this conf the cached compile keeps AQE's
+      // final-stage shuffle optimizations (the only thing the conf
+      // gates in Spark 4.1) and builds at a pure CPU multiplier (14×
+      // on q_substr_dedup's window-hash staging, r17) — so
+      // `Staging.staged` takes an explicit `columnarCache` flag that
+      // scopes the conf to false for exactly those registrations.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -43,15 +43,68 @@ object Staging {
 
   /** Materialize `df` once under a stable name prefix; see object doc
     * for the mode split.
+    *
+    * `columnarCache`: persist-mode caches normally register under the
+    * session's `canChangeCachedPlanOutputPartitioning=true` (see
+    * `GraftSession`) — the cached plan keeps AQE, which join-bearing
+    * staged subtrees REQUIRE (without it join strategies fall back to
+    * static size estimates and broadcast corpus-scale sides: 27×
+    * executor CPU on the collision self-join under the staged pair
+    * verifies, r16) and which array-heavy reread frames measurably
+    * prefer (row-format cache; the kNN-graph family reads unit-vector
+    * frames 2.5× faster from it at the 500k-doc decade point). Pass
+    * `columnarCache = true` for a frame whose BUILD dominates its
+    * reads: in Spark 4.1 the conf's whole effect is gating
+    * ADAPTIVE_EXECUTION_APPLY_FINAL_STAGE_SHUFFLE_OPTIMIZATIONS
+    * inside the cached compile (CacheManager bytecode-verified; AQE
+    * itself always stays in cached plans), and registering an
+    * expensive-expression scan staging with it ON costs a pure CPU
+    * multiplier (measured r17: q_substr_dedup's window-hash staging
+    * built the identical 501 MB cache at 14× the CPU, 7× the query
+    * wall; the containment/jaccard shingle scans measured the same
+    * direction). The flag scopes
+    * the conf to this registration only — CacheManager captures it
+    * when the cache entry registers. Do NOT route the choice through
+    * plan-shape detection: forcing `optimizedPlan` here freezes the
+    * Dataset's memoized `withCachedData` before sibling caches
+    * register (cache builds then recompute subtrees they should read
+    * from siblings — q_knn_graph 78 → 230 s), and analyzed-plan
+    * detection flips children of staged join-bearing parents whose
+    * joins the cache substitution would hide (q_cluster_delta 5.2 →
+    * 29.6 s at 50k docs). Both measured this round; explicit per-site
+    * choice is the stable design.
     */
-  def staged(df: DataFrame, name: String): DataFrame =
+  def staged(df: DataFrame, name: String, columnarCache: Boolean = false): DataFrame =
     scratchDir(df) match {
       case Some(dir) =>
         val path = s"$dir/stage_${name}_${counter.incrementAndGet()}"
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
       case None =>
-        df.persist(StorageLevel.MEMORY_AND_DISK)
+        if (columnarCache) {
+          val spark = df.sparkSession
+          val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "false")
+          try {
+            val out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            // Pin the cached plan's compile INSIDE the scope: the
+            // registration only captures the conf decision lazily, and
+            // the compile otherwise happens at first materialization —
+            // after this finally restored the session default. Planning
+            // a throwaway consumer forces the InMemoryRelation's lazy
+            // cachedPlan now, under conf=false. Safe for the frames
+            // this flag is for (build-dominated scans whose parents are
+            // raw tables or already-registered stagings — nothing
+            // later-registered feeds them, so the early plan freeze the
+            // scaladoc warns about cannot bite).
+            out.select("*").queryExecution.executedPlan
+            out
+          } finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        } else df.persist(StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Release a `localCheckpoint`'d frame's persisted blocks.

@@ -55,7 +55,8 @@ object Dedup {
     * set (the 100 TB deployment mode) — mode semantics and the caller's
     * unpersist obligation are documented there.
     */
-  private def staged(df: DataFrame, name: String): DataFrame = graft.Staging.staged(df, name)
+  private def staged(df: DataFrame, name: String, columnarCache: Boolean = false): DataFrame =
+    graft.Staging.staged(df, name, columnarCache)
 
   /** Exact pairwise Jaccard over the FULL shingle inverted index. Kept
     * only as the spec-parity reference for the prefix filter: the
@@ -330,7 +331,10 @@ object Dedup {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
-      "shingle_arr_cont")
+      // columnarCache: build-dominated shingle-hash scan, read twice by
+      // the pair-bounded verify gather (same direction as the
+      // substr_windows measurement, r17).
+      "shingle_arr_cont", columnarCache = true)
     val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
     val indexed = staged(dfOrderedIndex(sh), "cont_index")
     val candidates = indexed
@@ -856,12 +860,17 @@ object Dedup {
     // filter it twice per query.
     val published = graft.sources.Artifacts.rootDir(spark).nonEmpty
     val shRaw = publishedShingleIndex(spark, dir)
-    val sh = if (published) shRaw else staged(shRaw, "shingle_standing")
+    val sh =
+      if (published) shRaw
+      else staged(shRaw, "shingle_standing", columnarCache = true)
     val prefix = staged(
       graft.sources.Artifacts.publishedOrCompute(
         spark, "shingle_index_prefix", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
         prefixIndex(sh, threshold)),
-      "prefix_standing")
+      // columnarCache: flat (doc_id, sg, pos, n) scan staging with no
+      // join beneath in published mode; the columnar build measured
+      // q_dedup_jaccard_prefix 87.8 → 67.0 s at the 500k point (r17).
+      "prefix_standing", columnarCache = true)
     (sh, prefix)
   }
 

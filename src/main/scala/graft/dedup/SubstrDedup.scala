@@ -83,11 +83,16 @@ object SubstrDedup {
     // (r14): the transform→transform(slice) HOF composition it replaces
     // ran as two interpreted lambdas with a per-window slice allocation
     // — bit-identical by construction, spec-pinned (WindowHashExprSpec).
+    // columnarCache: this staging is the textbook build-dominated scan
+    // — the rolling-hash expression is the query's whole CPU budget and
+    // the frame is read once by the explode below. Registered under the
+    // session default (AQE/row cache) it builds at 14× the CPU / 7× the
+    // query wall, measured at the 500k-doc decade point (r17).
     val toks = graft.Staging.staged(
       docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("ghs", expr(s"graft_window_hashes(w, $w)")),
-      "substr_windows")
+      "substr_windows", columnarCache = true)
     // ONE full-volume shuffle (r13): repeat detection and coverage
     // collection share a single groupBy(gh) — the occurrence list is
     // gathered alongside the repeat test, and the distinct-doc floor is
