@@ -331,10 +331,11 @@ object Dedup {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
-      // columnarCache: build-dominated shingle-hash scan, read twice by
-      // the pair-bounded verify gather (same direction as the
-      // substr_windows measurement, r17).
-      "shingle_arr_cont", columnarCache = true)
+      // NOT columnarCache: this array frame is REREAD twice by the
+      // pair-bounded verify gather, and the read side dominates —
+      // flagging it measured 2× the query wall at 50k docs (7.0 →
+      // 14.9 s, r17), the knn-family direction, not the substr one.
+      "shingle_arr_cont")
     val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
     val indexed = staged(dfOrderedIndex(sh), "cont_index")
     val candidates = indexed
@@ -860,17 +861,17 @@ object Dedup {
     // filter it twice per query.
     val published = graft.sources.Artifacts.rootDir(spark).nonEmpty
     val shRaw = publishedShingleIndex(spark, dir)
-    val sh =
-      if (published) shRaw
-      else staged(shRaw, "shingle_standing", columnarCache = true)
+    val sh = if (published) shRaw else staged(shRaw, "shingle_standing")
     val prefix = staged(
       graft.sources.Artifacts.publishedOrCompute(
         spark, "shingle_index_prefix", IndexArtifactVersion, Seq(s"$dir/documents.parquet"))(
         prefixIndex(sh, threshold)),
-      // columnarCache: flat (doc_id, sg, pos, n) scan staging with no
-      // join beneath in published mode; the columnar build measured
-      // q_dedup_jaccard_prefix 87.8 → 67.0 s at the 500k point (r17).
-      "prefix_standing", columnarCache = true)
+      // NOT columnarCache: the prefix staging is reread (self-joined /
+      // filtered twice) by every consumer — flagging it saved
+      // q_dedup_jaccard_prefix ~2.5 s but cost q_dedup_clusters ~16 s
+      // at the 500k decade point (r17); read-dominated frames keep the
+      // default registration.
+      "prefix_standing")
     (sh, prefix)
   }
 
