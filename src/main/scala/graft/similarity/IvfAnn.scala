@@ -20,10 +20,10 @@ import org.apache.spark.sql.expressions.Window
   * the fitted cells and the skew is a measured superlinear term in
   * candidate volume; training cost still grows with √n, not n), then
   * ONE assignment pass maps every vector to its nearest centroid cell. Query: rank the k centroids per query,
-  * probe the nprobe = clamp(cells/8, 8, MaxProbes) nearest cells
-  * (proportional while the index is small, CONSTANT at scale — an
-  * unbounded cells/8 fraction makes candidate volume n²/8; see
-  * numProbesFor), exact cosine ONLY within probed cells via an
+  * probe the nprobe = min(MaxProbes, cells) nearest cells
+  * (CONSTANT at scale — an unbounded cells fraction makes candidate
+  * volume quadratic; the constant is set from a measured three-scale
+  * recall curve, see numProbesFor), exact cosine ONLY within probed cells via an
   * equi-join on cell id — no all-pairs term, AQE splits any hot cell.
   *
   * In production the index (centroids + assignments) is built offline
@@ -67,22 +67,45 @@ object IvfAnn {
     * what the standard IVF recall model prescribes: neighbors
     * concentrate in the query's few nearest cells (the data's cluster
     * count, not the index's cell count, governs how many), so nprobe is
-    * a CONSTANT recall knob at scale. Kept proportional below the clamp
-    * so small indexes (few cells, coarse quantization boundaries) still
-    * probe a meaningful fraction; fixture-scale plans (cells ≤ 128,
-    * nprobe = 8..16) are unchanged.
+    * a CONSTANT recall knob at scale.
+    *
+    * 32 (r18, was 16): set from the measured recall-vs-nprobe curve
+    * (`tools.IvfSweep`) across THREE corpus scales — 2k vectors/64
+    * cells, 20k/147, 200k/473:
+    *
+    * {{{
+    * nprobe:        8      16      24      32
+    * 2k/64 cells  0.55    0.71    0.82    0.91
+    * 20k/147      0.91    1.00    1.00    1.00
+    * 200k/473     0.60    0.84    0.94    0.98
+    * }}}
+    *
+    * The curve refutes BOTH proportional rules: a fixed cells/8
+    * fraction under-probes small indexes (the r17 gate measured 0.500
+    * at the 2k corpus — 8 of 64 cells), and a fixed candidate budget
+    * under-probes large ones (1.4k candidates/query is recall 0.91 at
+    * 20k but 0.60 at 200k). What holds across all three scales is the
+    * standard IVF recall model's prediction — true neighbors
+    * concentrate in a roughly CONSTANT number of nearest cells,
+    * governed by the data's cluster structure, not by n or cells — so
+    * nprobe is a flat constant, bounded only by the cell count itself.
+    * 32 clears 0.9 at every measured scale (the LSH leg's 0.85 bar);
+    * 24 would dip to 0.82/0.94. The cost is linear in the constant:
+    * 2× candidate volume vs the old clamp at the 500k decade point,
+    * bought as recall 0.84 → 0.98, with the n^1.5 exponent untouched.
     */
-  val MaxProbes = 16
+  val MaxProbes = 32
 
-  /** nprobe = clamp(cells/8, 8, MaxProbes): probed-candidate volume is
+  /** nprobe = min(MaxProbes, cells): probed-candidate volume is
     * then Θ(n·nprobe·n/cells) = Θ(n^1.5 · nprobe) at cells ≈ √n — the
     * documented contract (measured across the 50k→500k decade: wall
-    * exponent 2.00 unbounded → 1.70 with the clamp + the 32-sample
-    * training fix → 1.54 ≈ the model once the balance splits bound the
-    * skew term too — see SURVEY §6).
+    * exponent 2.00 with the pre-r15 unbounded fraction → 1.70 with the
+    * clamp + the 32-sample training fix → 1.54 ≈ the model once the
+    * balance splits bound the skew term too — see SURVEY §6; the r18
+    * constant-nprobe policy moves the CONSTANT, not the exponent).
     */
   private[graft] def numProbesFor(cells: Int): Int =
-    math.min(math.max(8, cells / 8), MaxProbes)
+    math.min(MaxProbes, cells)
 
   /** Training-sample cap: 32 samples per centroid (hash-ordered —
     * deterministic, id-uncorrelated). 8/centroid through r14 — and that
@@ -452,8 +475,16 @@ object IvfAnn {
     * the same frame; extra query-side columns pass through untouched.
     */
   private[graft] def probeCells(
-      spark: SparkSession, queries: DataFrame, index: CoarseIndex): DataFrame = {
-    val nProbes = numProbesFor(index.k)
+      spark: SparkSession, queries: DataFrame, index: CoarseIndex): DataFrame =
+    probeCells(spark, queries, index, numProbesFor(index.k))
+
+  /** Explicit-nprobe overload — the recall/cost sweep (`tools.IvfSweep`)
+    * drives this directly; production paths derive nprobe from the cell
+    * count via `numProbesFor`.
+    */
+  private[graft] def probeCells(
+      spark: SparkSession, queries: DataFrame, index: CoarseIndex,
+      nProbes: Int): DataFrame = {
     val wCell = Window.partitionBy("q_id").orderBy(col("score").asc, col("cell").asc)
     queries
       .crossJoin(broadcast(index.centroids))

@@ -306,7 +306,7 @@ object KMeansOracle {
       "remap AS (SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS leaf FROM leaves)",
       s"""nleaf AS (
          |  SELECT count(*)::BIGINT AS lk,
-         |         LEAST(GREATEST(8, count(*) // 8), ${IvfAnn.MaxProbes}) AS nprobe
+         |         LEAST(${IvfAnn.MaxProbes}, count(*)) AS nprobe
          |  FROM leaves
          |)""".stripMargin,
       s"""leafcents AS (

@@ -29,7 +29,7 @@ object Knn {
     */
   val CorpusBlocks = 8
 
-  private[similarity] def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))

@@ -18,12 +18,15 @@ class IvfDerivationSpec extends SparkSpec {
     assert(IvfAnn.numCellsFor(1000000L) == 1000, "sqrt growth in the open range")
     assert(IvfAnn.numCellsFor(100000000L) == IvfAnn.MaxCells,
       "upper clamp at the quantizer-training feasibility bound")
-    assert(IvfAnn.numProbesFor(64) == 8 && IvfAnn.numProbesFor(128) == 16,
-      "nprobe tracks cells/8 between the floor and the clamp")
-    assert(IvfAnn.numProbesFor(1024) == IvfAnn.MaxProbes
+    assert(IvfAnn.numProbesFor(16) == 16,
+      "nprobe never exceeds the cell count (tiny index: probe everything)")
+    assert(IvfAnn.numProbesFor(64) == IvfAnn.MaxProbes
+        && IvfAnn.numProbesFor(1024) == IvfAnn.MaxProbes
         && IvfAnn.numProbesFor(IvfAnn.MaxCells) == IvfAnn.MaxProbes,
-      "nprobe is CONSTANT at scale — an unbounded cells/8 fraction made " +
-        "probed-candidate volume n²/8 (caught by the 50k→500k decade)")
+      "nprobe is a flat CONSTANT (r18, set from the three-scale IvfSweep " +
+        "recall curve — a cells/8 fraction measured recall 0.500 on the " +
+        "64-cell sf0.1 index); an unbounded fraction made probed-candidate " +
+        "volume n²/8 (caught by the 50k→500k decade)")
   }
 
   test("centroid ranking plan is O(1) in the cell count (no per-centroid literals)") {

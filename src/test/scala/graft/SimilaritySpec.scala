@@ -91,7 +91,11 @@ class SimilaritySpec extends SparkSpec {
     }
     val micro = rows.map(_.getLong(3)).sum.toDouble / rows.map(_.getLong(1)).sum
     info(f"IVF micro recall@${graft.similarity.Knn.TopK}: $micro%.3f")
-    assert(micro >= 0.35, s"IVF aggregate recall collapsed: $micro")
+    // r18 floor: the constant-nprobe policy (IvfAnn.MaxProbes = 32, set
+    // from the five-scale IvfSweep curve) measures 0.91–1.00 everywhere
+    // (2k/20k/200k-vector corpora and both 500-vector fixtures); 0.8 is
+    // the gate with margin — matching the LSH leg's bar.
+    assert(micro >= 0.8, s"IVF recall below the r18 floor: $micro")
   }
 
   test("q_hybrid_search RRF fusion: query doc excluded, ranks dense, scores recompute") {
@@ -142,7 +146,8 @@ class SimilaritySpec extends SparkSpec {
     val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
       .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.35, s"IVF recall collapsed: $recall")
+    // 0.8 = the r18 recall floor (see the q_ann_recall_ivf gate above).
+    assert(recall >= 0.8, s"IVF recall below the r18 floor: $recall")
     // Cell balance: probing nprobe of k cells only pays off if no cell
     // hoards the corpus; bound the largest cell.
     val cells = graft.similarity.IvfAnn.assignments(spark, sfDir).groupBy("cell").count()
