@@ -34,11 +34,23 @@ case "${1:-all}" in
     # ContextCleaner only reclaims shuffle files when the dependency is
     # GC'd, and a pinned 96g heap may never GC) — per-query JVMs bound
     # live disk to one query's passes and die with their temp dirs.
+    # q_dedup_containment is NOT in this loop: its candidate stream
+    # (~5x jaccard volume) needs single-pass no-warmup mode even alone —
+    # run `decade.sh cont500k` separately on an otherwise-empty disk.
+    fail=0
     for q in q_dedup_jaccard_prefix q_dedup_clusters \
              q_substr_dedup q_cluster_delta q_knn_graph; do
       echo "=== $q ==="
       run_main 96g 1 graft.tools.ScaleBench target/testdata/sf10 "$q" \
-        || echo "FAILED $q"
-    done ;;
-  *) echo "usage: decade.sh gen50k|gen500k|bench50k|bench500k"; exit 2 ;;
+        || { echo "FAILED $q"; fail=1; }
+    done
+    exit $fail ;;
+  cont500k)
+    # The containment 500k point, single-pass protocol: one timed pass,
+    # no warmup, so live shuffle/spill stays within the sandbox disk
+    # (warmup+2-pass mode exhausted it — see the r17 round notes).
+    SPARK_GRAFT_TIMED_PASSES=1 SPARK_GRAFT_WARMUP=0 \
+      run_main 96g 1 graft.tools.ScaleBench target/testdata/sf10 \
+        q_dedup_containment ;;
+  *) echo "usage: decade.sh gen50k|gen500k|bench50k|bench500k|cont500k"; exit 2 ;;
 esac

@@ -82,6 +82,16 @@ object Staging {
         df.sparkSession.read.parquet(path)
       case None =>
         if (columnarCache) {
+          // The conf flip below temporarily mutates SESSION-global
+          // state: any plan compile or cache registration racing on the
+          // same session inside this window would silently inherit
+          // conf=false (a perf regime, not a results change). Query
+          // declaration in this library is single-threaded per session
+          // by construction — Verify/Bench/ScaleBench declare queries
+          // sequentially; the only concurrent Spark work is task
+          // execution, which never compiles new plans — so the scope is
+          // safe without a lock; a future parallel-declaration harness
+          // must serialize registrations itself.
           val spark = df.sparkSession
           val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
           val prev = spark.conf.getOption(key)
@@ -98,7 +108,16 @@ object Staging {
             // raw tables or already-registered stagings — nothing
             // later-registered feeds them, so the early plan freeze the
             // scaladoc warns about cannot bite).
-            out.select("*").queryExecution.executedPlan
+            try out.select("*").queryExecution.executedPlan
+            catch {
+              case e: Throwable =>
+                // Don't leave a half-initialized cache entry registered
+                // when the forced compile fails — the caller sees the
+                // exception, never the frame, so the registration would
+                // be an orphan holding storage until session teardown.
+                out.unpersist(false)
+                throw e
+            }
             out
           } finally prev match {
             case Some(v) => spark.conf.set(key, v)

@@ -627,6 +627,19 @@ object IvfAnn {
     * parquet — an artifact HIT trains nothing and scans nothing but the
     * index itself, which is the whole point of a delta path at 100 TB
     * (the miss pays the one settled-corpus fit the snapshot owes).
+    *
+    * Mixed hit/miss safety: each `pub` call resolves independently, so
+    * a PARTIALLY pruned artifact set (e.g. planes pruned, assignments
+    * kept) reconstructs some pieces from parquet and recomputes others
+    * from the lazily-forced fit. That mix is consistent ONLY because
+    * the fit is a pure function of the fingerprinted inputs — same
+    * settled slice ⇒ bit-identical base centroids, planes, and remap
+    * (hash-ordered sample, fixed Lloyd rounds, deterministic tie
+    * breaks; `IvfDeltaSpec` pins it by pruning one artifact and
+    * re-running). Any nondeterminism added to the fit (RNG seeding,
+    * convergence early-exit, parallel reduction order) breaks this
+    * seam FIRST — bump `SettledIndexVersion` and make the pieces
+    * all-or-nothing before shipping such a change.
     */
   private[graft] def settledQuantizerFor(
       spark: SparkSession, settled: => DataFrame, deps: Seq[String]): Quantizer =

@@ -82,12 +82,42 @@ class IvfDeltaSpec extends SparkSpec {
         s"re-run must consume the published settled assignments; scans: $scans")
       assert(scans.exists(_.contains("embeddings.parquet")),
         "batch slice still reads the corpus")
-      val planStr = again.queryExecution.analyzed.toString
-      assert(!planStr.contains("NOT (pmod"),
-        "settled slice must come from the published index, not a re-assignment")
+      // No settled-slice re-assignment: the settled side is a published
+      // read, so no Filter in the plan may carry the negated batch
+      // predicate NOT(pmod(vec_id, m) = r). Asserted on the analyzed
+      // TREE (a rendered-string match breaks on any plan-print change).
+      import org.apache.spark.sql.catalyst.expressions.{EqualTo, Not, Pmod}
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      val settledFilters = again.queryExecution.analyzed.collect {
+        case f: Filter if f.condition.exists {
+          case Not(EqualTo(p: Pmod, _)) => true
+          case _ => false
+        } => f
+      }
+      assert(settledFilters.isEmpty,
+        s"settled slice must come from the published index, not a re-assignment: $settledFilters")
+
+      // Mixed hit/miss reconstruction: prune ONE artifact (the planes)
+      // and re-run — the recomputed piece must splice consistently with
+      // the published rest, which is only true because the fit is a
+      // pure function of the fingerprinted inputs (the determinism
+      // contract `settledQuantizerFor`'s scaladoc pins).
+      def rmRec(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmRec)
+        f.delete(): Unit
+      }
+      rmRec(new java.io.File(s"$root/ivf_settled_planes"))
+      spark.catalog.clearCache()
+      val mixed = IvfAnn.ivfDelta(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(mixed == inline, "partially-pruned artifact set must reconstruct identically")
     } finally {
       spark.conf.unset("spark.graft.artifacts")
       spark.catalog.clearCache()
+      def rmRec(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmRec)
+        f.delete(): Unit
+      }
+      rmRec(new java.io.File(root))
     }
   }
 }
