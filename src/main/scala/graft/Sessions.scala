@@ -34,6 +34,21 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE on fanout stages (r18): AQE sizes partitions by
+      // shuffle-READ bytes and is blind to JOIN OUTPUT fanout, so a
+      // stage that explodes its input (the kNN-graph candidate join:
+      // 1.7 GB read → ~10² fanout) gets `cores`-many tasks and sorts
+      // 1/32nd of the candidate stream per task (7.1 GB peak task
+      // memory, 45 GB spill at the 500k-doc decade point). Raising
+      // `coalescePartitions.initialPartitionNum` session-wide was
+      // measured and REJECTED: AQE re-coalesces the offered headroom
+      // by input bytes anyway (512 offered → 45 chosen, spill
+      // unchanged) while the unused buckets tax every tiny query
+      // (+10% on the 121-query sf0.1 bench at 2×cores). The fix lives
+      // where the volume model lives: the OPERATOR partitions its
+      // fanout join by the coarse cell (`IvfAnn.knnGraph`) — per-task
+      // mass is then the per-cell candidate mass the balance splits
+      // already bound.
       // Persisted plans keep AQE by default: with the conf false, a
       // `.persist` compiles its whole subtree WITHOUT adaptive
       // execution, and join strategies fall back to static size

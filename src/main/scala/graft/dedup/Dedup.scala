@@ -351,10 +351,20 @@ object Dedup {
       .filter(col("nb").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))
       .withColumn("bound",
         least(col("ia"), col("ib")) + least(col("na") - col("ia"), col("nb") - col("ib")))
-      .groupBy("a", "b", "na")
-      .agg(max("bound").as("bound"))
+      // Positional filter BEFORE the pair exchange (r18). The previous
+      // shape — groupBy(a,b).agg(max(bound)) then filter — shuffled
+      // EVERY collision row to a reducer just to discover most pairs
+      // fail the bound: Σ prefix_df·df rows through the exchange, the
+      // volume that exhausted the sandbox disk at the 500k decade
+      // point twice (r17 and the first r18 attempt, ENOSPC mid-sort
+      // both times). A pair survives max(bound) ≥ τ·na iff SOME
+      // collision's bound does, so filtering per collision first and
+      // DISTINCTing the survivors is exactly equivalent (spec-pinned
+      // vs containmentNaive) — and only passing collisions ever leave
+      // their map side; the failing ones die in the scan stage.
       .filter(col("bound").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))
       .select("a", "b", "na")
+      .distinct()
     // sortedOutput: same sampling-pass double-execution hazard as
     // verifyJaccardArrays — the containment verify is the same two
     // array joins.

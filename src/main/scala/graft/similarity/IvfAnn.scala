@@ -565,16 +565,39 @@ object IvfAnn {
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val (assignedRaw, idx) = coarseFor(spark, dir)
     val assigned = graft.Staging.staged(assignedRaw, "knn_graph_assigned")
+    // ONE PARTITION PER COARSE CELL on both join sides (r18). The
+    // candidate join's OUTPUT is ~fanout× its input, and AQE sizes
+    // partitions by shuffle-READ bytes — blind to fanout — so under
+    // the session default this stage got `cores`-many tasks, each
+    // sorting 1/cores of the WHOLE candidate stream for the top-k
+    // partial: 7.1 GB peak task memory and 45 GB of sort spill at the
+    // 500k-doc decade point (and raising the AQE initial-partition
+    // headroom was measured useless — AQE re-coalesced it by input
+    // bytes, spill unchanged). The operator is the one place the
+    // volume model is KNOWN: partitioning by `cell` with numPartitions
+    // = k makes per-task candidate mass exactly the per-cell mass the
+    // balance splits already bound (≤ ~CellBalance× the mean, i.e.
+    // ~2·nprobe·n/k probe rows × the cell's members — 64-partition
+    // sorts at the measured decade points instead of 2.4 GB ones).
+    // The explicit numPartitions makes this a user-specified
+    // repartition AQE will not re-coalesce; both sides share the
+    // HashPartitioning(cell, k) so the join adds NO further exchange.
+    // Residual, disclosed: per-cell candidate mass grows ~linearly in
+    // n (nprobe·n at cells≈√n) — the next rung at 10⁸+ vectors is
+    // member-slice replication (join key (cell, slice), probe side
+    // replicated ×S), the standard replicated-fragment fanout join.
     val probes = probeCells(
       spark,
       assigned.select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qn"), col("u")),
       idx)
       .select("q_id", "qe", "qn", "cell")
+      .repartition(idx.k, col("cell"))
     val scored = probes
       .join(
         assigned.select(
           col("vec_id").as("nbr_id"), col("e").as("ce"),
-          col("norm").as("cn"), col("cell").as("cell2")),
+          col("norm").as("cn"), col("cell").as("cell2"))
+          .repartition(idx.k, col("cell2")),
         col("cell2") === col("cell") && col("nbr_id") =!= col("q_id"))
       .withColumn("cos", expr("graft_dot(qe, ce)") / (col("qn") * col("cn")))
     topKPerQuery(scored)
