@@ -91,8 +91,10 @@ object SparkEntry {
     "q_hybrid_search"      -> ((s, d) => graft.similarity.Hybrid.hybridSearch(s, d)),
     "q_lex_delta"          -> ((s, d) => graft.similarity.LexIndex.lexDelta(s, d)),
     "q_lex_stats"          -> ((s, d) => graft.similarity.LexIndex.lexStats(s, d)),
+    "q_lex_rerank"         -> ((s, d) => graft.similarity.LexIndex.lexRerank(s, d)),
     "q_ann_ivf"            -> ((s, d) => graft.similarity.IvfAnn.ivfTopK(s, d)),
     "q_ivf_delta"          -> ((s, d) => graft.similarity.IvfAnn.ivfDelta(s, d)),
+    "q_ivf_refit"          -> ((s, d) => graft.similarity.IvfAnn.ivfRefit(s, d)),
     "q_ann_ivfpq"          -> ((s, d) => graft.similarity.IvfPq.ivfPqTopK(s, d)),
     "q_knn_graph"          -> ((s, d) => graft.similarity.IvfAnn.knnGraph(s, d)),
     "q_token_count"        -> ((s, d) => TextFunctions.tokenCount(s, d)),
@@ -1031,6 +1033,49 @@ object SparkEntry {
     // queries graduate from rows-only to full rows+schema+hash.
     "q_ann_ivf" -> graft.similarity.KMeansOracle.annIvfSql,
     "q_ivf_delta" -> graft.similarity.KMeansOracle.ivfDeltaSql,
+    // r19: the refit/re-rank POLICY consumers — the decision aggregates
+    // over the delta health reports; side effects (artifact republish)
+    // are mode-local and excluded from the declared result by design.
+    "q_ivf_refit" -> graft.similarity.KMeansOracle.ivfRefitSql,
+    "q_lex_rerank" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+           |), tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+           |), sterms AS (
+           |  SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+           |  FROM tf WHERE doc_id % ${graft.dedup.Dedup.DeltaBatchMod} <> ${graft.dedup.Dedup.DeltaBatchRem} GROUP BY tok
+           |), bterms AS (
+           |  SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+           |  FROM tf WHERE doc_id % ${graft.dedup.Dedup.DeltaBatchMod} = ${graft.dedup.Dedup.DeltaBatchRem} GROUP BY tok
+           |), joined AS (
+           |  SELECT s.df AS df_s, s.ttf AS ttf_s, b.df AS df_b, b.ttf AS ttf_b
+           |  FROM sterms s FULL OUTER JOIN bterms b ON s.tok = b.tok
+           |), stot AS (
+           |  SELECT count(DISTINCT doc_id) AS n_docs_s, CAST(sum(tf) AS BIGINT) AS t_tok_s
+           |  FROM tf WHERE doc_id % ${graft.dedup.Dedup.DeltaBatchMod} <> ${graft.dedup.Dedup.DeltaBatchRem}
+           |), btot AS (
+           |  SELECT count(DISTINCT doc_id) AS n_docs_b, CAST(sum(tf) AS BIGINT) AS t_tok_b
+           |  FROM tf WHERE doc_id % ${graft.dedup.Dedup.DeltaBatchMod} = ${graft.dedup.Dedup.DeltaBatchRem}
+           |), top AS (
+           |  SELECT tok, df AS df_top FROM sterms
+           |  ORDER BY df DESC, tok LIMIT ${graft.similarity.LexIndex.StatsTopK}
+           |), topd AS (
+           |  SELECT max((coalesce(b.df, 0) * 10000) // t.df_top) AS max_top_df_growth_bp
+           |  FROM top t LEFT JOIN bterms b ON b.tok = t.tok
+           |), agg AS (
+           |  SELECT
+           |    count(*) FILTER (WHERE df_s IS NOT NULL) AS n_terms_settled,
+           |    count(*) FILTER (WHERE df_s IS NULL) AS n_terms_new
+           |  FROM joined
+           |)
+           |SELECT n_terms_settled, n_terms_new,
+           |  (n_docs_b * 10000) // n_docs_s AS doc_growth_bp,
+           |  (t_tok_b * 10000) // t_tok_s AS ttf_growth_bp,
+           |  max_top_df_growth_bp,
+           |  ((n_docs_b * 10000) // n_docs_s >= ${graft.similarity.LexIndex.RerankGrowthBp})
+           |    OR (max_top_df_growth_bp >= ${graft.similarity.LexIndex.RerankHotTermBp}) AS rerank_due
+           |FROM agg, stot, btot, topd""".stripMargin,
     "q_ann_recall_ivf" -> graft.similarity.KMeansOracle.ivfRecallSql,
     // Lexical index maintenance (r17): the oracle for the DELTA-merged
     // dictionary is the FULL REBUILD over the whole corpus — equality

@@ -323,6 +323,36 @@ object Dedup {
     */
   val ContainmentDfCap = 1000L
 
+  /** Count-filter requirement (r19): a candidate pair must share at
+    * least min(this, ceil(τ·na)) collisions inside a's EXTENDED probe
+    * prefix. Why it exists — the positional filter alone is
+    * structurally WEAK for one-sided containment: with na ≪ nb the
+    * bound min(ia,ib) + min(na−ia, nb−ib) reaches ceil(τ·na) whenever
+    * nb−ib ≥ na−ia, which a random collision satisfies ~(nb−na)/nb of
+    * the time (~half at the decade corpus shape) — so candidates
+    * stayed collision-scale and the array verify materialized
+    * pairs × two ~1 KB shingle arrays: the sort that exhausted the
+    * sandbox disk at the 500k point in BOTH the r18 attempts and the
+    * first r19 one (ENOSPC at ~70 GB inside the verify SMJ). The
+    * count filter is the standard AllPairs/PPJoin extension
+    * (Xiao et al. 2008, the c-collision variant): extend a's probe
+    * prefix from p = na−t+1 to p+c−1 (t = ceil(τ·na), c = min(2, t));
+    * since |A\B| ≤ na−t = p−1, any p−1+c prefix shingles of a true
+    * pair contain ≥ c members of B, and (prefix principle) EVERY
+    * collision of a true pair passes the positional bound — so
+    * requiring c PASSING collisions is conservative and composes with
+    * both existing filters. Cost: ~(c−1)/p more collision rows
+    * (~8% at c=2); effect: a random pair must now collide on TWO
+    * independent rare-ish shingles, cutting candidate volume by the
+    * per-slot collision probability (~two orders of magnitude at the
+    * decade shape) before any array is touched. With the df-cap guard
+    * the loss condition becomes "all but c−1 of the first p+c−1
+    * (rarest-first) prefix shingles of a contained doc are df-hot" —
+    * the same boilerplate-saturation disclosure as the cap itself,
+    * one collision stronger.
+    */
+  val ContainmentMinCollisions = 2L
+
   private[graft] def containmentOf(
       docs: DataFrame, threshold: Double = 0.8, dfCap: Long = ContainmentDfCap): DataFrame = {
     val eps = 1e-9
@@ -338,10 +368,19 @@ object Dedup {
       "shingle_arr_cont")
     val sh = arr.select(col("doc_id"), explode(col("sh")).as("sg"))
     val indexed = staged(dfOrderedIndex(sh), "cont_index")
+    // Required overlap t = ceil(τ·na) and the count-filter demand
+    // c = min(ContainmentMinCollisions, t); a's probe prefix extends
+    // to p + c − 1 = na − t + c positions (see ContainmentMinCollisions).
+    val tReq = ceil(col("na") * threshold - lit(eps))
+    val cReq = least(lit(ContainmentMinCollisions), tReq)
     val candidates = indexed
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .withColumnRenamed("doc_id", "a").withColumnRenamed("pos", "ia")
+      .withColumnRenamed("n", "na")
+      .filter(col("ia") <=
+        col("na") - ceil(col("na") * threshold - lit(eps)) +
+          least(lit(ContainmentMinCollisions), ceil(col("na") * threshold - lit(eps))))
       .filter(col("df") <= dfCap)
-      .select(col("doc_id").as("a"), col("sg"), col("pos").as("ia"), col("n").as("na"))
+      .select(col("a"), col("sg"), col("ia"), col("na"))
       .join(
         indexed
           .filter(col("df") <= dfCap)
@@ -351,20 +390,23 @@ object Dedup {
       .filter(col("nb").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))
       .withColumn("bound",
         least(col("ia"), col("ib")) + least(col("na") - col("ia"), col("nb") - col("ib")))
-      // Positional filter BEFORE the pair exchange (r18). The previous
-      // shape — groupBy(a,b).agg(max(bound)) then filter — shuffled
-      // EVERY collision row to a reducer just to discover most pairs
-      // fail the bound: Σ prefix_df·df rows through the exchange, the
-      // volume that exhausted the sandbox disk at the 500k decade
-      // point twice (r17 and the first r18 attempt, ENOSPC mid-sort
-      // both times). A pair survives max(bound) ≥ τ·na iff SOME
-      // collision's bound does, so filtering per collision first and
-      // DISTINCTing the survivors is exactly equivalent (spec-pinned
-      // vs containmentNaive) — and only passing collisions ever leave
-      // their map side; the failing ones die in the scan stage.
+      // Positional filter BEFORE the pair exchange (r18): a collision
+      // of a TRUE pair always satisfies the bound (overlap ≤
+      // min(ia,ib) + min(na−ia, nb−ib) at any shared shingle), so
+      // failing collisions die in the scan stage — only passing ones
+      // are exchanged, and (r19) the exchange now feeds the
+      // count-filter groupBy instead of a DISTINCT: same exchange
+      // volume (partial aggregation dedups per map partition either
+      // way), but the reducer requires ≥ c passing collisions per
+      // pair, which is what keeps the verify's pair count sub-
+      // collision-scale (see ContainmentMinCollisions — the r18
+      // distinct-only shape still fed collision-scale pair counts to
+      // the array verify, the 500k ENOSPC).
       .filter(col("bound").cast("double") >= lit(threshold) * col("na").cast("double") - lit(eps))
+      .groupBy("a", "b", "na")
+      .agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= cReq)
       .select("a", "b", "na")
-      .distinct()
     // sortedOutput: same sampling-pass double-execution hazard as
     // verifyJaccardArrays — the containment verify is the same two
     // array joins.

@@ -474,6 +474,42 @@ object KMeansOracle {
        |ORDER BY cell""".stripMargin
   }
 
+  /** `q_ivf_refit`: the refit DECISION replayed — `IvfAnn.ivfRefit`'s
+    * aggregate over the same per-cell report `ivfDeltaSql` replays
+    * (settled-slice fit, frozen-centroid full assignment), thresholds
+    * inlined from the policy constants. Counts/sums cast to BIGINT
+    * (DuckDB sum is HUGEINT). The refit side effect is mode-local and
+    * deliberately absent from the result (see the engine scaladoc).
+    */
+  lazy val ivfRefitSql: String = {
+    val mod = graft.dedup.Dedup.DeltaBatchMod
+    val rem = graft.dedup.Dedup.DeltaBatchRem
+    s"""WITH RECURSIVE
+       |${quantCtesTrained(s"vec_id % $mod <> $rem").mkString(",\n")},
+       |report AS (
+       |  SELECT cell,
+       |    count(*) FILTER (WHERE vec_id % $mod <> $rem) AS n_settled,
+       |    count(*) FILTER (WHERE vec_id % $mod = $rem) AS n_batch,
+       |    CASE WHEN count(*) FILTER (WHERE vec_id % $mod <> $rem) > 0
+       |         THEN (count(*) FILTER (WHERE vec_id % $mod = $rem) * 10000)
+       |              // count(*) FILTER (WHERE vec_id % $mod <> $rem)
+       |         ELSE NULL END AS growth_bp
+       |  FROM acorp
+       |  GROUP BY cell
+       |)
+       |SELECT
+       |  CAST(sum(n_settled) AS BIGINT) AS total_settled,
+       |  CAST(sum(n_batch) AS BIGINT) AS total_batch,
+       |  (CAST(sum(n_batch) AS BIGINT) * 10000) // CAST(sum(n_settled) AS BIGINT) AS growth_bp,
+       |  max(growth_bp) AS max_cell_growth_bp,
+       |  count(*) FILTER (WHERE growth_bp >= ${IvfAnn.RefitHotCellBp}) AS hot_cells,
+       |  count(*) FILTER (WHERE n_settled = 0) AS new_cells,
+       |  ((CAST(sum(n_batch) AS BIGINT) * 10000) // CAST(sum(n_settled) AS BIGINT)
+       |     >= ${IvfAnn.RefitGrowthBp})
+       |    OR count(*) FILTER (WHERE growth_bp >= ${IvfAnn.RefitHotCellBp}) > 0 AS refit_due
+       |FROM report""".stripMargin
+  }
+
   /** `q_semdedup`: exact cosine pairs WITHIN leaf cells at the SemDeDup
     * threshold — `SemDedup.semDedupPairs` replayed.
     */

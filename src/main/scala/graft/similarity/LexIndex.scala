@@ -155,4 +155,110 @@ object LexIndex {
         Num.round4(col("df").cast("double") / col("n_docs").cast("double")).as("df_frac"),
         Num.round4(col("ttf").cast("double") / col("t_tok").cast("double")).as("mass_frac"))
       .orderBy(col("df").desc, col("tok").asc)
+
+  // ------------------------------------------------------------------
+  // q_lex_rerank (r19): the POLICY CONSUMER of the dictionary-drift
+  // signal — the lexical twin of q_ivf_refit. lexDelta merges the
+  // batch into the standing dictionary; nothing decided when the
+  // STANDING index's published df ranking (what BM25 idf and the
+  // stats report read) had drifted far enough to re-rank.
+
+  /** Re-rank when the batch's DOCUMENT count reaches this share of the
+    * settled collection (basis points): 1000 bp = 10%. Doc count is
+    * the trigger (not token mass) for two reasons: every new document
+    * shifts every idf through N as well as through df, so N-growth is
+    * the drift floor no term escapes; and it is the stable signal —
+    * token mass fluctuates with the batch's length mix (measured 993
+    * bp on the sf0.01 slice whose doc growth is 1111 bp), which would
+    * make the decision corpus-noise-dependent right at the boundary.
+    * Token-mass growth stays in the report as a diagnostic. The
+    * standing ingest-slice convention (1/10 of dense ids → ~1111 bp
+    * of settled) sits just above the threshold so the declared query
+    * exercises the due path every round.
+    */
+  val RerankGrowthBp = 1000L
+
+  /** A single settled TOP-`StatsTopK` term whose df doubled (10000 bp)
+    * triggers re-rank regardless of total mass: the hottest terms are
+    * the stop-word boundary, and a head term doubling means the
+    * df-degeneracy report (`lexStats`) is stale exactly where it
+    * matters.
+    */
+  val RerankHotTermBp = 10000L
+
+  /** q_lex_rerank: the re-rank decision over the settled-vs-batch
+    * dictionary drift, plus — when due and an artifacts root is
+    * configured — the re-rank itself: the whole-corpus quartet is
+    * derived and published under the SAME `lex_*` names every
+    * retrieval consumer reads (`lexIndexFor` — q_bm25_search,
+    * q_tfidf_search, q_hybrid_search's lexical leg), so consumers
+    * serve the refreshed ranking on their next run, identically to a
+    * fresh build (derivation is deterministic; `LexRerankSpec` pins
+    * the parity). Publication goes through `publishedOrCompute` — the
+    * content-fingerprint key makes the re-rank idempotent: unchanged
+    * inputs hit, a changed corpus recomputes under its new
+    * fingerprint.
+    *
+    * Output (one row): settled/new term counts, batch document-count
+    * growth (the trigger) and batch token-mass growth (diagnostic) in
+    * basis points, the hottest settled top-K term's df growth, and
+    * the decision (rerank_due).
+    * Whether the re-rank then RAN is an execution-mode property
+    * (artifacts root present), not part of the declared result — the
+    * oracle is mode-blind SQL — so `LexRerankSpec` pins it, not a
+    * column.
+    */
+  def lexRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup.{DeltaBatchMod, DeltaBatchRem}
+    val isBatch = pmod(col("doc_id"), lit(DeltaBatchMod)) === DeltaBatchRem
+    val (_, sTerms, _, sTotals) = lexIndexOf(
+      spark, Tables.documents(spark, dir).filter(!isBatch),
+      Seq(s"$dir/documents.parquet"), "lex_settled")
+    val bTf = graft.Staging.staged(
+      tokenizedTf(Tables.documents(spark, dir).filter(isBatch)), "lex_rerank_btf")
+    val bTerms = bTf.groupBy("tok").agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+    val bTotals = bTf.agg(
+      count_distinct(col("doc_id")).as("n_docs_b"), sum("tf").as("t_tok_b"))
+    val sT = graft.Staging.staged(sTerms, "lex_rerank_settled")
+    val bT = graft.Staging.staged(bTerms, "lex_rerank_batch")
+    val joined = sT.toDF("tok", "df_s", "ttf_s")
+      .join(bT.toDF("tok", "df_b", "ttf_b"), Seq("tok"), "full_outer")
+    val topDrift = sT.orderBy(col("df").desc, col("tok").asc).limit(StatsTopK)
+      .toDF("tok", "df_top", "ttf_top")
+      .join(bT.toDF("tok", "df_b", "ttf_b"), Seq("tok"), "left")
+      .agg(max(expr("(coalesce(df_b, 0L) * 10000) div df_top"))
+        .as("max_top_df_growth_bp"))
+    val agg = joined.agg(
+      count(when(col("df_s").isNotNull, 1)).as("n_terms_settled"),
+      count(when(col("df_s").isNull, 1)).as("n_terms_new"))
+      .crossJoin(broadcast(sTotals.toDF("n_docs_s", "t_tok_s")))
+      .crossJoin(broadcast(bTotals))
+      .crossJoin(broadcast(topDrift))
+      .withColumn("doc_growth_bp", expr("(n_docs_b * 10000) div n_docs_s"))
+      .withColumn("ttf_growth_bp", expr("(t_tok_b * 10000) div t_tok_s"))
+      .withColumn("rerank_due",
+        col("doc_growth_bp") >= RerankGrowthBp ||
+          col("max_top_df_growth_bp") >= RerankHotTermBp)
+    // ONE execution: collect the decision row, rebuild the output as
+    // literals (re-selecting from `agg` would re-run both tokenizes).
+    val row = agg.collect()(0)
+    def l(n: String): Option[Long] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    val dueIx = row.fieldIndex("rerank_due")
+    val due = !row.isNullAt(dueIx) && row.getBoolean(dueIx)
+    if (due && graft.sources.Artifacts.rootDir(spark).isDefined) {
+      // The re-rank: force the whole-corpus quartet through the
+      // artifact layer — publishedOrCompute materializes eagerly, so
+      // constructing the index IS the publish; a hit is a metadata
+      // read of the already-refreshed ranking.
+      lexIndexFor(spark, dir): Unit
+    }
+    import spark.implicits._
+    Seq((l("n_terms_settled"), l("n_terms_new"), l("doc_growth_bp"),
+      l("ttf_growth_bp"), l("max_top_df_growth_bp"), due))
+      .toDF("n_terms_settled", "n_terms_new", "doc_growth_bp",
+        "ttf_growth_bp", "max_top_df_growth_bp", "rerank_due")
+  }
 }

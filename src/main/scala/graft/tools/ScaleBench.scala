@@ -52,7 +52,7 @@ object ScaleBench {
   /** Per-stage accumulation bucket (one per stage attempt; merged by
     * stage id at report time so retries don't double-name).
     */
-  private final class StageAcc(val name: String) {
+  private final class StageAcc(val name: String, val ops: String) {
     var tasks = 0L
     var runMs, cpuNs, gcMs, memSpill, diskSpill, shRead, shWrite = 0L
     var peakMem = 0L
@@ -97,6 +97,7 @@ object ScaleBench {
     val maxPeakMem = new java.util.concurrent.atomic.AtomicLong(0)
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageAcc]()
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageOps = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
         // AQE materializes staged frames from a CompletableFuture, so
@@ -107,6 +108,19 @@ object ScaleBench {
           .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
         val name = graftFrame.map(g => s"${ss.stageInfo.name} [$g]").getOrElse(ss.stageInfo.name)
         stageNames.put(ss.stageInfo.stageId, name): Unit
+        // Physical-operator scopes of the stage's RDD chain (r19): the
+        // AQE-materialized stage name above is an opaque JDK future
+        // frame, so when a peak-memory ceiling shows up the profile
+        // couldn't say WHICH operator held it. The RDD lineage still
+        // carries the exec-node scopes (Exchange / InMemoryTableScan /
+        // WholeStageCodegen / Sort ...), which is exactly the
+        // operator-level attribution the 7.1 GB index-build question
+        // needed.
+        val ops = ss.stageInfo.rddInfos
+          .sortBy(_.id)
+          .flatMap(_.scope.map(_.name))
+          .distinct.mkString(" > ")
+        stageOps.put(ss.stageInfo.stageId, ops): Unit
       }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -115,7 +129,9 @@ object ScaleBench {
           maxPeakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
           val acc = stages.computeIfAbsent(
             te.stageId,
-            id => new StageAcc(Option(stageNames.get(id)).getOrElse(s"stage$id")))
+            id => new StageAcc(
+              Option(stageNames.get(id)).getOrElse(s"stage$id"),
+              Option(stageOps.get(id)).getOrElse("")))
           acc.synchronized(acc.add(m))
         }
       }
@@ -183,7 +199,7 @@ object ScaleBench {
     val pj = timings.map { case (n, (_, _, _, accs)) =>
       def tot(f: StageAcc => Long): Long = accs.map(f).sum
       val top = accs.sortBy(-_.runMs).take(6).map { a =>
-        s"""{"stage": ${jstr(a.name)}, "tasks": ${a.tasks}, "run_s": ${f"${a.runMs / 1e3}%.1f"}, """ +
+        s"""{"stage": ${jstr(a.name)}, "ops": ${jstr(a.ops)}, "tasks": ${a.tasks}, "run_s": ${f"${a.runMs / 1e3}%.1f"}, """ +
           s""""cpu_s": ${f"${a.cpuNs / 1e9}%.1f"}, "gc_s": ${f"${a.gcMs / 1e3}%.1f"}, """ +
           s""""spill_disk_mb": ${mb(a.diskSpill)}, "sh_read_mb": ${mb(a.shRead)}, """ +
           s""""sh_write_mb": ${mb(a.shWrite)}, "peak_mem_mb": ${mb(a.peakMem)}}"""
