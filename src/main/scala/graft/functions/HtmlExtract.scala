@@ -66,7 +66,9 @@ object HtmlExtract {
         regexp_extract(col("html"), "<title>(.*?)</title>", 1).as("title"),
         size(regexp_extract_all(col("html"), lit("<[^>]+>"), lit(0))).cast("long").as("n_tags"),
         extractText(col("html")).as("clean_text"))
-      .orderBy("doc_id")
+      // sortedOutput (r19): bare orderBy over a map-only subtree runs
+      // the HTML plant+extract twice (range-sampling pass).
+      .transform(df => graft.Staging.sortedOutput(df, "html_extract_out", "doc_id"))
 
   /** The composed pipeline-front variant: the corpus report card
     * (rollup over the Gopher gate) computed over EXTRACTED text instead

@@ -56,7 +56,9 @@ object QualityFilters {
         size(regexp_extract_all(col("pii_text"), lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
         size(regexp_extract_all(col("pii_text"), lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
         redact(col("pii_text")).as("clean_text"))
-      .orderBy("doc_id")
+      // sortedOutput (r19): bare orderBy over a map-only subtree runs
+      // the regex scan twice (range-sampling pass); see qualitySample.
+      .transform(df => graft.Staging.sortedOutput(df, "pii_redact_out", "doc_id"))
 
   /** Modal-word count of a token array, SCAN-LOCALLY: sort the array,
     * then the longest equal-run length is the top word's count — the
@@ -91,7 +93,7 @@ object QualityFilters {
     gopherFrame(Tables.documents(spark, dir))
       .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_n",
         "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep")
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "quality_gopher_out", "doc_id"))
 
   /** The full single-scan gate frame, keeping every documents column
     * (lang/source for the report card) alongside the rule booleans.
@@ -164,7 +166,7 @@ object QualityFilters {
         col("pass_url") && col("pass_brace") && col("pass_lorem") && col("pass_badword"))
       .select("doc_id", "url", "domain", "pass_url", "pass_brace", "pass_lorem",
         "pass_badword", "keep")
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "quality_c4_out", "doc_id"))
   }
 
   /** Quality-weighted sampling: keep probability scales with how many
@@ -193,7 +195,14 @@ object QualityFilters {
         (((col("doc_id") % 1000003L) * 1315423911L + 32452843L) % 1000000007L % 1000L).cast("long"))
       .filter(col("bucket") < col("rate_pm"))
       .select(col("doc_id"), col("n_pass").cast("long").as("n_pass"), col("rate_pm"), col("bucket"))
-      .orderBy("doc_id")
+      // sortedOutput, not a bare orderBy (r19): the global sort's
+      // range-partitioner sampling executes its child subtree ONCE IN
+      // FULL before the real pass — with no exchange/cache boundary
+      // below the sort, the whole gopher-expression corpus scan ran
+      // TWICE (measured: parquet scan numOutputRows = 2× corpus at
+      // sf0.1). Staging the output-sized frame makes the sampling pass
+      // the one that populates the cache.
+      .transform(df => graft.Staging.sortedOutput(df, "quality_sample_out", "doc_id"))
 
   /** Corpus report card: docs / words / quality-gate keep rate per
     * (lang, source) with rollup subtotals — the one-pass summary a

@@ -24,7 +24,12 @@ object TextFunctions {
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
-      .orderBy("doc_id")
+      // sortedOutput (r19): a bare global orderBy over a map-only
+      // subtree executes it TWICE (the range partitioner's sampling
+      // pass is a full execution of the child) — staging the
+      // output-sized frame bounds the re-run to a cache read. Applies
+      // to every scan→project→sort query in this file.
+      .transform(df => graft.Staging.sortedOutput(df, "token_count_out", "doc_id"))
 
   /** BPE-style pre-tokenizer pattern (GPT-2-family shape, simplified to
     * constructs Java regex and RE2 treat identically — disjoint
@@ -45,7 +50,7 @@ object TextFunctions {
         col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tokens_ws"),
         size(expr(s"regexp_extract_all(text, '$BpePattern', 0)")).cast("long").as("n_tokens_bpe"))
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "token_count_bpe_out", "doc_id"))
 
   /** #30b intra-document repetition score: total vs distinct 3-gram
     * counts and their duplicate ratio — the Gopher/MassiveText-family
@@ -71,7 +76,7 @@ object TextFunctions {
         size(col("grams")).cast("long").as("n_grams"),
         size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
       .withColumn("dup_ratio", Num.round4(lit(1.0) - col("n_distinct").cast("double") / col("n_grams")))
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "doc_repetition_out", "doc_id"))
 
   /** #32e TF-IDF keyword retrieval (sparse search over the corpus):
     * score(doc) = Σ_q tf(doc,q) · idf(q) for the query tokens, top-k
@@ -178,7 +183,7 @@ object TextFunctions {
         col("doc_id"),
         array_join(col("ids"), " ").as("token_ids"),
         size(col("ids")).cast("long").as("n_tokens"))
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "tokenize_bpe_out", "doc_id"))
 
   /** Stopword list for quality/language heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -214,7 +219,7 @@ object TextFunctions {
         col("avg_token_chars"),
         col("quality")
       )
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "text_quality_out", "doc_id"))
 
   /** Language marker profiles: common function words per language.
     * The classifier is a deterministic marker-hit argmax — exactly the
@@ -250,7 +255,7 @@ object TextFunctions {
       .withColumn("pred_lang", pred)
       .withColumn("n_hits", greatest(langs.map(l => col(s"h_$l")): _*).cast("long"))
       .select("doc_id", "pred_lang", "n_hits")
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "lang_id_out", "doc_id"))
   }
 
   /** #32 document fingerprint via the custom codegen Expression
@@ -260,7 +265,7 @@ object TextFunctions {
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), expr("graft_fingerprint(text)").as("fp"))
-      .orderBy("doc_id")
+      .transform(df => graft.Staging.sortedOutput(df, "doc_fingerprint_out", "doc_id"))
 
   /** Chunk geometry: 32-token windows, stride 24 (8-token overlap) —
     * the standard pre-training prep shape.
@@ -287,7 +292,7 @@ object TextFunctions {
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text")
       )
-      .orderBy("doc_id", "chunk_idx")
+      .transform(df => graft.Staging.sortedOutput(df, "doc_chunk_out", "doc_id", "chunk_idx"))
 
   /** Corpus vocabulary: global token counts, top 50. Explode + groupBy —
     * map-side partial aggregation absorbs the token-frequency skew before

@@ -30,7 +30,9 @@ object Features {
       .reduce(_ + _)
     ev.join(broadcast(bounds))
       .select(col("event_id"), col("value"), bin.cast("long").as("bin"))
-      .orderBy("event_id")
+      // sortedOutput (r19): bare orderBy re-ran the scan+bin subtree in
+      // the range-sampling pass.
+      .transform(df => graft.Staging.sortedOutput(df, "feature_bins_out", "event_id"))
   }
 
   /** Pairwise Pearson correlations of the lineitem numeric columns in

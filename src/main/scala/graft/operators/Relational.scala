@@ -23,7 +23,10 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
       // (l_orderkey, l_linenumber) is not unique in this data — order by
       // all projected columns (here and in the oracle) for hash stability.
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      // sortedOutput (r19): the bare orderBy's range-sampling pass paid
+      // a second full parquet scan; the staged output is filter-sized.
+      .transform(df => graft.Staging.sortedOutput(df, "filter_project_out",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"))
 
   /** Grouped aggregation with map-side partial agg (TPC-H Q1 shape).
     * Reference: utils.py:983-986 (per-stat averages over match history).
@@ -106,7 +109,9 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .withColumn("rn", col("rn").cast("long"))
-      .orderBy(col("c_mktsegment"), col("rn"))
+      // sortedOutput (r19): the sampling pass re-ran the rank window +
+      // WindowGroupLimit over the scan; the output is 3-per-group.
+      .transform(df => graft.Staging.sortedOutput(df, "topk_per_group_out", "c_mktsegment", "rn"))
   }
 
   /** Exact distinct aggregation (HLL `approx_count_distinct` is the 100TB

@@ -29,7 +29,9 @@ object Splits {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "valid")
           .otherwise("test"))
-      .orderBy("doc_id")
+      // sortedOutput (r19): bare orderBy over a map-only subtree
+      // executes it twice (range-sampling pass); see TextFunctions.
+      .transform(df => graft.Staging.sortedOutput(df, "split_assign_out", "doc_id"))
 
   /** Leakage-safe split: hash the near-dup CLUSTER id, not the doc id,
     * so every member of a near-dup cluster lands in the same split — a
@@ -203,7 +205,7 @@ object Splits {
       .withColumn("rate", when(col("event_type").isin("view", "click"), 20L).otherwise(80L))
       .filter(col("bucket") < col("rate"))
       .select("event_id", "user_id", "event_type", "bucket")
-      .orderBy("event_id")
+      .transform(df => graft.Staging.sortedOutput(df, "stratified_sample_out", "event_id"))
 
   /** Salt for the token-budget sampler's within-source selection order —
     * a `SeqPack.shuffleKey` multiplier salt (squared multiplicative

@@ -48,5 +48,7 @@ object Quantize {
         size(col("e")).cast("long").as("n_dims"),
         Num.round4(col("scale")).as("scale"),
         Num.round4(col("max_abs_err")).as("max_abs_err"))
-      .orderBy("vec_id")
+      // sortedOutput (r19): bare orderBy re-ran the per-vector transform
+      // chain in the range-sampling pass.
+      .transform(df => graft.Staging.sortedOutput(df, "embed_quantize_out", "vec_id"))
 }
