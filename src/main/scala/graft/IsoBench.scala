@@ -16,7 +16,19 @@ package graft
 object IsoBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Args of the form k=v are session-conf overrides (set before any
+    // plan compiles), everything else is a query name — the A/B lever
+    // for conf experiments on a warm min-of-3 (r19).
+    val (confs, names) = args.partition(_.contains("="))
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      System.setProperty(k, v)
+    }
     val spark = graft.GraftSession.local()
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      try spark.conf.set(k, v) catch { case _: Exception => () }
+    }
     val artDir = new java.io.File("target/iso_artifacts")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -24,7 +36,7 @@ object IsoBench {
     }
     if (artDir.exists()) rm(artDir)
     spark.conf.set("spark.graft.artifacts", artDir.toString)
-    args.foreach { name =>
+    names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def run(): Double = {
         val t0 = System.nanoTime()

@@ -147,7 +147,19 @@ object Artifacts {
           // race just discards the loser's identical bytes.
           val df = compute
           val staging = s"$root/$name/.staging-$fp-${java.util.UUID.randomUUID().toString.take(8)}"
-          df.write.mode("overwrite").parquet(staging)
+          // REBALANCE before the write (r19, guide §6 file sizing): a
+          // publish inherits its plan's partitioning, so a
+          // dictionary-sized artifact computed at session parallelism
+          // landed as 32 near-empty files — and EVERY consumer scan then
+          // paid one open-cost-dominated task per file, every timed run
+          // (measured: 32-task scan stages with ~0 CPU under
+          // q_hybrid_search/q_bm25_search; openCostInBytes packs one
+          // tiny file per split). The AQE rebalance sizes output files
+          // by bytes (advisoryPartitionSizeInBytes), so small artifacts
+          // commit as one file while corpus-scale ones keep size-
+          // governed parallelism — the publish is once-per-corpus, the
+          // read amplification was per-consumer-per-run.
+          df.hint("rebalance").write.mode("overwrite").parquet(staging)
           val conf = spark.sparkContext.hadoopConfiguration
           val dst = new org.apache.hadoop.fs.Path(path)
           val src = new org.apache.hadoop.fs.Path(staging)
