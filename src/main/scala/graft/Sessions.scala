@@ -34,6 +34,16 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor: MEASURED AND KEPT AT THE DEFAULT (r19).
+      // Lowering minPartitionSize to 64k session-wide parallelized the
+      // byte-light/CPU-dense dedup index stages (q_dedup_jaccard_prefix
+      // 2.42 → 1.54 s isolated) but taxed every many-small-stage query
+      // with per-task broadcast/closure deserialization
+      // (q_ann_recall_ivf 1.43 → 2.10, q_substr_dedup 0.96 → 1.64,
+      // q_curation_run 1.73 → 2.29 — same host, back-to-back min-of-3).
+      // The parallelism fix belongs to the operators whose stages are
+      // CPU-dense, where the volume model is known (see
+      // Dedup.dfOrderedIndex), not to the session.
       // NOTE on fanout stages (r18): AQE sizes partitions by
       // shuffle-READ bytes and is blind to JOIN OUTPUT fanout, so a
       // stage that explodes its input (the kNN-graph candidate join:

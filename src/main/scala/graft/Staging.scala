@@ -177,4 +177,28 @@ object Staging {
     */
   def sortedOutput(df: DataFrame, name: String, sortCols: String*): DataFrame =
     staged(df, name).orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Spread a NARROW scan before CPU-dense per-row work (r19).
+    *
+    * Parquet split planning is byte-governed, and a split only yields
+    * rows to the task owning its row group's midpoint — so a small
+    * input (one row group per file) scans as ONE task no matter how
+    * many cores the session has, and every expensive per-row
+    * expression above it (shingling+hashing, the Gopher text rules,
+    * image decode) runs single-threaded. At production volumes the
+    * same scan has thousands of row groups and needs no help — and
+    * would be actively HURT by an unconditional repartition (a full
+    * corpus shuffle before the first real operator). So the exchange
+    * is inserted only when the planned scan is narrower than a quarter
+    * of the session's shuffle parallelism: wide inputs keep their
+    * split-governed shape, narrow ones pay one input-sized exchange to
+    * put the expression work on every core. Deterministic round-robin
+    * (sort-before-repartition stays on), so retries and re-runs
+    * reproduce the same placement; row-set semantics are unchanged.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val planned = df.queryExecution.toRdd.getNumPartitions
+    if (planned * 4 <= parts) df.repartition(parts) else df
+  }
 }

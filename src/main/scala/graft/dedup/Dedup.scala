@@ -21,7 +21,10 @@ object Dedup {
     * string is the join key of every near-dup inverted index below.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+    // spread (r19): shingling+hashing is the scan's CPU-dense work and
+    // a small input plans as ONE task (row-group granularity); the
+    // conditional exchange puts it on every core. See Staging.spread.
+    graft.Staging.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(
@@ -126,7 +129,21 @@ object Dedup {
     val df = sh.groupBy("sg").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wRank = wDoc.orderBy(col("df").asc, col("sg").asc)
+    val parts = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     sh.join(df, "sg")
+      // Explicit doc_id repartition at session parallelism (r19): the
+      // ranking window below is the index build's CPU-densest stage
+      // but its shuffle is BYTE-light (hashed-shingle longs), so AQE's
+      // parallelism-first coalescing (1 MB minPartitionSize floor)
+      // merged it to 3-4 tasks on 32 cores — a measured ~10× parallel-
+      // ism loss exactly where the mine's work is
+      // (q_dedup_jaccard_prefix 2.42 → 1.54 s isolated when the stage
+      // keeps session parallelism; a session-wide floor change was
+      // measured and REJECTED, see GraftSession). A user-specified
+      // repartition on the window's own key adds NO exchange — it IS
+      // the hashpartitioning(doc_id) the window requires — and AQE
+      // never coalesces user-specified shuffles.
+      .repartition(parts, col("doc_id"))
       // pos + n from the ONE doc_id window (count over the same
       // partition replaces a separate sizes groupBy+join); both ride
       // along in the published index so every consumer can run the
@@ -239,7 +256,7 @@ object Dedup {
     */
   private[graft] def jaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val arr = staged(
-      docs
+      graft.Staging.spread(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
@@ -357,7 +374,7 @@ object Dedup {
       docs: DataFrame, threshold: Double = 0.8, dfCap: Long = ContainmentDfCap): DataFrame = {
     val eps = 1e-9
     val arr = staged(
-      docs
+      graft.Staging.spread(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
@@ -546,7 +563,8 @@ object Dedup {
     */
   private[graft] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     staged(
-      Tables.documents(spark, dir)
+      graft.Staging.spread(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(ShingleArraySql).as("sh")),
@@ -622,7 +640,8 @@ object Dedup {
     // sides + both verify joins). Since r13 the fingerprint is a
     // scan-local graft_simhash pass (no explode/aggregate), but staging
     // still collapses four full-text scans into one.
-    val fps = staged(simhashFingerprints(Tables.documents(spark, dir)), "simhash_fp")
+    val fps = staged(
+      simhashFingerprints(graft.Staging.spread(Tables.documents(spark, dir))), "simhash_fp")
     val blockMask = (1L << SimHashBlockBits) - 1
     val blockCols = (0 until SimHashBlocks).map { j =>
       struct(lit(j).as("band"), shiftright(col("fp"), j * SimHashBlockBits).bitwiseAND(lit(blockMask)).as("key"))

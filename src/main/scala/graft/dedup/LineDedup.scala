@@ -63,7 +63,7 @@ object LineDedup {
     chunked(docs).select(col("doc_id"), posexplode(col("chunks")).as(Seq("line_no", "line")))
 
   def lineDedup(spark: SparkSession, dir: String): DataFrame =
-    lineDedupOf(Tables.documents(spark, dir))
+    lineDedupOf(graft.Staging.spread(Tables.documents(spark, dir)))
 
   /** Frame-level lineDedup: any (doc_id, text) frame. */
   def lineDedupOf(docs: DataFrame): DataFrame = {

@@ -67,7 +67,7 @@ object SubstrDedup {
   val SubstrOccCap = 1000
 
   def substrDedup(spark: SparkSession, dir: String): DataFrame =
-    substrDedupOf(Tables.documents(spark, dir))
+    substrDedupOf(graft.Staging.spread(Tables.documents(spark, dir)))
 
   /** Frame-level substrDedup: any (doc_id, text) frame. */
   def substrDedupOf(docs: DataFrame, occCap: Int = SubstrOccCap): DataFrame = {

@@ -58,8 +58,7 @@ object HtmlExtract {
     * extracted running text.
     */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    graft.Staging.spread(Tables.documents(spark, dir))
       .withColumn("html", plantHtml(col("doc_id"), col("text")))
       .select(
         col("doc_id"),
@@ -78,8 +77,7 @@ object HtmlExtract {
     */
   def htmlCorpusReport(spark: SparkSession, dir: String): DataFrame =
     QualityFilters.corpusReportOver(
-      Tables
-        .documents(spark, dir)
+      graft.Staging.spread(Tables.documents(spark, dir))
         .withColumn("text",
           extractText(plantHtml(col("doc_id"), col("text")))))
 }

@@ -42,8 +42,7 @@ object QualityFilters {
     * those. Counts are taken BEFORE redaction.
     */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    graft.Staging.spread(Tables.documents(spark, dir))
       .withColumn("pii_text",
         concat(
           col("text"),
@@ -90,7 +89,7 @@ object QualityFilters {
     * without multiplying corpus reads.
     */
   def gopherQuality(spark: SparkSession, dir: String): DataFrame =
-    gopherFrame(Tables.documents(spark, dir))
+    gopherFrame(graft.Staging.spread(Tables.documents(spark, dir)))
       .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_n",
         "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep")
       .transform(df => graft.Staging.sortedOutput(df, "quality_gopher_out", "doc_id"))
@@ -139,8 +138,7 @@ object QualityFilters {
     * brace, every 7th a lorem-ipsum run, every 17th a blocklisted word.
     */
   def c4Quality(spark: SparkSession, dir: String): DataFrame = {
-    val planted = Tables
-      .documents(spark, dir)
+    val planted = graft.Staging.spread(Tables.documents(spark, dir))
       .withColumn("url",
         concat(
           lit("http://"),
@@ -178,7 +176,7 @@ object QualityFilters {
     * and joinable on every run — no RNG state to ship.
     */
   def qualitySample(spark: SparkSession, dir: String): DataFrame =
-    gopherFrame(Tables.documents(spark, dir))
+    gopherFrame(graft.Staging.spread(Tables.documents(spark, dir)))
       .withColumn("n_pass",
         col("pass_wc").cast("int") + col("pass_mwl").cast("int") +
           col("pass_stop").cast("int") + col("pass_rep").cast("int"))
@@ -215,7 +213,7 @@ object QualityFilters {
     * Expand, see rollupAgg).
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
-    corpusReportOver(Tables.documents(spark, dir))
+    corpusReportOver(graft.Staging.spread(Tables.documents(spark, dir)))
 
   /** The report over any (doc_id, text, lang, source) frame — the
     * composition point HtmlExtract.htmlCorpusReport feeds with
@@ -302,7 +300,8 @@ object QualityFilters {
     */
   def bigramLmQuality(spark: SparkSession, dir: String): DataFrame = {
     val split_docs = graft.Staging.staged(
-      Tables.documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk")),
+      graft.Staging.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), split(col("text"), " ").as("tk")),
       "bigramlm_tokens")
     val bgs = split_docs
       .select(col("doc_id"),
@@ -339,7 +338,8 @@ object QualityFilters {
     // would otherwise each re-scan and re-split the corpus (explode is
     // narrow, so both subtrees explode from the one staged frame).
     val split_docs = graft.Staging.staged(
-      Tables.documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk")),
+      graft.Staging.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), split(col("text"), " ").as("tk")),
       "freqrank_tokens")
     // Shuffle hygiene (the repo-wide principle from Dedup/LineDedup):
     // every corpus-scale exchange keys on xxhash64(token) longs — the

@@ -17,12 +17,18 @@ object TextFunctions {
     */
   private def toks(c: Column): Column = split(c, "\\s+")
 
+  /** documents scan spread for CPU-dense per-row expressions (r19):
+    * see Staging.spread — conditional exchange only when the planned
+    * scan is narrower than a quarter of session parallelism.
+    */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    graft.Staging.spread(Tables.documents(spark, dir))
+
   /** #29 token count. Reference analog: champion/lane list flattening
     * counts (utils.py:990 get_stats_availability counts predicates).
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    docsSpread(spark, dir)
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
       // sortedOutput (r19): a bare global orderBy over a map-only
       // subtree executes it TWICE (the range partitioner's sampling
@@ -44,8 +50,7 @@ object TextFunctions {
     * whitespace count — both pure codegen'd expressions.
     */
   def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    docsSpread(spark, dir)
       .select(
         col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tokens_ws"),
@@ -62,7 +67,7 @@ object TextFunctions {
     * 3-gram and are excluded, like Dedup.shingles.
     */
   def docRepetition(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    docRepetitionOf(Tables.documents(spark, dir), n)
+    docRepetitionOf(docsSpread(spark, dir), n)
 
   private[graft] def docRepetitionOf(docs: DataFrame, n: Int = 3): DataFrame =
     docs
@@ -93,7 +98,7 @@ object TextFunctions {
     * derived); production passes arbitrary token sets the same way.
     */
   def tfidfSearch(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsSpread(spark, dir)
     val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
     // Staged once (graft.Staging — persist or scratch parquet): the
     // df/query-selection subtree and the scoring join would otherwise
@@ -138,7 +143,7 @@ object TextFunctions {
     * and df both derive from the staged tf frame.
     */
   def bm25Search(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsSpread(spark, dir)
     val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
     val tf = graft.Staging.staged(
       tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), "bm25_tf")
@@ -176,8 +181,7 @@ object TextFunctions {
     * graft_bpe directly (ShardExport does).
     */
   def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    docsSpread(spark, dir)
       .select(col("doc_id"), expr("graft_bpe(text)").as("ids"))
       .select(
         col("doc_id"),
@@ -196,8 +200,7 @@ object TextFunctions {
     * identical IEEE op sequence as the oracle SQL.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    docsSpread(spark, dir)
       .withColumn("tk", toks(col("text")))
       .withColumn("n_tokens", size(col("tk")))
       .withColumn("stop_hits", expr(s"size(filter(tk, t -> t IN (${inList(Stopwords)})))"))
@@ -239,8 +242,7 @@ object TextFunctions {
     * languages in sorted order with >=).
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables
-      .documents(spark, dir)
+    val base = docsSpread(spark, dir)
       .withColumn("tk", toks(col("text")))
     val withHits = LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
       df.withColumn(s"h_$lang", expr(s"size(filter(tk, t -> t IN (${inList(markers)})))"))
@@ -262,8 +264,7 @@ object TextFunctions {
     * (registered as SQL function graft_fingerprint by GraftSession).
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    docsSpread(spark, dir)
       .select(col("doc_id"), expr("graft_fingerprint(text)").as("fp"))
       .transform(df => graft.Staging.sortedOutput(df, "doc_fingerprint_out", "doc_id"))
 
@@ -280,8 +281,7 @@ object TextFunctions {
     * runs/engines — required when chunks become training-set rows.
     */
   def docChunk(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    docsSpread(spark, dir)
       .withColumn("tk", toks(col("text")))
       .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(ChunkStride))))
       .withColumn("chunk_idx", (col("start") / ChunkStride).cast("long"))
@@ -299,8 +299,7 @@ object TextFunctions {
     * the shuffle, and TakeOrdered handles the limit (no global sort).
     */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    docsSpread(spark, dir)
       .select(explode(toks(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
@@ -356,7 +355,7 @@ object TextFunctions {
     * the exemplar string carried on the bounded frames only.
     */
   def vocabTopKCms(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsSpread(spark, dir)
     def tokens(df: DataFrame): DataFrame =
       df.select(explode(toks(col("text"))).as("token"))
         .select(col("token"), xxhash64(col("token")).as("tokh"))
@@ -415,7 +414,7 @@ object TextFunctions {
   val ProbeIdPushdownCap = 10000
 
   def substrSearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsSpread(spark, dir)
     // Driver-evaluated phrase hash via the same Catalyst expression the
     // index keys were written with (xxhash64, seed 42) — bit-identical
     // by construction and zero Spark jobs (the old spark.range(1)
@@ -502,7 +501,7 @@ object TextFunctions {
     * top-K runs on the bounded scored frame.
     */
   def phraseMine(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsSpread(spark, dir)
     val tk = docs.select(split(col("text"), " ").as("tk"))
     val uni = tk.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))

@@ -339,6 +339,12 @@ object BinaryPipeline {
     * extract features. Returned sorted for the rows-check.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    // Measured and left alone (r19): pinning this repartition to session
+    // parallelism and staging the output under the sort both LOST time
+    // (0.38 → 0.61 s isolated) — extractFeatures is cheap per row, so
+    // the double-run the staging would save costs less than the pinned
+    // tasks + persist overhead. The decode stages below are the
+    // CPU-dense ones and carry the pin instead.
     val media = mediaTable(spark, dir).repartition(col("media_id"))
     extractFeatures(media).toDF().orderBy("media_id")
   }
@@ -534,7 +540,12 @@ object PixelPipeline {
       .documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(6)) === 0)
       .select(col("doc_id"))
-      .repartition(col("doc_id"))
+      // Explicit numPartitions (r19): a bare repartition(col) is AQE-
+      // coalescible and the bytes upstream of the synth/decode are tiny,
+      // so the CPU-dense decode stage collapsed to ~1 task; pin to
+      // session parallelism (same rationale as Dedup.dfOrderedIndex).
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
         it.grouped(BinaryPipeline.DecodeBatchSize).flatMap(_.map { id =>
@@ -593,7 +604,12 @@ object PixelPipeline {
       .documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(6)) === 3)
       .select(col("doc_id"))
-      .repartition(col("doc_id"))
+      // Explicit numPartitions (r19): a bare repartition(col) is AQE-
+      // coalescible and the bytes upstream of the synth/decode are tiny,
+      // so the CPU-dense decode stage collapsed to ~1 task; pin to
+      // session parallelism (same rationale as Dedup.dfOrderedIndex).
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
         it.grouped(BinaryPipeline.DecodeBatchSize).flatMap(_.map { id =>
@@ -635,7 +651,9 @@ object PixelPipeline {
         graft.Num.round4(col("sr").cast("double") / col("n_px")).as("mean_r"),
         graft.Num.round4(col("sg").cast("double") / col("n_px")).as("mean_g"),
         graft.Num.round4(col("sb").cast("double") / col("n_px")).as("mean_b"))
-      .orderBy("media_id")
+      // sortedOutput (r19): the bare orderBy's sampling pass re-decoded
+      // every image a second time.
+      .transform(df => graft.Staging.sortedOutput(df, "media_pixels_out", "media_id"))
   }
 
   /** DuckDB replay of q_media_pixels_jpeg: blocks from the id formula,
@@ -712,6 +730,8 @@ object PixelPipeline {
         graft.Num.round4(col("sr").cast("double") / col("n_px")).as("mean_r"),
         graft.Num.round4(col("sg").cast("double") / col("n_px")).as("mean_g"),
         graft.Num.round4(col("sb").cast("double") / col("n_px")).as("mean_b"))
-      .orderBy("media_id")
+      // sortedOutput (r19): the bare orderBy's sampling pass re-decoded
+      // every image a second time.
+      .transform(df => graft.Staging.sortedOutput(df, "media_pixels_out", "media_id"))
   }
 }

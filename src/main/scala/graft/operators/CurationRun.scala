@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
 object CurationRun {
 
   def curationRun(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = graft.Staging.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
     val c4 = graft.functions.QualityFilters.c4Quality(spark, dir)
       .select(col("doc_id"), col("keep").as("k1"))

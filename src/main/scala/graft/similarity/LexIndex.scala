@@ -36,7 +36,9 @@ object LexIndex {
     * One shuffle on (doc_id, tok) with map-side partial counts.
     */
   private[graft] def tokenizedTf(docs: DataFrame): DataFrame =
-    docs
+    // spread (r19): the tokenize+explode is the index build's CPU-dense
+    // scan work; see Staging.spread (conditional, no-op on wide scans).
+    graft.Staging.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
