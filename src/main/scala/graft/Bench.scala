@@ -152,7 +152,18 @@ object Bench {
     val round = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
-    val detailName = f"BENCH_DETAIL_r$round%02d.json"
+    // Never overwrite an existing detail file (r19: the driver's second
+    // same-round run clobber-named the NEXT round's file). First run of
+    // a round gets the round name; later runs get _2, _3, ... — each
+    // run's stdout line carries its own `detail` field, so nothing is
+    // ambiguous. SPARK_GRAFT_BENCH_DETAIL overrides outright.
+    val detailName = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", {
+      val base = f"BENCH_DETAIL_r$round%02d"
+      Iterator.from(1)
+        .map(i => if (i == 1) s"$base.json" else s"${base}_$i.json")
+        .find(n => !new java.io.File(n).exists())
+        .get
+    })
     val qsFull = fmtQs(results.toSeq.sortBy { case (k, v) => (v, k) })
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailName),

@@ -27,7 +27,17 @@ object IsoBench {
     val spark = graft.GraftSession.local()
     confs.foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
-      try spark.conf.set(k, v) catch { case _: Exception => () }
+      // Loud application (r19 advice): a silently-failed override makes
+      // an A/B read as "no effect" — print the effective value and warn
+      // when it differs from the requested one.
+      try {
+        spark.conf.set(k, v)
+        val eff = spark.conf.getOption(k).getOrElse("<unset>")
+        if (eff == v) println(s"CONF $k=$eff")
+        else println(s"CONF WARNING $k requested=$v effective=$eff")
+      } catch {
+        case e: Exception => println(s"CONF WARNING $k=$v FAILED TO SET: ${e.getMessage}")
+      }
     }
     val artDir = new java.io.File("target/iso_artifacts")
     def rm(f: java.io.File): Unit = {

@@ -42,7 +42,11 @@ object QualityFilters {
     * those. Counts are taken BEFORE redaction.
     */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    graft.Staging.spread(Tables.documents(spark, dir))
+    // sortedSpread (r20): clean_text is corpus-scale — see
+    // HtmlExtract.htmlExtract for why the r19 sortedOutput persist is
+    // replaced by a pre-projection range sort (one exchange, no
+    // persist, sampler re-runs only the raw scan).
+    graft.Staging.sortedSpread(Tables.documents(spark, dir), "doc_id")
       .withColumn("pii_text",
         concat(
           col("text"),
@@ -55,9 +59,6 @@ object QualityFilters {
         size(regexp_extract_all(col("pii_text"), lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
         size(regexp_extract_all(col("pii_text"), lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
         redact(col("pii_text")).as("clean_text"))
-      // sortedOutput (r19): bare orderBy over a map-only subtree runs
-      // the regex scan twice (range-sampling pass); see qualitySample.
-      .transform(df => graft.Staging.sortedOutput(df, "pii_redact_out", "doc_id"))
 
   /** Modal-word count of a token array, SCAN-LOCALLY: sort the array,
     * then the longest equal-run length is the top word's count — the
@@ -137,8 +138,20 @@ object QualityFilters {
     * those: every 13th doc a blocklisted domain, every 11th a code
     * brace, every 7th a lorem-ipsum run, every 17th a blocklisted word.
     */
-  def c4Quality(spark: SparkSession, dir: String): DataFrame = {
-    val planted = graft.Staging.spread(Tables.documents(spark, dir))
+  def c4Quality(spark: SparkSession, dir: String): DataFrame =
+    c4FrameOf(graft.Staging.spread(Tables.documents(spark, dir)))
+      .select("doc_id", "url", "domain", "pass_url", "pass_brace", "pass_lorem",
+        "pass_badword", "keep")
+      .transform(df => graft.Staging.sortedOutput(df, "quality_c4_out", "doc_id"))
+
+  /** The C4 gate over any (doc_id, text, ...) frame, ADDING the planted
+    * url/ptext and the rule booleans as columns (existing columns kept)
+    * — the composition point curationRun shares one documents scan
+    * through (r20: the composed funnel previously paid each standalone
+    * query's own spread exchange and sortedOutput persist).
+    */
+  private[graft] def c4FrameOf(docs: DataFrame): DataFrame = {
+    val planted = docs
       .withColumn("url",
         concat(
           lit("http://"),
@@ -162,9 +175,6 @@ object QualityFilters {
         expr(s"size(filter(split(ptext, '\\\\s+'), t -> t IN ($badWordList)))") === 0)
       .withColumn("keep",
         col("pass_url") && col("pass_brace") && col("pass_lorem") && col("pass_badword"))
-      .select("doc_id", "url", "domain", "pass_url", "pass_brace", "pass_lorem",
-        "pass_badword", "keep")
-      .transform(df => graft.Staging.sortedOutput(df, "quality_c4_out", "doc_id"))
   }
 
   /** Quality-weighted sampling: keep probability scales with how many
@@ -330,7 +340,18 @@ object QualityFilters {
       .orderBy("doc_id")
   }
 
-  def freqRankQuality(spark: SparkSession, dir: String): DataFrame = {
+  def freqRankQuality(spark: SparkSession, dir: String): DataFrame =
+    freqRankOf(
+      graft.Staging.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+      .orderBy("doc_id")
+
+  /** The freq-rank score over any (doc_id, text, ...) frame, UNSORTED —
+    * the composition point calibratedFrameOf/curationRun share a
+    * documents scan through (r20). The standalone query adds the
+    * declared orderBy; join-side consumers skip it (Catalyst's
+    * EliminateSorts drops a sort below a join anyway).
+    */
+  private[graft] def freqRankOf(docs: DataFrame): DataFrame = {
     // Distinct-count dense_rank: same disclosed Θ(√(2N)) single-task
     // frame as bigramLmQuality above (k(k+1)/2 ≤ N), measured within
     // WindowBoundSpec's bound at every tested scale.
@@ -338,8 +359,7 @@ object QualityFilters {
     // would otherwise each re-scan and re-split the corpus (explode is
     // narrow, so both subtrees explode from the one staged frame).
     val split_docs = graft.Staging.staged(
-      graft.Staging.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), split(col("text"), " ").as("tk")),
+      docs.select(col("doc_id"), split(col("text"), " ").as("tk")),
       "freqrank_tokens")
     // Shuffle hygiene (the repo-wide principle from Dedup/LineDedup):
     // every corpus-scale exchange keys on xxhash64(token) longs — the
@@ -362,7 +382,6 @@ object QualityFilters {
       .withColumn("mean_rank", Num.round4(col("rank_sum") / col("n_toks")))
       .withColumn("keep", col("mean_rank") <= FreqRankKeepMax)
       .select("doc_id", "n_toks", "mean_rank", "keep")
-      .orderBy("doc_id")
   }
 
   /** Keep the best `CalibrateKeepPermille`/1000 of each source by
@@ -476,10 +495,20 @@ object QualityFilters {
     * cumulative count through its score tie-group, and source total —
     * the per-source empirical CDF in exact integers.
     */
-  private def calibratedFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def calibratedFrame(spark: SparkSession, dir: String): DataFrame =
+    calibratedFrameOf(
+      graft.Staging.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text"))),
+      Tables.documents(spark, dir).select("doc_id", "source"))
+
+  /** Frame-level calibration (r20): `docsForScore` feeds the freq-rank
+    * scorer (CPU-dense — pass a spread frame), `docsIdSource` is the
+    * narrow (doc_id, source) attach side (a pruned scan — no spread
+    * needed, the join is not CPU-dense).
+    */
+  private[graft] def calibratedFrameOf(docsForScore: DataFrame, docsIdSource: DataFrame): DataFrame = {
     val scored = graft.Staging.staged(
-      freqRankQuality(spark, dir)
-        .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      freqRankOf(docsForScore)
+        .join(docsIdSource, "doc_id")
         // floor(x*10000+0.5) — NOT a bare double→long cast: v*10000 of a
         // round4 value lands ε away from the integer, and Spark's cast
         // truncates where DuckDB's rounds; the +0.5-floor is exact in

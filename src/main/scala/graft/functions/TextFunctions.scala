@@ -181,13 +181,15 @@ object TextFunctions {
     * graft_bpe directly (ShardExport does).
     */
   def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
-    docsSpread(spark, dir)
+    // sortedSpread (r20): token_ids is corpus-scale (every token id as
+    // text) — see HtmlExtract.htmlExtract for why the r19 sortedOutput
+    // persist is replaced by a pre-projection range sort.
+    graft.Staging.sortedSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), expr("graft_bpe(text)").as("ids"))
       .select(
         col("doc_id"),
         array_join(col("ids"), " ").as("token_ids"),
         size(col("ids")).cast("long").as("n_tokens"))
-      .transform(df => graft.Staging.sortedOutput(df, "tokenize_bpe_out", "doc_id"))
 
   /** Stopword list for quality/language heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -281,7 +283,13 @@ object TextFunctions {
     * runs/engines — required when chunks become training-set rows.
     */
   def docChunk(spark: SparkSession, dir: String): DataFrame =
-    docsSpread(spark, dir)
+    // sortedSpread (r20): chunk_text is ~1.3× the corpus — see
+    // HtmlExtract.htmlExtract for why the r19 sortedOutput persist is
+    // replaced by a pre-projection range sort. Sorting by doc_id BEFORE
+    // the chunk explode keeps the (doc_id, chunk_idx) output order:
+    // explode emits a doc's windows in ascending start order, and
+    // per-partition projections/generators preserve row order.
+    graft.Staging.sortedSpread(Tables.documents(spark, dir), "doc_id")
       .withColumn("tk", toks(col("text")))
       .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(ChunkStride))))
       .withColumn("chunk_idx", (col("start") / ChunkStride).cast("long"))
@@ -292,7 +300,6 @@ object TextFunctions {
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text")
       )
-      .transform(df => graft.Staging.sortedOutput(df, "doc_chunk_out", "doc_id", "chunk_idx"))
 
   /** Corpus vocabulary: global token counts, top 50. Explode + groupBy —
     * map-side partial aggregation absorbs the token-frequency skew before

@@ -24,14 +24,13 @@ object ExplainDump {
           org.apache.spark.sql.execution.FormattedMode)
         val w = new java.io.PrintWriter(new java.io.File(out, s"$n.txt"))
         try w.write(plan) finally w.close()
-        val nEx = "(?m)^\\s*[+:]?-? *Exchange ".r.findAllIn(plan).size +
-          plan.split('\n').count(l => l.contains("Exchange ") && l.contains("(") && !l.contains("Reused"))
         def c(s: String) = plan.split('\n').count(_.contains(s))
-        println(s"SHAPE $n exchange=${c("Exchange")} reused=${c("ReusedExchange")} " +
+        // exchange = real exchanges only (ReusedExchange lines also
+        // contain "Exchange" and would inflate the count, r19 advice)
+        println(s"SHAPE $n exchange=${c("Exchange") - c("ReusedExchange")} reused=${c("ReusedExchange")} " +
           s"smj=${c("SortMergeJoin")} bhj=${c("BroadcastHashJoin")} shj=${c("ShuffledHashJoin")} " +
           s"bnlj=${c("BroadcastNestedLoopJoin")} cart=${c("CartesianProduct")} " +
           s"wscg=${c("WholeStageCodegen")} scan=${c("Scan parquet")} imr=${c("InMemoryTableScan")}")
-        val _ = nEx
       } catch {
         case e: Throwable => println(s"SHAPE $n ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
       } finally {
