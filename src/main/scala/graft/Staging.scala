@@ -175,8 +175,19 @@ object Staging {
     * subtree's intermediates (near-dup pairs, reports, top-k lists) —
     * a corpus-scale frame should not be persisted just to sort it.
     */
-  def sortedOutput(df: DataFrame, name: String, sortCols: String*): DataFrame =
-    staged(df, name).orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+  def sortedOutput(df: DataFrame, name: String, sortCols: String*): DataFrame = {
+    // A/B lever (r20): `spark.graft.sortedOutput.mode=plain` skips the
+    // persist and pays the bare orderBy's sampling double-run — the
+    // deployment knob for sites where the pre-sort frame is large
+    // relative to the subtree above the last exchange (event-grain
+    // window outputs), where a persist is a §5 memory/spill risk and
+    // the double-run is only a re-read of the materialized shuffle
+    // stage. Rows identical either way. Default: staged.
+    val plain = df.sparkSession.conf
+      .getOption("spark.graft.sortedOutput.mode").contains("plain")
+    val base = if (plain) df else staged(df, name)
+    base.orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+  }
 
   /** Spread a NARROW scan before CPU-dense per-row work (r19).
     *
@@ -198,16 +209,23 @@ object Staging {
     */
   def spread(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // Probe the PLANNED partition count only for leaf-scan plans (r20,
-    // verdict item 4): on any shuffle-bearing input, `toRdd` under AQE
-    // materializes every shuffle stage as real jobs at DECLARATION time
-    // and throws the result away; a cached input can force the cache
-    // build the same way. The guard whitelists the analyzed shapes the
-    // probe is safe for — scan, project, filter, alias — because the
-    // EXCHANGE check can't be done here (EnsureRequirements inserts
-    // distribution exchanges only inside adaptive execution, so
-    // `sparkPlan` shows none for an aggregate/join input). Anything
-    // else is already spread by its own shuffle — no-op, don't probe.
+    if (plannedNarrow(df, parts)) df.repartition(parts) else df
+  }
+
+  /** Whether `df` is a leaf-scan plan whose PLANNED partition count is
+    * under a quarter of `parts` — the shared spread/mapSorted probe.
+    * The probe runs only for leaf-scan analyzed plans (r20, verdict
+    * item 4): on any shuffle-bearing input, `toRdd` under AQE
+    * materializes every shuffle stage as real jobs at DECLARATION time
+    * and throws the result away; a cached input can force the cache
+    * build the same way. The guard whitelists the analyzed shapes the
+    * probe is safe for — scan, project, filter, alias — because the
+    * EXCHANGE check can't be done here (EnsureRequirements inserts
+    * distribution exchanges only inside adaptive execution, so
+    * `sparkPlan` shows none for an aggregate/join input). Anything
+    * else is already spread by its own shuffle — treated as wide.
+    */
+  private def plannedNarrow(df: DataFrame, parts: Int): Boolean = {
     val probeSafe = !df.queryExecution.analyzed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Project => false
       case _: org.apache.spark.sql.catalyst.plans.logical.Filter => false
@@ -215,11 +233,46 @@ object Staging {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => false
       case _ => true
     }
-    if (!probeSafe) df
-    else {
-      val planned = df.queryExecution.toRdd.getNumPartitions
-      if (planned * 4 <= parts) df.repartition(parts) else df
-    }
+    probeSafe && df.queryExecution.toRdd.getNumPartitions * 4 <= parts
+  }
+
+  // Keyed-spread experiment (r20, MEASURED AND REJECTED): hash-
+  // partitioning the spread on doc_id instead of round-robin looked
+  // strictly cheaper on paper (round-robin prepends the SPARK-23207
+  // local binary row sort for retry determinism; hash placement is
+  // deterministic for free), but an A/B across the spread family found
+  // no robust win anywhere and two robust regressions —
+  // q_decontaminate_bloom 1.29 → 2.20 s and q_line_dedup 1.01 → 1.40 s
+  // (isolated min-of-3, reproduced in the full bench) — with identical
+  // pre-execution plan shapes. Round-robin stays.
+
+  /** Scale-adaptive sorted map output (r20): the right global-sort
+    * shape for a NARROW-output map query (scan → expensive scan-local
+    * projection → orderBy on key columns present in the INPUT) depends
+    * on the scan's planned parallelism, so pick it per-run from the
+    * same probe `spread` uses:
+    * - NARROW scan (toy/bench regime — the whole input is a handful of
+    *   row groups): range-partition + locally sort the input BEFORE
+    *   the projection (`sortedSpread`). One exchange buys both the
+    *   parallelism and the output order, nothing persists, and the
+    *   range sampler's double-execution re-runs only the raw scan.
+    *   Measured r20 at sf0.1/32 cores: q_pii_redact 0.92 → 0.25 s vs
+    *   the r18 bare-orderBy shape, 0.48 → 0.25 vs the r19
+    *   spread+sortedOutput shape.
+    * - WIDE scan (production): the input shuffle would move the whole
+    *   corpus just to sort a narrow output — project first on the
+    *   already-parallel scan and sort the output via `sortedOutput`
+    *   (the persist is output-sized, within that helper's contract,
+    *   and bounds the sampler's re-run to a cache read).
+    * Both branches return identical rows in identical global order:
+    * per-partition projections preserve row order and range placement,
+    * so projecting above or below the sort commutes.
+    */
+  def mapSorted(input: DataFrame, name: String, keys: String*)(
+      project: DataFrame => DataFrame): DataFrame = {
+    val parts = input.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (plannedNarrow(input, parts)) project(sortedSpread(input, keys: _*))
+    else sortedOutput(project(input), name, keys: _*)
   }
 
   /** Global sort of a corpus-scale MAP output, paid BEFORE the map

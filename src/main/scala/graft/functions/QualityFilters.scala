@@ -90,10 +90,10 @@ object QualityFilters {
     * without multiplying corpus reads.
     */
   def gopherQuality(spark: SparkSession, dir: String): DataFrame =
-    gopherFrame(graft.Staging.spread(Tables.documents(spark, dir)))
-      .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_n",
-        "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep")
-      .transform(df => graft.Staging.sortedOutput(df, "quality_gopher_out", "doc_id"))
+    graft.Staging.mapSorted(Tables.documents(spark, dir), "quality_gopher_out", "doc_id")(
+      gopherFrame(_)
+        .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_n",
+          "top_word_ratio", "pass_wc", "pass_mwl", "pass_stop", "pass_rep", "keep"))
 
   /** The full single-scan gate frame, keeping every documents column
     * (lang/source for the report card) alongside the rule booleans.
@@ -139,10 +139,10 @@ object QualityFilters {
     * brace, every 7th a lorem-ipsum run, every 17th a blocklisted word.
     */
   def c4Quality(spark: SparkSession, dir: String): DataFrame =
-    c4FrameOf(graft.Staging.spread(Tables.documents(spark, dir)))
-      .select("doc_id", "url", "domain", "pass_url", "pass_brace", "pass_lorem",
-        "pass_badword", "keep")
-      .transform(df => graft.Staging.sortedOutput(df, "quality_c4_out", "doc_id"))
+    graft.Staging.mapSorted(Tables.documents(spark, dir), "quality_c4_out", "doc_id")(
+      c4FrameOf(_)
+        .select("doc_id", "url", "domain", "pass_url", "pass_brace", "pass_lorem",
+          "pass_badword", "keep"))
 
   /** The C4 gate over any (doc_id, text, ...) frame, ADDING the planted
     * url/ptext and the rule booleans as columns (existing columns kept)
@@ -186,31 +186,24 @@ object QualityFilters {
     * and joinable on every run — no RNG state to ship.
     */
   def qualitySample(spark: SparkSession, dir: String): DataFrame =
-    gopherFrame(graft.Staging.spread(Tables.documents(spark, dir)))
-      .withColumn("n_pass",
-        col("pass_wc").cast("int") + col("pass_mwl").cast("int") +
-          col("pass_stop").cast("int") + col("pass_rep").cast("int"))
-      .withColumn("rate_pm",
-        when(col("n_pass") === 4, 1000L)
-          .when(col("n_pass") === 3, 500L)
-          .when(col("n_pass") === 2, 200L)
-          .otherwise(50L))
-      // Salted differently from splitAssign/sourceMix: a shared hash
-      // would make every downweighted doc satisfy bucket%100 < rate,
-      // i.e. land in 'train' — samplers must thin independently of the
-      // split and of each other.
-      .withColumn("bucket",
-        (((col("doc_id") % 1000003L) * 1315423911L + 32452843L) % 1000000007L % 1000L).cast("long"))
-      .filter(col("bucket") < col("rate_pm"))
-      .select(col("doc_id"), col("n_pass").cast("long").as("n_pass"), col("rate_pm"), col("bucket"))
-      // sortedOutput, not a bare orderBy (r19): the global sort's
-      // range-partitioner sampling executes its child subtree ONCE IN
-      // FULL before the real pass — with no exchange/cache boundary
-      // below the sort, the whole gopher-expression corpus scan ran
-      // TWICE (measured: parquet scan numOutputRows = 2× corpus at
-      // sf0.1). Staging the output-sized frame makes the sampling pass
-      // the one that populates the cache.
-      .transform(df => graft.Staging.sortedOutput(df, "quality_sample_out", "doc_id"))
+    graft.Staging.mapSorted(Tables.documents(spark, dir), "quality_sample_out", "doc_id")(
+      gopherFrame(_)
+        .withColumn("n_pass",
+          col("pass_wc").cast("int") + col("pass_mwl").cast("int") +
+            col("pass_stop").cast("int") + col("pass_rep").cast("int"))
+        .withColumn("rate_pm",
+          when(col("n_pass") === 4, 1000L)
+            .when(col("n_pass") === 3, 500L)
+            .when(col("n_pass") === 2, 200L)
+            .otherwise(50L))
+        // Salted differently from splitAssign/sourceMix: a shared hash
+        // would make every downweighted doc satisfy bucket%100 < rate,
+        // i.e. land in 'train' — samplers must thin independently of the
+        // split and of each other.
+        .withColumn("bucket",
+          (((col("doc_id") % 1000003L) * 1315423911L + 32452843L) % 1000000007L % 1000L).cast("long"))
+        .filter(col("bucket") < col("rate_pm"))
+        .select(col("doc_id"), col("n_pass").cast("long").as("n_pass"), col("rate_pm"), col("bucket")))
 
   /** Corpus report card: docs / words / quality-gate keep rate per
     * (lang, source) with rollup subtotals — the one-pass summary a

@@ -24,18 +24,21 @@ object TextFunctions {
   private def docsSpread(spark: SparkSession, dir: String): DataFrame =
     graft.Staging.spread(Tables.documents(spark, dir))
 
+  /** The narrow-output map-query sort shape (r20): scale-adaptive
+    * pre-projection range sort / post-projection staged sort — see
+    * Staging.mapSorted. Applies to every scan→project→orderBy(doc_id)
+    * query in this file.
+    */
+  private def docsMapSorted(spark: SparkSession, dir: String, name: String)(
+      project: DataFrame => DataFrame): DataFrame =
+    graft.Staging.mapSorted(Tables.documents(spark, dir), name, "doc_id")(project)
+
   /** #29 token count. Reference analog: champion/lane list flattening
     * counts (utils.py:990 get_stats_availability counts predicates).
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    docsSpread(spark, dir)
-      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
-      // sortedOutput (r19): a bare global orderBy over a map-only
-      // subtree executes it TWICE (the range partitioner's sampling
-      // pass is a full execution of the child) — staging the
-      // output-sized frame bounds the re-run to a cache read. Applies
-      // to every scan→project→sort query in this file.
-      .transform(df => graft.Staging.sortedOutput(df, "token_count_out", "doc_id"))
+    docsMapSorted(spark, dir, "token_count_out")(
+      _.select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens")))
 
   /** BPE-style pre-tokenizer pattern (GPT-2-family shape, simplified to
     * constructs Java regex and RE2 treat identically — disjoint
@@ -50,12 +53,11 @@ object TextFunctions {
     * whitespace count — both pure codegen'd expressions.
     */
   def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
-    docsSpread(spark, dir)
-      .select(
+    docsMapSorted(spark, dir, "token_count_bpe_out")(
+      _.select(
         col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tokens_ws"),
-        size(expr(s"regexp_extract_all(text, '$BpePattern', 0)")).cast("long").as("n_tokens_bpe"))
-      .transform(df => graft.Staging.sortedOutput(df, "token_count_bpe_out", "doc_id"))
+        size(expr(s"regexp_extract_all(text, '$BpePattern', 0)")).cast("long").as("n_tokens_bpe")))
 
   /** #30b intra-document repetition score: total vs distinct 3-gram
     * counts and their duplicate ratio — the Gopher/MassiveText-family
@@ -67,7 +69,8 @@ object TextFunctions {
     * 3-gram and are excluded, like Dedup.shingles.
     */
   def docRepetition(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    docRepetitionOf(docsSpread(spark, dir), n)
+    graft.Staging.mapSorted(Tables.documents(spark, dir), "doc_repetition_out", "doc_id")(
+      docRepetitionOf(_, n))
 
   private[graft] def docRepetitionOf(docs: DataFrame, n: Int = 3): DataFrame =
     docs
@@ -81,7 +84,6 @@ object TextFunctions {
         size(col("grams")).cast("long").as("n_grams"),
         size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
       .withColumn("dup_ratio", Num.round4(lit(1.0) - col("n_distinct").cast("double") / col("n_grams")))
-      .transform(df => graft.Staging.sortedOutput(df, "doc_repetition_out", "doc_id"))
 
   /** #32e TF-IDF keyword retrieval (sparse search over the corpus):
     * score(doc) = Σ_q tf(doc,q) · idf(q) for the query tokens, top-k
@@ -202,8 +204,8 @@ object TextFunctions {
     * identical IEEE op sequence as the oracle SQL.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    docsSpread(spark, dir)
-      .withColumn("tk", toks(col("text")))
+    docsMapSorted(spark, dir, "text_quality_out")(
+      _.withColumn("tk", toks(col("text")))
       .withColumn("n_tokens", size(col("tk")))
       .withColumn("stop_hits", expr(s"size(filter(tk, t -> t IN (${inList(Stopwords)})))"))
       .withColumn("stop_ratio", Num.round4(col("stop_hits") / col("n_tokens")))
@@ -223,8 +225,7 @@ object TextFunctions {
         col("stop_ratio"),
         col("avg_token_chars"),
         col("quality")
-      )
-      .transform(df => graft.Staging.sortedOutput(df, "text_quality_out", "doc_id"))
+      ))
 
   /** Language marker profiles: common function words per language.
     * The classifier is a deterministic marker-hit argmax — exactly the
@@ -243,32 +244,30 @@ object TextFunctions {
     * broken by language code ascending (the chained CASE evaluates
     * languages in sorted order with >=).
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = docsSpread(spark, dir)
-      .withColumn("tk", toks(col("text")))
-    val withHits = LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
-      df.withColumn(s"h_$lang", expr(s"size(filter(tk, t -> t IN (${inList(markers)})))"))
-    }
-    val langs = LangMarkers.map(_._1)
-    val pred = langs
-      .foldLeft(when(lit(false), lit(""))) { (acc, l) =>
-        val isMax = langs.filter(_ != l).map(o => col(s"h_$l") >= col(s"h_$o")).reduce(_ && _)
-        acc.when(isMax, lit(l))
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docsMapSorted(spark, dir, "lang_id_out") { docs =>
+      val base = docs.withColumn("tk", toks(col("text")))
+      val withHits = LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+        df.withColumn(s"h_$lang", expr(s"size(filter(tk, t -> t IN (${inList(markers)})))"))
       }
-    withHits
-      .withColumn("pred_lang", pred)
-      .withColumn("n_hits", greatest(langs.map(l => col(s"h_$l")): _*).cast("long"))
-      .select("doc_id", "pred_lang", "n_hits")
-      .transform(df => graft.Staging.sortedOutput(df, "lang_id_out", "doc_id"))
-  }
+      val langs = LangMarkers.map(_._1)
+      val pred = langs
+        .foldLeft(when(lit(false), lit(""))) { (acc, l) =>
+          val isMax = langs.filter(_ != l).map(o => col(s"h_$l") >= col(s"h_$o")).reduce(_ && _)
+          acc.when(isMax, lit(l))
+        }
+      withHits
+        .withColumn("pred_lang", pred)
+        .withColumn("n_hits", greatest(langs.map(l => col(s"h_$l")): _*).cast("long"))
+        .select("doc_id", "pred_lang", "n_hits")
+    }
 
   /** #32 document fingerprint via the custom codegen Expression
     * (registered as SQL function graft_fingerprint by GraftSession).
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
-    docsSpread(spark, dir)
-      .select(col("doc_id"), expr("graft_fingerprint(text)").as("fp"))
-      .transform(df => graft.Staging.sortedOutput(df, "doc_fingerprint_out", "doc_id"))
+    docsMapSorted(spark, dir, "doc_fingerprint_out")(
+      _.select(col("doc_id"), expr("graft_fingerprint(text)").as("fp")))
 
   /** Chunk geometry: 32-token windows, stride 24 (8-token overlap) —
     * the standard pre-training prep shape.

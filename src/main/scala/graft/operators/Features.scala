@@ -28,11 +28,13 @@ object Features {
     val bin = (0 until 9)
       .map(i => when(col("value") >= Num.round4(col("bs")(i)), 1).otherwise(0))
       .reduce(_ + _)
-    ev.join(broadcast(bounds))
-      .select(col("event_id"), col("value"), bin.cast("long").as("bin"))
-      // sortedOutput (r19): bare orderBy re-ran the scan+bin subtree in
-      // the range-sampling pass.
-      .transform(df => graft.Staging.sortedOutput(df, "feature_bins_out", "event_id"))
+    // mapSorted (r20): scale-adaptive pre-projection range sort
+    // replaces the r19 sortedOutput persist (see Staging.mapSorted);
+    // the 1-row broadcast join streams the sorted side, preserving its
+    // per-partition order.
+    graft.Staging.mapSorted(ev, "feature_bins_out", "event_id")(
+      _.join(broadcast(bounds))
+        .select(col("event_id"), col("value"), bin.cast("long").as("bin")))
   }
 
   /** Pairwise Pearson correlations of the lineitem numeric columns in

@@ -23,10 +23,11 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
       // (l_orderkey, l_linenumber) is not unique in this data — order by
       // all projected columns (here and in the oracle) for hash stability.
-      // sortedOutput (r19): the bare orderBy's range-sampling pass paid
-      // a second full parquet scan; the staged output is filter-sized.
-      .transform(df => graft.Staging.sortedOutput(df, "filter_project_out",
-        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"))
+      // mapSorted (r20): scale-adaptive sort shape, see Staging.mapSorted
+      // (identity projection — the choice here is persist vs a second
+      // pushed-filter scan for the range sampler).
+      .transform(df => graft.Staging.mapSorted(df, "filter_project_out",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")(identity))
 
   /** Grouped aggregation with map-side partial agg (TPC-H Q1 shape).
     * Reference: utils.py:983-986 (per-stat averages over match history).

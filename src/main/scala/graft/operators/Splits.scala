@@ -20,18 +20,16 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"))
-      .withColumn("bucket",
+    // mapSorted (r20): scale-adaptive pre-projection range sort
+    // replaces the r19 sortedOutput persist — see Staging.mapSorted.
+    graft.Staging.mapSorted(
+      Tables.documents(spark, dir).select(col("doc_id")), "split_assign_out", "doc_id")(
+      _.withColumn("bucket",
         (((col("doc_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test"))
-      // sortedOutput (r19): bare orderBy over a map-only subtree
-      // executes it twice (range-sampling pass); see TextFunctions.
-      .transform(df => graft.Staging.sortedOutput(df, "split_assign_out", "doc_id"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test")))
 
   /** Leakage-safe split: hash the near-dup CLUSTER id, not the doc id,
     * so every member of a near-dup cluster lands in the same split — a
@@ -197,15 +195,17 @@ object Splits {
     * is codegen'd and the only full-table cost is the read.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-      .withColumn("bucket",
+    // mapSorted (r20): see Staging.mapSorted; the selective filter
+    // preserves per-partition order, so the pre-sorted branch keeps the
+    // global event_id order.
+    graft.Staging.mapSorted(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("event_type")),
+      "stratified_sample_out", "event_id")(
+      _.withColumn("bucket",
         (((col("event_id") % 1000003L) * 1315423911L + 12345L) % 1000000007L % 100L).cast("long"))
-      .withColumn("rate", when(col("event_type").isin("view", "click"), 20L).otherwise(80L))
-      .filter(col("bucket") < col("rate"))
-      .select("event_id", "user_id", "event_type", "bucket")
-      .transform(df => graft.Staging.sortedOutput(df, "stratified_sample_out", "event_id"))
+        .withColumn("rate", when(col("event_type").isin("view", "click"), 20L).otherwise(80L))
+        .filter(col("bucket") < col("rate"))
+        .select("event_id", "user_id", "event_type", "bucket"))
 
   /** Salt for the token-budget sampler's within-source selection order —
     * a `SeqPack.shuffleKey` multiplier salt (squared multiplicative

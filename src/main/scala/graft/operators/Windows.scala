@@ -358,10 +358,13 @@ object Windows {
       .select("l_orderkey", "l_linenumber", "znorm")
       // (l_orderkey, l_linenumber) is NOT unique in this data; znorm added
       // to the sort (here and in the oracle) for a total, hash-stable order.
-      // sortedOutput (r19): bare orderBy re-ran the scan+normalize subtree
-      // in the range-sampling pass.
-      .transform(df => graft.Staging.sortedOutput(df, "zscore_out",
-        "l_orderkey", "l_linenumber", "znorm"))
+      // Bare orderBy (r20, reverted from the r19 sortedOutput): the
+      // pre-sort frame is lineitem-cardinality — persisting it to sort
+      // it violates sortedOutput's contract and measured 0.73 → 1.23 s
+      // at sf0.1/32c; the sampler's double-run is one extra scan +
+      // broadcast-join of cheap arithmetic. (mapSorted's pre-sort
+      // branch doesn't apply: znorm is a computed sort key.)
+      .orderBy("l_orderkey", "l_linenumber", "znorm")
   }
 
   /** Fixed-width histogram over a value column.

@@ -27,8 +27,10 @@ object Quantize {
     * quantize to zeros with scale 0 (guarded — no division by zero).
     */
   def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .embeddings(spark, dir)
+    quantizedOf(Tables.embeddings(spark, dir))
+
+  private def quantizedOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("scale", expr(s"array_max(transform(e, x -> abs(x))) / $Levels"))
       .withColumn(
@@ -36,19 +38,20 @@ object Quantize {
         when(col("scale") === 0d, expr("transform(e, x -> 0)"))
           .otherwise(expr(s"transform(e, x -> cast(floor(x / scale + 0.5d) as int))")))
 
-  /** Declared query: per-vector quantization diagnostics. */
+  /** Declared query: per-vector quantization diagnostics. mapSorted
+    * (r20): scale-adaptive pre-projection range sort replaces the r19
+    * sortedOutput persist — see Staging.mapSorted.
+    */
   def quantizeStats(spark: SparkSession, dir: String): DataFrame =
-    quantized(spark, dir)
-      .withColumn(
-        "max_abs_err",
-        when(col("scale") === 0d, lit(0d))
-          .otherwise(expr("array_max(zip_with(e, q, (x, qi) -> abs(qi * scale - x)))")))
-      .select(
-        col("vec_id"),
-        size(col("e")).cast("long").as("n_dims"),
-        Num.round4(col("scale")).as("scale"),
-        Num.round4(col("max_abs_err")).as("max_abs_err"))
-      // sortedOutput (r19): bare orderBy re-ran the per-vector transform
-      // chain in the range-sampling pass.
-      .transform(df => graft.Staging.sortedOutput(df, "embed_quantize_out", "vec_id"))
+    graft.Staging.mapSorted(Tables.embeddings(spark, dir), "embed_quantize_out", "vec_id")(
+      quantizedOf(_)
+        .withColumn(
+          "max_abs_err",
+          when(col("scale") === 0d, lit(0d))
+            .otherwise(expr("array_max(zip_with(e, q, (x, qi) -> abs(qi * scale - x)))")))
+        .select(
+          col("vec_id"),
+          size(col("e")).cast("long").as("n_dims"),
+          Num.round4(col("scale")).as("scale"),
+          Num.round4(col("max_abs_err")).as("max_abs_err")))
 }
