@@ -174,6 +174,23 @@ object Staging {
     * Only for outputs that are orders of magnitude smaller than the
     * subtree's intermediates (near-dup pairs, reports, top-k lists) —
     * a corpus-scale frame should not be persisted just to sort it.
+    *
+    * Exception, measured (r20): the EVENT-GRAIN WINDOW outputs
+    * (Windows.scala — one narrow row per input event) keep the staged
+    * form even though the frame is input-cardinality. At the 1M-event
+    * decade point the persist beats the bare orderBy's sampling
+    * double-run on every site it isn't a tie (q_window_running
+    * 0.84 vs 1.11 s, q_lookback_multiwindow 1.48 vs 1.83,
+    * q_stats_availability 1.38 vs 1.54, q_window_moving 0.99 vs 1.16;
+    * ties: asof_lookback, recurrent_delta, sessionize, streaks) —
+    * the double-run re-executes the window eval over the materialized
+    * shuffle stage, which costs more than a narrow-row cache round
+    * trip. A deployment that cannot spare executor storage for an
+    * event-grain persist (§5 spill risk) sets
+    * `spark.graft.sortedOutput.mode=plain` to take the double-run
+    * instead — rows identical either way. The one site where plain
+    * measured better (zscore: computed sort key, lineitem-grain) uses
+    * a bare orderBy directly.
     */
   def sortedOutput(df: DataFrame, name: String, sortCols: String*): DataFrame = {
     // A/B lever (r20): `spark.graft.sortedOutput.mode=plain` skips the

@@ -586,17 +586,28 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val arr = shingleArrays(spark, dir)
-    val bands = minhashBandsOf(arr)
-    val candidates = bands
-      .toDF("a", "band", "key")
-      .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
     // Scan-local array verify against the staged per-doc arrays (r12) —
     // the exploded verify joined the full index twice and re-counted
     // pair overlaps through a groupBy for a frame we already hold as
     // arrays.
-    verifyJaccardArrays(candidates, arr, threshold)
+    verifyJaccardArrays(minhashCandidates(arr), arr, threshold)
+  }
+
+  /** The banded LSH candidate pair set (a < b, distinct) — the frame
+    * the verify filters. Exposed (r20) so `DedupQa.dedupRecall` can
+    * test membership against it directly: for a pair already known to
+    * have jac >= τ, "surfaced by LSH" ≡ "present in the candidate set"
+    * (the verify applies the identical Jaccard over the identical
+    * shingle space, so it cannot reject a true pair), which lets the
+    * recall audit skip re-verifying the LSH side entirely.
+    */
+  private[graft] def minhashCandidates(arr: DataFrame): DataFrame = {
+    val bands = minhashBandsOf(arr)
+    bands
+      .toDF("a", "band", "key")
+      .join(bands.toDF("b", "band2", "key2"), col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
   }
 
   /** 64-bit SimHash fingerprints: token-frequency-weighted bit vote,
