@@ -17,12 +17,20 @@ object TextFunctions {
     */
   private def toks(c: Column): Column = split(c, "\\s+")
 
-  /** documents scan spread for CPU-dense per-row expressions (r19):
-    * see Staging.spread — conditional exchange only when the planned
-    * scan is narrower than a quarter of session parallelism.
+  /** The documents scan for the explode→aggregate retrieval/vocab
+    * queries in this file. r19 wrapped it in Staging.spread; r20
+    * REVERTED that after clean-host measurement: for explode→agg
+    * shapes the aggregation's own exchange already redistributes, so
+    * the up-front round-robin exchange (plus its SPARK-23207 local row
+    * sort) is pure overhead — q_vocab_topk 0.22 → 0.46 s, q_phrase_mine
+    * 0.60 → 1.12, q_vocab_topk_cms 0.68 → 1.17, q_bm25_search
+    * 1.17 → 1.57+ vs r18, reproduced across every clean bench run.
+    * The spread stays where per-row expression work dominates a
+    * SORT-OUTPUT or index-build pipeline (Dedup.shingles, mapSorted's
+    * pre-sort branch).
     */
   private def docsSpread(spark: SparkSession, dir: String): DataFrame =
-    graft.Staging.spread(Tables.documents(spark, dir))
+    Tables.documents(spark, dir)
 
   /** The narrow-output map-query sort shape (r20): scale-adaptive
     * pre-projection range sort / post-projection staged sort — see
